@@ -1,0 +1,262 @@
+"""Payload segmentation + byte-exact markdown assembly kernels.
+
+This is the heart of the extraction pipeline: given one transcript turn's
+``text``, detect and parse an embedded payload (paged pseudo-PDF in base64, or
+an HTML document), segment it into pages/blocks, run quality detection and
+deterministic repair, and reassemble to the final extracted markdown with
+character span offsets.
+
+Parity targets in /root/reference:
+- assembly:     src/core/utils.py:112-161 (combine + page header),
+                src/core/constants.py:9-10 (separators)
+- page split:   src/services/pdf_processor.py:29-68 (chunking),
+                :105-142 (outline extraction), :144-221 (section ranges)
+- magic check:  src/services/pdf_input_handler.py:91-92
+- guardrails:   src/core/config.py:40-42
+- repair flow:  src/services/mistral_client.py:237-252 (page replacement),
+                validation_orchestrator.py:300-450 (detect -> validate -> fix);
+                the external re-extraction service is replaced by a
+                deterministic local repair kernel.
+
+Payload wire format (FIXTURES.md §1a): base64 block prefixed
+``data:application/pdf;base64,``; decoded content starts ``%PDF``; pages are
+``# Page {n}`` sections separated by ``\\n\\n---\\n\\n``; an optional leading
+TOC has lines ``== {title} @ page {p} ==``.
+"""
+from __future__ import annotations
+
+import base64
+import binascii
+import re
+from typing import Dict, List, Optional, Tuple
+
+from ..config import (
+    EMPTY_CONTENT_MESSAGE,
+    MARKDOWN_PAGE_HEADER_TEMPLATE,
+    MARKDOWN_SECTION_SEPARATOR,
+    MAX_BASE64_LENGTH,
+    MAX_OUTLINES,
+    MAX_PAGES_PER_CHUNK,
+    MAX_PDF_PAGES,
+    VALIDATION_SIMILARITY_THRESHOLD,
+)
+from .detectors import detect_problems
+from .html_strip import extract_main_content
+from .similarity import calculate_similarity
+
+PDF_PAYLOAD_PREFIX = "data:application/pdf;base64,"
+_TOC_LINE_RE = re.compile(r"^== (.+?) @ page (\d+) ==$", re.MULTILINE)
+_PAGE_HEADER_RE = re.compile(r"^# Page (\d+)\n\n", re.DOTALL)
+_B64_RE = re.compile(r"[A-Za-z0-9+/=]+")
+
+
+def format_page_header(page_number: int, zero_based: bool = True) -> str:
+    """``"# Page {n}\\n\\n"`` with optional 0->1-based conversion."""
+    display = page_number + 1 if zero_based else page_number
+    return MARKDOWN_PAGE_HEADER_TEMPLATE.format(page_number=display)
+
+
+def combine_markdown_sections(
+    sections: List[str],
+    separator: str = MARKDOWN_SECTION_SEPARATOR,
+    empty_message: str = EMPTY_CONTENT_MESSAGE,
+) -> str:
+    """Byte-exact section combine: empty list -> message; singleton returned
+    as-is (NOT stripped); otherwise strip each, drop empties, join."""
+    if not sections:
+        return empty_message
+    if len(sections) == 1:
+        return sections[0]
+    return separator.join(s.strip() for s in sections if s.strip())
+
+
+def combine_with_spans(
+    sections: List[str],
+    separator: str = MARKDOWN_SECTION_SEPARATOR,
+    empty_message: str = EMPTY_CONTENT_MESSAGE,
+) -> Tuple[str, List[Tuple[int, int]]]:
+    """Same bytes as :func:`combine_markdown_sections`, also returning each
+    *kept* section's (offset, length) span in the combined string. Sections
+    that strip to empty get span (-1, 0)."""
+    if not sections:
+        return empty_message, []
+    if len(sections) == 1:
+        return sections[0], [(0, len(sections[0]))]
+    parts: List[str] = []
+    spans: List[Tuple[int, int]] = []
+    offset = 0
+    for s in sections:
+        stripped = s.strip()
+        if not stripped:
+            spans.append((-1, 0))
+            continue
+        if parts:
+            offset += len(separator)
+        spans.append((offset, len(stripped)))
+        offset += len(stripped)
+        parts.append(stripped)
+    return separator.join(parts), spans
+
+
+def parse_outline_toc(content: str) -> Tuple[List[Dict], str]:
+    """Parse and strip leading ``== title @ page p ==`` TOC lines.
+
+    Returns (outlines sorted by page, remaining content). Mirrors the
+    reference's top-level-only outline extraction + page sort
+    (pdf_processor.py:105-142)."""
+    outlines = [
+        {"title": m.group(1), "page": int(m.group(2))}
+        for m in _TOC_LINE_RE.finditer(content)
+    ]
+    stripped = _TOC_LINE_RE.sub("", content).lstrip("\n")
+    outlines.sort(key=lambda o: o["page"])
+    return outlines, stripped
+
+
+def split_pages(content: str) -> List[Tuple[int, str]]:
+    """Split paged content on the section separator; page index comes from the
+    ``# Page {n}`` header (1-based in payload -> 0-based index), falling back
+    to position when absent. Returns [(page_idx, body_without_header)]."""
+    pages: List[Tuple[int, str]] = []
+    for pos, section in enumerate(content.split(MARKDOWN_SECTION_SEPARATOR)):
+        m = _PAGE_HEADER_RE.match(section)
+        if m:
+            pages.append((int(m.group(1)) - 1, section[m.end():]))
+        else:
+            pages.append((pos, section))
+    pages.sort(key=lambda p: p[0])
+    return pages
+
+
+def sections_from_outlines(
+    outlines: List[Dict], total_pages: int
+) -> List[Dict]:
+    """Outline-based section ranges: keep the first MAX_OUTLINES (sorted by
+    page), end_page = next outline's start (else total_pages), plus the
+    chunk_indices each section covers (chunks of MAX_PAGES_PER_CHUNK pages)."""
+    kept = sorted(outlines, key=lambda o: o["page"])[:MAX_OUTLINES]
+    sections = []
+    for i, o in enumerate(kept):
+        start = o["page"]
+        end = kept[i + 1]["page"] if i + 1 < len(kept) else total_pages
+        chunk_lo = start // MAX_PAGES_PER_CHUNK
+        chunk_hi = max(chunk_lo, (max(end - 1, start)) // MAX_PAGES_PER_CHUNK)
+        sections.append({
+            "title": o["title"],
+            "page": start,
+            "end_page": end,
+            "chunk_indices": list(range(chunk_lo, chunk_hi + 1)),
+        })
+    return sections
+
+
+_BLANK_RUN_RE = re.compile(r"\n{3,}")
+
+
+def repair_page(body: str) -> str:
+    """Deterministic local repair kernel (stands in for the reference's
+    validator-service re-extraction): strip per-line trailing whitespace and
+    collapse 3+ newline runs to 2."""
+    lines = [ln.rstrip() for ln in body.split("\n")]
+    return _BLANK_RUN_RE.sub("\n\n", "\n".join(lines)).strip("\n")
+
+
+def detect_payload_kind(text: str) -> str:
+    """'pdf' | 'html' | 'plain' routing for a turn's text."""
+    if not text:
+        return "plain"
+    if PDF_PAYLOAD_PREFIX in text:
+        return "pdf"
+    head = text.lstrip()[:200].lower()
+    if head.startswith("<!doctype html") or head.startswith("<html"):
+        return "html"
+    return "plain"
+
+
+def extract_turn(
+    text: Optional[str],
+    enabled_problems: Optional[List[str]] = None,
+) -> Dict:
+    """Extract one transcript turn. Returns a plain dict (Arrow-friendly):
+
+    kind: str, n_pages: int, extracted_text: str,
+    spans: [(offset,length)] per kept page/block,
+    problems: [str] (doc-level union, 'page{idx}:{name}' entries),
+    sections: [{'title','page','end_page'}], repaired_pages: [int],
+    valid: bool (payload decoded + guardrails passed)
+    """
+    result = {
+        "kind": detect_payload_kind(text or ""),
+        "n_pages": 0,
+        "extracted_text": "",
+        "spans": [],
+        "problems": [],
+        "sections": [],
+        "repaired_pages": [],
+        "valid": True,
+    }
+    text = text or ""
+
+    if result["kind"] == "plain":
+        result["extracted_text"] = text
+        result["spans"] = [(0, len(text))] if text else []
+        result["n_pages"] = 1 if text else 0
+        return result
+
+    if result["kind"] == "html":
+        content, block_spans = extract_main_content(text)
+        result["extracted_text"] = content
+        result["spans"] = block_spans
+        result["n_pages"] = 1
+        return result
+
+    # --- pseudo-PDF path ---
+    start = text.index(PDF_PAYLOAD_PREFIX) + len(PDF_PAYLOAD_PREFIX)
+    m = _B64_RE.match(text, start)
+    b64 = m.group(0) if m else ""
+    if len(b64) > MAX_BASE64_LENGTH:
+        result.update(valid=False, problems=["payload_too_large"])
+        return result
+    try:
+        decoded = base64.b64decode(b64, validate=True).decode("utf-8")
+    except (binascii.Error, UnicodeDecodeError, ValueError):
+        result.update(valid=False, problems=["invalid_base64"])
+        return result
+    if not decoded.startswith("%PDF"):
+        result.update(valid=False, problems=["invalid_magic"])
+        return result
+
+    # Drop the %PDF version line, parse TOC, split pages.
+    body = decoded.split("\n", 1)[1] if "\n" in decoded else ""
+    outlines, body = parse_outline_toc(body)
+    pages = split_pages(body)
+    if len(pages) > MAX_PDF_PAGES:
+        result["problems"].append("too_many_pages")
+        pages = pages[:MAX_PDF_PAGES]
+
+    problems: List[str] = list(result["problems"])
+    repaired: List[int] = []
+    page_strings: List[str] = []
+    for idx, page_body in pages:
+        detected = detect_problems(page_body, enabled_problems)
+        for name in detected:
+            problems.append(f"page{idx}:{name}")
+        final_body = page_body
+        if detected:
+            alternative = repair_page(page_body)
+            similarity = calculate_similarity(page_body, alternative)
+            if similarity < VALIDATION_SIMILARITY_THRESHOLD and alternative:
+                final_body = alternative
+                repaired.append(idx)
+        page_strings.append(format_page_header(idx) + final_body)
+
+    combined, spans = combine_with_spans(page_strings)
+    result.update(
+        n_pages=len(pages),
+        extracted_text=combined,
+        spans=spans,
+        problems=problems,
+        sections=sections_from_outlines(outlines, len(pages)),
+        repaired_pages=repaired,
+    )
+    return result
