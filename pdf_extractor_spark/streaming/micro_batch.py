@@ -1,0 +1,40 @@
+"""Structured-Streaming adapter for the stateless extraction map.
+
+The per-turn extraction is a pure map, so it runs identically under
+micro-batch execution; assembly is windowed on event time with a watermark
+for late turns. This adapter exists to demonstrate the streaming path — the
+reference itself has no streaming semantics (SURVEY.md §2.10).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.udfs import extract_turn_udf
+
+
+def extract_stream(transcript_stream: DataFrame) -> DataFrame:
+    """readStream-compatible extraction map (stateless, watermark-free)."""
+    return transcript_stream.withColumn("x", extract_turn_udf(F.col("text"))).select(
+        "conv_id", "turn_idx", "ts",
+        F.col("x.kind").alias("kind"),
+        F.col("x.extracted_text").alias("extracted_text"),
+        F.col("x.problems").alias("problems"),
+    )
+
+
+def windowed_problem_counts(
+    extracted_stream: DataFrame,
+    watermark: str = "10 minutes",
+    window_size: str = "5 minutes",
+) -> DataFrame:
+    """Event-time windowed problem-rate aggregate with late-data watermark —
+    the streaming analog of the validation report."""
+    return (
+        extracted_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size), "kind")
+        .agg(
+            F.count("*").alias("turns"),
+            F.sum(F.size("problems")).alias("problems"),
+        )
+    )

@@ -1,0 +1,93 @@
+"""Golden end-to-end test: the Spark pipeline must reproduce, byte-for-byte,
+what the pure-Python kernels produce for the same deterministic transcripts —
+per-turn extracted text AND span offsets, under stable turn ordering."""
+import pandas as pd
+import pytest
+
+from pdf_extractor_spark.kernels.segment import combine_markdown_sections, extract_turn
+from pdf_extractor_spark.plans.pipeline import (
+    assemble_conversations,
+    extract_transcripts,
+    run_pipeline,
+    validation_report,
+)
+from pdf_extractor_spark.sources.transcripts import generate_local, transcripts_df
+
+N_CONVS = 12
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def golden_rows():
+    return generate_local(N_CONVS, SEED)
+
+
+@pytest.fixture(scope="module")
+def spark_transcripts(spark):
+    return transcripts_df(spark, N_CONVS, SEED, partitions=8).cache()
+
+
+def test_generator_distributed_matches_local(spark_transcripts, golden_rows):
+    got = {(r["conv_id"], r["turn_idx"]): r["text"]
+           for r in spark_transcripts.collect()}
+    expected = {(r["conv_id"], r["turn_idx"]): r["text"] for r in golden_rows}
+    assert got == expected
+
+
+def test_per_turn_extraction_matches_golden(spark, spark_transcripts, golden_rows):
+    extracted = extract_transcripts(spark_transcripts, salt_partitions=8)
+    got = {(r["conv_id"], r["turn_idx"]): r for r in extracted.collect()}
+    assert len(got) == len(golden_rows)
+    payload_turns = 0
+    for row in golden_rows:
+        g = extract_turn(row["text"])
+        s = got[(row["conv_id"], row["turn_idx"])]
+        key = (row["conv_id"], row["turn_idx"])
+        assert s["extracted_text"] == g["extracted_text"], key
+        assert [(sp["offset"], sp["length"]) for sp in s["spans"]] == g["spans"], key
+        assert list(s["problems"]) == g["problems"], key
+        assert s["kind"] == g["kind"] and s["n_pages"] == g["n_pages"], key
+        if g["kind"] != "plain":
+            payload_turns += 1
+    assert payload_turns > 0  # the corpus must actually exercise payloads
+
+
+def test_spans_point_into_extracted_text(spark_transcripts):
+    extracted = extract_transcripts(spark_transcripts)
+    for r in extracted.where("kind = 'pdf' AND valid").limit(20).collect():
+        for sp in r["spans"]:
+            if sp["offset"] >= 0:
+                seg = r["extracted_text"][sp["offset"]:sp["offset"] + sp["length"]]
+                assert len(seg) == sp["length"]
+                assert seg.startswith("# Page ")
+
+
+def test_assembly_stable_order_and_bytes(spark, spark_transcripts, golden_rows):
+    assembled = {r["conv_id"]: r for r in
+                 run_pipeline(spark_transcripts, salt_partitions=8).collect()}
+    by_conv = {}
+    for row in golden_rows:
+        by_conv.setdefault(row["conv_id"], []).append(row)
+    for conv_id, rows in by_conv.items():
+        rows.sort(key=lambda r: r["turn_idx"])  # golden stable order
+        texts = [extract_turn(r["text"])["extracted_text"] for r in rows]
+        expected = combine_markdown_sections(texts)
+        assert assembled[conv_id]["conversation_markdown"] == expected, conv_id
+        assert assembled[conv_id]["n_turns"] == len(rows)
+
+
+def test_validation_report(spark, spark_transcripts):
+    extracted = extract_transcripts(spark_transcripts)
+    report = validation_report(extracted)
+    rows = {r["conv_id"]: r for r in report.collect()}
+    assert len(rows) == N_CONVS
+    for r in rows.values():
+        assert r["overall_status"] in ("passed", "warnings", "problems_fixed")
+        assert r["n_passed"] + r["n_warnings"] + r["n_fixed"] == r["total_turns"]
+        assert abs(r["estimated_cost"] - r["total_pages"] * 0.005) < 1e-9
+
+
+def test_rerun_determinism(spark, spark_transcripts):
+    out1 = run_pipeline(spark_transcripts).orderBy("conv_id").collect()
+    out2 = run_pipeline(spark_transcripts).orderBy("conv_id").collect()
+    assert out1 == out2
