@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship extraction pipeline on sf0.001
+inputs; ``queries()`` exposes every oracle-checkable operator from
+SURVEY.md §2 plus the training-data extensions (dedup / ANN / text analysis /
+multimodal); ``oracle_sql()`` carries the equivalent DuckDB SQL with matching
+column names/aliases.
 """
 
 from __future__ import annotations
@@ -12,27 +12,53 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators import (
+    aggregates,
+    dedup,
+    multimodal,
+    similarity_search,
+    text_analysis,
+    text_ops,
+    windows,
+)
+
+_MODULES = [
+    text_ops, windows, aggregates, dedup, similarity_search,
+    text_analysis, multimodal,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize a deterministic transcript corpus (the driver
+    parquet tables carry no transcripts), run the full extraction pipeline,
+    and join per-conversation assemblies with the sf0.001 documents scan so
+    the driver exercises both the pipeline and the parquet path."""
+    from pdf_extractor_spark.plans.pipeline import (
+        extract_transcripts,
+        validation_report,
+    )
+    from pdf_extractor_spark.sources.transcripts import transcripts_df
+
+    transcripts = transcripts_df(spark, n_convs=24, seed=42)
+    extracted = extract_transcripts(transcripts, salt_partitions=8)
+    report = validation_report(extracted)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    doc_stats = docs.agg(F.count("*").alias("n_docs"))
+    return report.crossJoin(F.broadcast(doc_stats)).orderBy("conv_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        out.update(mod.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in _MODULES:
+        out.update(mod.ORACLES)
+    return out

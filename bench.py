@@ -1,0 +1,99 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the flagship transcript-extraction pipeline.
+
+Prints ONE JSON line:
+  {"metric": "extracted_turns_per_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "turns": ..., "cpus": ...}
+
+The headline metric is extraction throughput (turns/sec) on a deterministic
+synthetic transcript corpus (seed=42), per BASELINE.json. Query timings use a
+noop write so execution is measured end-to-end without disk-sink noise.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "sessionize",
+    "balance_classify",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_cosine",
+    "token_count",
+    "normalize_text",
+    "multimodal_features",
+]
+
+CORPUS_CACHE = "/tmp/spark_graft_bench/transcripts_{n}_{seed}"
+
+
+def ensure_corpus(spark, n_convs: int, seed: int = 42) -> str:
+    """Materialize the transcript corpus once (generation is not part of the
+    measured pipeline)."""
+    path = CORPUS_CACHE.format(n=n_convs, seed=seed)
+    if not os.path.exists(path + "/_SUCCESS"):
+        from pdf_extractor_spark.sources.transcripts import transcripts_df
+
+        transcripts_df(spark, n_convs, seed).write.mode("overwrite").parquet(path)
+    return path
+
+
+def time_noop(df) -> float:
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "2500"))
+
+    from pdf_extractor_spark.plans.pipeline import run_pipeline
+    from pdf_extractor_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 32)
+    )
+
+    corpus = ensure_corpus(spark, n_convs)
+    transcripts = spark.read.parquet(corpus)
+    n_turns = transcripts.count()
+
+    # warm the JVM/Arrow paths once with a small slice
+    run_pipeline(transcripts.limit(2000)).write.mode("overwrite").format("noop").save()
+
+    t0 = time.perf_counter()
+    run_pipeline(transcripts, salt_partitions=cpus * 4).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    extract_sec = time.perf_counter() - t0
+
+    queries = entry_mod.queries()
+    timings = {"extraction_pipeline": round(extract_sec, 3)}
+    for name in BENCH_QUERIES:
+        timings[name] = round(time_noop(queries[name](spark, sf_dir)), 3)
+
+    print(json.dumps({
+        "metric": "extracted_turns_per_sec",
+        "value": round(n_turns / extract_sec, 1),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "turns": n_turns,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

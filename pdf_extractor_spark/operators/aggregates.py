@@ -1,0 +1,229 @@
+"""Aggregation + join operators: ordered concat (A1), validation cost (A3),
+status rollup (A4), priority merge (J5), and the TPC-H-shaped analytics
+queries that anchor the benchmark (pricing summary, revenue by nation).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import MARKDOWN_SECTION_SEPARATOR
+
+
+def q_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-user event counts with priority-max overall status
+    (error > purchase > ok), mirroring problems_fixed > warnings > passed."""
+    from . import load
+
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_error"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchase"),
+    )
+    return agg.select(
+        "user_id", "n_events", "n_error", "n_purchase",
+        F.when(F.col("n_error") > 0, F.lit("error"))
+        .when(F.col("n_purchase") > 0, F.lit("purchase"))
+        .otherwise(F.lit("ok"))
+        .alias("overall_status"),
+    )
+
+
+def q_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-group ordered concat with the reference separator — the stable
+    -ordering requirement: sort_array(collect_list(struct)) before joining,
+    never shuffle order."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    part = F.substring("text", 1, 30)
+    return (
+        docs.select("lang", F.struct(F.col("doc_id"), part.alias("part")).alias("s"))
+        .groupBy("lang")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("s")), lambda x: x["part"]),
+                MARKDOWN_SECTION_SEPARATOR,
+            ).alias("combined"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def q_validation_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: validation-report cost model (500 tokens/page at $0.01/1k) with
+    pages estimated from character counts."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    pages = F.ceil(F.col("n_chars") / 1000.0)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(pages).alias("total_pages"),
+        F.round(F.sum(pages) * 0.005, 6).alias("estimated_cost"),
+    )
+
+
+def q_priority_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: per-user full-outer merge of two sources with priority coalesce
+    (click stats win, view stats are the fallback)."""
+    from . import load
+
+    ev = load(spark, sf_dir, "events")
+    # decimal-sum / count instead of avg(double): engine-independent result
+    dec_avg = F.round(
+        (F.sum(F.col("value").cast("decimal(18,6)")) / F.count("*")).cast("double"), 6
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(dec_avg.alias("click_avg"))
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(dec_avg.alias("view_avg"))
+    )
+    merged = clicks.join(views, "user_id", "full_outer")
+    return merged.select(
+        "user_id",
+        F.coalesce("click_avg", "view_avg").alias("merged_avg"),
+        F.when(F.col("click_avg").isNotNull(), F.lit("click"))
+        .otherwise(F.lit("view"))
+        .alias("chosen_source"),
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem — the scan+agg anchor
+    query for the benchmark (pure columnar agg, map-side partial combine)."""
+    from . import load
+
+    li = load(spark, sf_dir, "lineitem")
+    # Decimal-cast before summing: double sums are accumulation-order
+    # dependent (partial aggs shuffle differently than the oracle), decimal
+    # sums are exact and engine-independent.
+    dec = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count("*")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec(F.col("l_quantity"))), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec(F.col("l_extendedprice"))), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(dec(disc_price)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(dec(charge)), 2).cast("double").alias("sum_charge"),
+            F.round((F.sum(dec(F.col("l_quantity"))) / n).cast("double"), 6).alias("avg_qty"),
+            F.round((F.sum(dec(F.col("l_discount"))) / n).cast("double"), 6).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: lineitem |X| orders |X| customer |X| nation with the dims
+    broadcast — revenue per nation. The join anchor for the benchmark."""
+    from . import load
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLES = {
+    "status_rollup": """
+        WITH agg AS (
+            SELECT user_id, count(*) AS n_events,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_events, n_error, n_purchase,
+               CASE WHEN n_error > 0 THEN 'error'
+                    WHEN n_purchase > 0 THEN 'purchase'
+                    ELSE 'ok' END AS overall_status
+        FROM agg
+    """,
+    "ordered_concat": """
+        SELECT lang,
+               string_agg(substr(text, 1, 30),
+                          chr(10) || chr(10) || '---' || chr(10) || chr(10)
+                          ORDER BY doc_id) AS combined,
+               count(*) AS n_docs
+        FROM documents GROUP BY lang
+    """,
+    "validation_cost": """
+        SELECT lang, count(*) AS n_docs,
+               sum(ceil(n_chars / 1000.0))::BIGINT AS total_pages,
+               round(sum(ceil(n_chars / 1000.0)) * 0.005, 6) AS estimated_cost
+        FROM documents GROUP BY lang
+    """,
+    "priority_merge": """
+        WITH clicks AS (
+            SELECT user_id,
+                   round((sum(value::DECIMAL(18,6)) / count(*))::DOUBLE, 6) AS click_avg
+            FROM events WHERE event_type = 'click' GROUP BY user_id
+        ), views AS (
+            SELECT user_id,
+                   round((sum(value::DECIMAL(18,6)) / count(*))::DOUBLE, 6) AS view_avg
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        )
+        SELECT coalesce(c.user_id, v.user_id) AS user_id,
+               coalesce(c.click_avg, v.view_avg) AS merged_avg,
+               CASE WHEN c.click_avg IS NOT NULL THEN 'click' ELSE 'view' END
+                   AS chosen_source
+        FROM clicks c FULL OUTER JOIN views v ON c.user_id = v.user_id
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity::DECIMAL(18,4)), 2)::DOUBLE AS sum_qty,
+               round(sum(l_extendedprice::DECIMAL(18,4)), 2)::DOUBLE AS sum_base_price,
+               round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE
+                   AS sum_disc_price,
+               round(sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(18,4)), 2)::DOUBLE
+                   AS sum_charge,
+               round((sum(l_quantity::DECIMAL(18,4)) / count(*))::DOUBLE, 6) AS avg_qty,
+               round((sum(l_discount::DECIMAL(18,4)) / count(*))::DOUBLE, 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "revenue_by_nation": """
+        SELECT n_name,
+               round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE
+                   AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+}
+
+QUERIES = {
+    "status_rollup": q_status_rollup,
+    "ordered_concat": q_ordered_concat,
+    "validation_cost": q_validation_cost,
+    "priority_merge": q_priority_merge,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+}

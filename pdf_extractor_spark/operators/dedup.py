@@ -1,0 +1,211 @@
+"""Deduplication operators over the ``documents`` table — the training-data
+pipeline extensions: exact hash dedup, MinHash+LSH banding, n-gram Jaccard
+pairs, and SimHash bucketing.
+
+Scale design: every method avoids the O(n^2) cross join. Exact dedup is one
+hash-groupBy; MinHash/LSH and shingle-Jaccard turn the pair search into
+equi-joins on band/shingle keys (shuffle keyed on content, so true duplicates
+co-locate); SimHash prefixes bucket near-dups. MinHash uses md5-based hashes
+so the DuckDB oracle can reproduce signatures bit-for-bit.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.expressions import normalize_for_comparison_expr, word_shingles_expr
+from ..functions.udfs import simhash_udf
+
+N_MINHASH = 8  # one hash per band -> P(band collision) == per-hash Jaccard
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on md5 of the normalized text: one canonical doc per
+    cluster + cluster size. Single hash-groupBy, no joins."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    key = F.md5(normalize_for_comparison_expr(F.col("text")))
+    return (
+        docs.select(key.alias("content_key"), "doc_id")
+        .groupBy("content_key")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("cluster_size"),
+        )
+    )
+
+
+def _minhash_frame(docs: DataFrame) -> DataFrame:
+    """doc_id + N_MINHASH md5-based minhash columns over word 3-shingles."""
+    exploded = docs.select(
+        "doc_id", F.explode(word_shingles_expr(F.col("text"))).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (md5-min per seed) — oracle-checkable bit-for-bit."""
+    from . import load
+
+    return _minhash_frame(load(spark, sf_dir, "documents")).select(
+        "doc_id", "mh0", "mh1", "mh2", "mh3"
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: candidate pairs sharing >= 1 of N_MINHASH single-hash
+    bands. Equi-join on (band_idx, hash), never a cross join."""
+    from . import load
+
+    sigs = _minhash_frame(load(spark, sf_dir, "documents"))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("h"))
+                for i in range(N_MINHASH)
+            ])
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.h").alias("h"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.h") == F.col("b.h")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-join Jaccard: pairs sharing shingles, scored
+    |A∩B| / (|A|+|B|-|A∩B|), threshold 0.2. The shingle equi-join bounds the
+    candidate set to docs with actual overlap."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles_expr(F.col("text"))).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = (
+        shared.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.2)
+    )
+    return jac
+
+
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup bucketing (12-bit prefix). UDF-backed (bit mixing is
+    not portable SQL) -> rows-only driver check, semantics pinned by unit
+    tests."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    sim = simhash_udf(F.col("text"))
+    return (
+        docs.select(F.shiftrightunsigned(sim, 52).alias("bucket"), "doc_id")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+    )
+
+
+_DUCK_SHINGLES = """
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) = 0 THEN []
+                        WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                        ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                             i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+                   END AS shingles
+            FROM words
+        ), ex AS (
+            SELECT doc_id, unnest(shingles) AS sh FROM sh
+        )
+"""
+
+_DUCK_MINHASH = _DUCK_SHINGLES + """
+        , sigs AS (
+            SELECT doc_id,
+                   min(md5('0:' || sh)) AS mh0, min(md5('1:' || sh)) AS mh1,
+                   min(md5('2:' || sh)) AS mh2, min(md5('3:' || sh)) AS mh3,
+                   min(md5('4:' || sh)) AS mh4, min(md5('5:' || sh)) AS mh5,
+                   min(md5('6:' || sh)) AS mh6, min(md5('7:' || sh)) AS mh7
+            FROM ex GROUP BY doc_id
+        )
+"""
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT md5(lower(regexp_replace(text, '[^\\p{L}\\p{N}]+', '', 'g')))
+                   AS content_key,
+               min(doc_id) AS canonical_id,
+               count(*) AS cluster_size
+        FROM documents GROUP BY 1
+    """,
+    "minhash_signatures": _DUCK_MINHASH + """
+        SELECT doc_id, mh0, mh1, mh2, mh3 FROM sigs
+    """,
+    "dedup_minhash_lsh": _DUCK_MINHASH + """
+        , bands AS (
+            SELECT doc_id, b.band, b.h FROM sigs,
+            LATERAL (SELECT unnest([
+                {'band': 0, 'h': mh0}, {'band': 1, 'h': mh1},
+                {'band': 2, 'h': mh2}, {'band': 3, 'h': mh3},
+                {'band': 4, 'h': mh4}, {'band': 5, 'h': mh5},
+                {'band': 6, 'h': mh6}, {'band': 7, 'h': mh7}
+            ], recursive := true)) b(band, h)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+        WHERE a.doc_id < b.doc_id
+    """,
+    "dedup_ngram_jaccard": _DUCK_SHINGLES + """
+        , sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+        ), shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(shared::DOUBLE / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(shared::DOUBLE / (sa.n_sh + sb.n_sh - shared), 4) >= 0.2
+    """,
+}
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "simhash_buckets": q_simhash_buckets,
+}

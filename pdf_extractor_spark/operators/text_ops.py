@@ -1,0 +1,231 @@
+"""Scalar text operators over the ``documents`` table: normalizer, workflow
+router, sampling predicate, outline filter with fallback, SQL-expressible
+detectors, number extraction round-trip.
+
+Reference ops covered: X1/X6/X7 (scalars), F1 (outline filter), F2 (router),
+F3 (sampling), F5-F18 subset (detectors), X2 (extract_numbers).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.expressions import (
+    jaccard_words_expr,
+    levenshtein_similarity_expr,
+    normalize_for_comparison_expr,
+    page_header_expr,
+    workflow_router_expr,
+)
+from ..functions.udfs import extract_numbers_udf
+
+# Router mapping whose patterns actually occur in the documents vocabulary.
+DOC_ROUTER_MAPPING = {
+    "spark": "text_extraction",
+    "query": "azure_document_intelligence",
+    "table": "mistral",
+}
+
+
+def _docs(spark, sf_dir):
+    from . import load
+    return load(spark, sf_dir, "documents")
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 as a JVM expression — parity with the Python kernel is pinned by
+    test_spark_vs_kernel.py."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        normalize_for_comparison_expr(F.col("text")).alias("normalized"),
+    )
+
+
+def q_page_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: page-header synthesis from an index column."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        page_header_expr(F.col("doc_id")).alias("header"),
+    )
+
+
+def q_workflow_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: first-substring-match CASE routing over document text."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        workflow_router_expr(F.col("text"), DOC_ROUTER_MAPPING).alias("workflow"),
+    )
+
+
+def q_sampling_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: every-5th sampling with a deterministic per-source offset
+    (len(source) % 5 stands in for the reference's random offset)."""
+    docs = _docs(spark, sf_dir)
+    offset = F.length("source") % 5
+    return docs.where(F.pmod(F.col("doc_id") - offset, F.lit(5)) == 0).select(
+        "doc_id", "source"
+    )
+
+
+def q_outline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: case-insensitive substring filter with fall-back-to-all-when-no-
+    match per group (lang plays the role of the document)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    matched = F.contains(F.lower("text"), F.lit("join")).cast("int")
+    any_match = F.max(matched).over(Window.partitionBy("lang"))
+    return (
+        docs.withColumn("m", matched)
+        .withColumn("any_m", any_match)
+        .where((F.col("m") == 1) | (F.col("any_m") == 0))
+        .select("doc_id", "lang")
+    )
+
+
+def q_detector_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-expressible subset of the 14 detectors, fully JVM-side."""
+    docs = _docs(spark, sf_dir)
+    alnum = F.length(F.regexp_replace("text", r"[^\p{L}\p{N}]+", ""))
+    return docs.select(
+        "doc_id",
+        (F.length(F.regexp_replace("text", r"^\s+|\s+$", "")) < 200).alias("very_short"),
+        (alnum < 100).alias("low_density"),
+        (F.regexp_count("text", F.lit(r"!\[[^\]]*\]\([^\)]+\)")) > 0).alias("has_md_image"),
+    )
+
+
+def q_extract_numbers_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 through the Arrow UDF: US/EU strings built from lineitem values are
+    extracted and must equal the directly-computed normalized forms."""
+    from . import load
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    text = F.concat(
+        F.lit("total 1,234.56 and qty "),
+        F.round("l_quantity", 1).cast("string"),
+        F.lit(" growth 12.5% eu 1.234,56"),
+    )
+    return li.select(
+        "l_orderkey",
+        F.array_join(extract_numbers_udf(text), "|").alias("numbers"),
+    )
+
+
+def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: adjacent-document similarity via built-in levenshtein on the
+    normalized texts."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    a = docs.alias("a")
+    b = docs.alias("b")
+    joined = a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+    return joined.select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.round(
+            levenshtein_similarity_expr(F.col("a.text"), F.col("b.text")), 6
+        ).alias("lev_sim"),
+    )
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14 core: adjacent-document word-set Jaccard, pure array expressions."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    a = docs.alias("a")
+    b = docs.alias("b")
+    joined = a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+    return joined.select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.round(jaccard_words_expr(F.col("a.text"), F.col("b.text")), 6).alias("jaccard"),
+    )
+
+
+ORACLES = {
+    "normalize_text": """
+        SELECT doc_id,
+               lower(regexp_replace(text, '[^\\p{L}\\p{N}]+', '', 'g')) AS normalized
+        FROM documents
+    """,
+    "page_header": """
+        SELECT doc_id, '# Page ' || (doc_id + 1)::VARCHAR || chr(10) || chr(10) AS header
+        FROM documents
+    """,
+    "workflow_router": """
+        SELECT doc_id,
+               CASE
+                 WHEN contains(lower(trim(text)), 'spark') THEN 'text_extraction'
+                 WHEN contains(lower(trim(text)), 'query') THEN 'azure_document_intelligence'
+                 WHEN contains(lower(trim(text)), 'table') THEN 'mistral'
+                 ELSE 'mistral'
+               END AS workflow
+        FROM documents
+    """,
+    "sampling_filter": """
+        SELECT doc_id, source
+        FROM documents
+        WHERE ((doc_id - length(source) % 5) % 5 + 5) % 5 = 0
+    """,
+    "outline_filter": """
+        WITH flagged AS (
+            SELECT doc_id, lang,
+                   CASE WHEN contains(lower(text), 'join') THEN 1 ELSE 0 END AS m,
+                   max(CASE WHEN contains(lower(text), 'join') THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY lang) AS any_m
+            FROM documents
+        )
+        SELECT doc_id, lang FROM flagged WHERE m = 1 OR any_m = 0
+    """,
+    "detector_flags": """
+        SELECT doc_id,
+               length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) < 200 AS very_short,
+               length(regexp_replace(text, '[^\\p{L}\\p{N}]+', '', 'g')) < 100 AS low_density,
+               regexp_matches(text, '!\\[[^\\]]*\\]\\([^\\)]+\\)') AS has_md_image
+        FROM documents
+    """,
+    "extract_numbers_roundtrip": """
+        SELECT l_orderkey,
+               '1234.56|' || round(l_quantity, 1)::VARCHAR || '|12.5|1234.56' AS numbers
+        FROM lineitem WHERE l_linenumber = 1
+    """,
+    "levenshtein_pairs": """
+        WITH n AS (
+            SELECT doc_id,
+                   lower(regexp_replace(text, '[^\\p{L}\\p{N}]+', '', 'g')) AS nt
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_id,
+               round(CASE
+                 WHEN length(a.nt) = 0 AND length(b.nt) = 0 THEN 1.0
+                 WHEN length(a.nt) = 0 OR length(b.nt) = 0 THEN 0.0
+                 ELSE 1.0 - levenshtein(a.nt, b.nt)::DOUBLE
+                            / greatest(length(a.nt), length(b.nt))
+               END, 6) AS lev_sim
+        FROM n a JOIN n b ON a.doc_id + 1 = b.doc_id
+    """,
+    "jaccard_pairs": """
+        WITH w AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                             x -> x <> '')) AS ws
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_id,
+               round(CASE
+                 WHEN length(list_distinct(list_concat(a.ws, b.ws))) = 0 THEN 1.0
+                 ELSE length(list_intersect(a.ws, b.ws))::DOUBLE
+                      / length(list_distinct(list_concat(a.ws, b.ws)))
+               END, 6) AS jaccard
+        FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id
+    """,
+}
+
+QUERIES = {
+    "normalize_text": q_normalize_text,
+    "page_header": q_page_header,
+    "workflow_router": q_workflow_router,
+    "sampling_filter": q_sampling_filter,
+    "outline_filter": q_outline_filter,
+    "detector_flags": q_detector_flags,
+    "extract_numbers_roundtrip": q_extract_numbers_roundtrip,
+    "levenshtein_pairs": q_levenshtein_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
+}

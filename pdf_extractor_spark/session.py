@@ -29,6 +29,7 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         # AQE: runtime coalescing + skew-join splitting (SURVEY.md §4)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

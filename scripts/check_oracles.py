@@ -1,0 +1,95 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB over the same sf dir; compare row
+count, sorted column names, and order-insensitive values.
+
+Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+"""
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb
+
+import __spark_entry__ as entry_mod
+from pdf_extractor_spark.session import get_spark
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    if v is None:
+        return "NULL"
+    return str(v)
+
+
+def row_key(row, cols):
+    return "|".join(canon(row[c]) for c in cols)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="oracle-check", master="local[8]",
+                      shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_rows = sdf.collect()
+            spark_cols = sorted(sdf.columns)
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(spark_rows)} rows (no oracle)")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetch_df()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error {e}")
+            continue
+        duck_cols = sorted(ddf.columns)
+        if spark_cols != duck_cols:
+            failures.append(name)
+            print(f"FAIL  {name}: columns {spark_cols} vs {duck_cols}")
+            continue
+        if len(spark_rows) != len(ddf):
+            failures.append(name)
+            print(f"FAIL  {name}: rows {len(spark_rows)} vs {len(ddf)}")
+            continue
+        s_keys = sorted(row_key(r.asDict(), spark_cols) for r in spark_rows)
+        d_records = ddf.to_dict("records")
+        d_keys = sorted(row_key(r, duck_cols) for r in d_records)
+        if s_keys != d_keys:
+            failures.append(name)
+            diff = [(a, b) for a, b in zip(s_keys, d_keys) if a != b][:3]
+            print(f"FAIL  {name}: value mismatch; first diffs: {diff}")
+            continue
+        print(f"ok    {name}: {len(spark_rows)} rows match")
+    print()
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("ALL MATCH")
+
+
+if __name__ == "__main__":
+    main()
