@@ -17,8 +17,10 @@ from pyspark.sql import functions as F
 from pdf_extractor_spark.operators import (
     aggregates,
     dedup,
+    joins,
     multimodal,
     similarity_search,
+    tables_md,
     text_analysis,
     text_ops,
     windows,
@@ -26,7 +28,7 @@ from pdf_extractor_spark.operators import (
 
 _MODULES = [
     text_ops, windows, aggregates, dedup, similarity_search,
-    text_analysis, multimodal,
+    text_analysis, multimodal, joins, tables_md,
 ]
 
 
@@ -42,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from pdf_extractor_spark.sources.transcripts import transcripts_df
 
     transcripts = transcripts_df(spark, n_convs=24, seed=42)
-    extracted = extract_transcripts(transcripts, salt_partitions=8)
+    extracted = extract_transcripts(transcripts)
     report = validation_report(extracted)
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -54,7 +54,7 @@ def time_noop(df) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "2500"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "25000"))
 
     from pdf_extractor_spark.plans.pipeline import run_pipeline
     from pdf_extractor_spark.session import get_spark
@@ -72,11 +72,12 @@ def main() -> None:
     # warm the JVM/Arrow paths once with a small slice
     run_pipeline(transcripts.limit(2000)).write.mode("overwrite").format("noop").save()
 
-    t0 = time.perf_counter()
-    run_pipeline(transcripts, salt_partitions=cpus * 4).write.mode(
-        "overwrite"
-    ).format("noop").save()
-    extract_sec = time.perf_counter() - t0
+    # best of 2: first full run also finishes JIT/worker-pool warmup
+    extract_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_pipeline(transcripts).write.mode("overwrite").format("noop").save()
+        extract_sec = min(extract_sec, time.perf_counter() - t0)
 
     queries = entry_mod.queries()
     timings = {"extraction_pipeline": round(extract_sec, 3)}

@@ -125,3 +125,16 @@ def quality_score_udf(text: pd.Series) -> pd.Series:
 @pandas_udf(LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
     return text.map(lambda t: simhash64(t or ""))
+
+
+def _first_table_rows(md: str) -> List[List[str]]:
+    from ..kernels.markdown_tables import parse_markdown_tables
+
+    tables = parse_markdown_tables(md or "")
+    return tables[0]["rows"] if tables else []
+
+
+@pandas_udf(ArrayType(ArrayType(StringType())))
+def parse_md_rows_udf(md: pd.Series) -> pd.Series:
+    """X9: first markdown table's data rows (header/separator dropped)."""
+    return md.map(_first_table_rows)

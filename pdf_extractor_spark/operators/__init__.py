@@ -11,8 +11,10 @@ analysis, multimodal). Every oracle-checkable operator module exposes:
 from . import (  # noqa: F401
     aggregates,
     dedup,
+    joins,
     multimodal,
     similarity_search,
+    tables_md,
     text_analysis,
     text_ops,
     windows,

@@ -131,6 +131,40 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_NEAR_DUP_THRESHOLD = 0.35
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by the label column (the
+    coarse-cluster key): the label equi-join replaces the n^2 cross join with
+    a shuffle keyed on label — same shape as the LSH band join. Cosine is
+    pure JVM expressions."""
+    from . import load
+
+    from ..functions.expressions import cosine_similarity_expr
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    sim = F.round(
+        cosine_similarity_expr(F.col("a.emb"), F.col("b.emb")), 4
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .where(F.col("sim") >= EMB_NEAR_DUP_THRESHOLD)
+    )
+
+
 _DUCK_SHINGLES = """
         WITH words AS (
             SELECT doc_id,
@@ -202,10 +236,32 @@ ORACLES = {
     """,
 }
 
+ORACLES["dedup_embedding_cosine"] = f"""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+        ), pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(
+                     CASE WHEN sqrt(list_sum(list_transform(a.emb, x -> x * x))) = 0
+                            OR sqrt(list_sum(list_transform(b.emb, x -> x * x))) = 0
+                          THEN 0.0
+                          ELSE list_sum(list_transform(range(1, len(a.emb) + 1),
+                                   i -> a.emb[i] * b.emb[i]))
+                               / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+                                  * sqrt(list_sum(list_transform(b.emb, x -> x * x))))
+                     END, 4) AS sim
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, sim FROM pairs
+        WHERE sim >= {EMB_NEAR_DUP_THRESHOLD}
+"""
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "simhash_buckets": q_simhash_buckets,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }

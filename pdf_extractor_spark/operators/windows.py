@@ -106,7 +106,103 @@ def q_asof_prev_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling 5-minute window aggregate per event_type — the
+    batch expression of the Structured Streaming windowed-agg pattern
+    (``F.window`` over the event timestamp; in streaming mode the identical
+    transform runs behind ``readStream`` + a watermark, see
+    streaming/micro_batch.py). Min/max are exact (no float-sum drift)."""
+    ev = _events(spark, sf_dir)
+    win = F.window(F.col("ts").cast("timestamp_ntz"), "5 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+_INFER_CANDIDATES = ["c_desc", "c_ref", "c_amt"]
+
+
+def q_column_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/W4: balance/amount column inference — parse-ability statistics per
+    candidate column decide which string column is numeric. Candidate columns
+    are synthesized from events (description / reference / formatted amount);
+    the reference picks the first column whose values are >70% parseable."""
+    ev = _events(spark, sf_dir)
+    stmt = ev.select(
+        "user_id",
+        F.col("event_type").alias("c_desc"),
+        F.when(
+            F.col("user_id") % 2 == 0, F.col("event_id").cast("string")
+        ).otherwise(F.concat(F.lit("REF"), F.col("event_id").cast("string"))
+        ).alias("c_ref"),
+        F.round(F.col("value") * 100).cast("bigint").cast("string").alias("c_amt"),
+    )
+    numeric = [
+        F.avg(
+            F.col(c).rlike(r"^-?\d+$").cast("int")
+        ).alias(f"r_{c}")
+        for c in _INFER_CANDIDATES
+    ]
+    per_user = stmt.groupBy("user_id").agg(*numeric)
+    pick = None
+    for c in _INFER_CANDIDATES:
+        cond = F.col(f"r_{c}") > 0.7
+        pick = F.when(cond, F.lit(c)) if pick is None else pick.when(cond, F.lit(c))
+    return per_user.select(
+        "user_id",
+        pick.otherwise(F.lit("none")).alias("balance_col"),
+        F.round(F.col("r_c_ref"), 6).alias("ref_numeric_ratio"),
+    )
+
+
 ORACLES = {
+    "tumbling_window": """
+        SELECT time_bucket(INTERVAL '5 minutes', ts)::VARCHAR AS window_start,
+               event_type,
+               count(*) AS n_events,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "column_inference": """
+        WITH stmt AS (
+            SELECT user_id,
+                   event_type AS c_desc,
+                   CASE WHEN user_id % 2 = 0 THEN event_id::VARCHAR
+                        ELSE 'REF' || event_id::VARCHAR END AS c_ref,
+                   round(value * 100)::BIGINT::VARCHAR AS c_amt
+            FROM events
+        ), ratios AS (
+            SELECT user_id,
+                   avg(CASE WHEN regexp_full_match(c_desc, '-?\\d+')
+                            THEN 1 ELSE 0 END) AS r_c_desc,
+                   avg(CASE WHEN regexp_full_match(c_ref, '-?\\d+')
+                            THEN 1 ELSE 0 END) AS r_c_ref,
+                   avg(CASE WHEN regexp_full_match(c_amt, '-?\\d+')
+                            THEN 1 ELSE 0 END) AS r_c_amt
+            FROM stmt GROUP BY user_id
+        )
+        SELECT user_id,
+               CASE WHEN r_c_desc > 0.7 THEN 'c_desc'
+                    WHEN r_c_ref > 0.7 THEN 'c_ref'
+                    WHEN r_c_amt > 0.7 THEN 'c_amt'
+                    ELSE 'none' END AS balance_col,
+               round(r_c_ref, 6) AS ref_numeric_ratio
+        FROM ratios
+    """,
     "sessionize": f"""
         WITH flagged AS (
             SELECT user_id, event_id, ts,
@@ -169,4 +265,6 @@ QUERIES = {
     "balance_classify": q_balance_classify,
     "lead_boundary": q_lead_boundary,
     "asof_prev_signup": q_asof_prev_signup,
+    "tumbling_window": q_tumbling_window,
+    "column_inference": q_column_inference,
 }

@@ -2,25 +2,32 @@
 per-conversation assembly + validation rollup.
 
 Spark-first layout of the reference's EP2 lifecycle (SURVEY.md §3):
-    read -> guardrail filter -> salted repartition (skew) -> extract UDF
-    -> per-turn result table
-    -> window-ordered per-conversation assembly (byte-exact combine)
-    -> validation report aggregate (A3/A4)
+    read -> JVM-side payload routing (F2 CASE) -> Arrow kernel UDF for the
+    ~5% payload-bearing turns ONLY -> per-turn result table
+    -> window-ordered per-conversation assembly (byte-exact combine, pure
+       expressions) -> validation report aggregate (A3/A4)
 
 Scale notes (10^12 turns):
-- The per-turn map is embarrassingly parallel; ``repartition(N, conv_id,
-  salt)`` spreads a single 200-turn conversation with 40-page payloads over
-  many tasks (long-document skew, SURVEY.md §4.1).
-- The only true shuffle is the final per-conversation regroup; AQE coalesces
-  its output partitions.
-- Per-turn results are written (and resumable) independently of assembly, so
-  the expensive stage is checkpointed before the shuffle.
+- **Python touches only payload rows.** The router predicate (pdf-prefix /
+  html-head detection, mirroring kernels.segment.detect_payload_kind) runs
+  JVM-side; plain turns' text is nulled out before the Arrow boundary, so the
+  pandas UDF transfers ~nothing for the ~95% of rows whose extraction is the
+  identity. Their result struct is synthesized with built-in expressions.
+- **No pre-shuffle.** The per-turn map runs on scan-native partitions:
+  parquet/Iceberg splits are byte-balanced (``files.maxPartitionBytes``),
+  which defuses long-document skew better than a row-hash repartition —
+  a row-count-balanced salt would co-locate many heavy payload rows. The
+  optional ``salt_partitions`` hash-redistributes rows only for pathological
+  source layouts (one file per giant conversation, no splittable format).
+- The only shuffle is the final per-conversation regroup; AQE coalesces its
+  output partitions and splits skewed groups' sort spills.
+- Per-turn results can be written (and resumed) independently of assembly,
+  so the expensive stage is checkpointed before the shuffle (plans.manifest).
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -28,8 +35,31 @@ from ..config import (
     VALIDATION_COST_PER_1K_TOKENS,
     VALIDATION_TOKENS_PER_PAGE,
 )
-from ..functions.udfs import EXTRACTION_TYPE, extract_turn_udf
-from ..kernels.segment import combine_markdown_sections
+from ..functions.expressions import combine_sections_expr
+from ..functions.udfs import extract_turn_udf
+from ..kernels.segment import PDF_PAYLOAD_PREFIX
+
+_EMPTY_SPANS = "array()"
+_SPAN_OF_WHOLE = (
+    "array(named_struct('offset', 0, 'length', length(text)))"
+)
+
+
+def _kind_expr() -> F.Column:
+    """JVM replica of kernels.segment.detect_payload_kind — same precedence:
+    pdf prefix anywhere, else html head, else plain."""
+    head = F.lower(
+        F.substring(F.regexp_replace("text", r"^\s+", ""), 1, 14)
+    )
+    return (
+        F.when(F.col("text").isNull() | (F.col("text") == ""), F.lit("plain"))
+        .when(F.contains("text", F.lit(PDF_PAYLOAD_PREFIX)), F.lit("pdf"))
+        .when(
+            head.startswith("<!doctype html") | head.startswith("<html"),
+            F.lit("html"),
+        )
+        .otherwise(F.lit("plain"))
+    )
 
 
 def extract_transcripts(
@@ -43,57 +73,78 @@ def extract_transcripts(
     """
     df = transcripts
     if salt_partitions:
-        # Salt on (conv_id, turn_idx) so one huge conversation spreads across
-        # tasks; the assembly groupBy below re-gathers per conv_id.
+        # Only for sources without byte-balanced splits (see module doc).
         df = df.repartition(salt_partitions, "conv_id", "turn_idx")
-    result = df.withColumn("x", extract_turn_udf(F.col("text")))
-    return result.select(
+
+    empty_str_arr = F.array().cast("array<string>")
+    empty_int_arr = F.array().cast("array<int>")
+    empty_sections = F.array().cast(
+        "array<struct<title:string,page:int,end_page:int>>"
+    )
+
+    df = df.withColumn("kind", _kind_expr())
+    is_plain = F.col("kind") == "plain"
+    # Null input for plain rows: the Arrow transfer carries only payload rows'
+    # text; the kernel returns a dummy row for None in ~no time.
+    x = extract_turn_udf(F.when(is_plain, F.lit(None)).otherwise(F.col("text")))
+
+    has_text = F.col("text").isNotNull() & (F.col("text") != "")
+    result = df.select(
         "conv_id",
         "turn_idx",
         "role",
-        F.col("x.kind").alias("kind"),
-        F.col("x.n_pages").alias("n_pages"),
-        F.col("x.extracted_text").alias("extracted_text"),
-        F.col("x.spans").alias("spans"),
-        F.col("x.problems").alias("problems"),
-        F.col("x.sections").alias("sections"),
-        F.col("x.repaired_pages").alias("repaired_pages"),
-        F.col("x.valid").alias("valid"),
-        F.length("x.extracted_text").alias("n_chars"),
+        "kind",
+        F.when(is_plain, F.when(has_text, 1).otherwise(0))
+        .otherwise(x["n_pages"]).alias("n_pages"),
+        F.when(is_plain, F.coalesce(F.col("text"), F.lit("")))
+        .otherwise(x["extracted_text"]).alias("extracted_text"),
+        F.when(
+            is_plain,
+            F.when(has_text, F.expr(_SPAN_OF_WHOLE))
+            .otherwise(F.expr(_EMPTY_SPANS))
+            .cast("array<struct<offset:int,length:int>>"),
+        ).otherwise(x["spans"]).alias("spans"),
+        F.when(is_plain, empty_str_arr).otherwise(x["problems"]).alias("problems"),
+        F.when(is_plain, empty_sections).otherwise(x["sections"]).alias("sections"),
+        F.when(is_plain, empty_int_arr)
+        .otherwise(x["repaired_pages"]).alias("repaired_pages"),
+        F.when(is_plain, F.lit(True)).otherwise(x["valid"]).alias("valid"),
     )
-
-
-ASSEMBLY_SCHEMA = (
-    "conv_id string, n_turns int, conversation_markdown string, "
-    "total_pages long, problem_turns int, repaired_pages int"
-)
-
-
-def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Grouped-map assembly kernel: byte-exact combine of per-turn extracted
-    text in stable turn order (A1 semantics via the shared kernel)."""
-    pdf = pdf.sort_values("turn_idx")
-    combined = combine_markdown_sections(list(pdf["extracted_text"]))
-    return pd.DataFrame([{
-        "conv_id": pdf["conv_id"].iloc[0],
-        "n_turns": int(len(pdf)),
-        "conversation_markdown": combined,
-        "total_pages": int(pdf["n_pages"].sum()),
-        "problem_turns": int((pdf["problems"].map(len) > 0).sum()),
-        "repaired_pages": int(pdf["repaired_pages"].map(len).sum()),
-    }])
+    return result.withColumn("n_chars", F.length("extracted_text"))
 
 
 def assemble_conversations(extracted: DataFrame) -> DataFrame:
-    """Per-conversation regroup with stable turn ordering. Uses grouped-map
-    applyInPandas so the combine separator semantics are byte-exact (shared
-    kernel with the golden generator); this is the pipeline's only shuffle."""
-    return (
-        extracted
-        .select("conv_id", "turn_idx", "extracted_text", "n_pages",
-                "problems", "repaired_pages")
+    """Per-conversation regroup with stable turn ordering — pure built-ins:
+    ``sort_array(collect_list(struct(turn_idx, ...)))`` then the A1 combine
+    expression (byte-parity with kernels.segment.combine_markdown_sections is
+    pinned by tests/test_pipeline_golden.py). This is the pipeline's only
+    shuffle, and it carries only the columns the report needs."""
+    ordered = F.sort_array(
+        F.collect_list(F.struct("turn_idx", "extracted_text"))
+    )
+    agg = (
+        extracted.select(
+            "conv_id", "turn_idx", "extracted_text", "n_pages",
+            (F.size("problems") > 0).cast("int").alias("has_problem"),
+            F.size("repaired_pages").alias("n_repaired"),
+        )
         .groupBy("conv_id")
-        .applyInPandas(_assemble_group, schema=ASSEMBLY_SCHEMA)
+        .agg(
+            F.count("*").cast("int").alias("n_turns"),
+            ordered.alias("ordered"),
+            F.sum("n_pages").alias("total_pages"),
+            F.sum("has_problem").cast("int").alias("problem_turns"),
+            F.sum("n_repaired").cast("int").alias("repaired_pages"),
+        )
+    )
+    texts = F.transform(F.col("ordered"), lambda s: s["extracted_text"])
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        combine_sections_expr(texts).alias("conversation_markdown"),
+        "total_pages",
+        "problem_turns",
+        "repaired_pages",
     )
 
 
