@@ -145,14 +145,27 @@ def cosine_similarity_expr(a: Column, b: Column) -> Column:
 
 
 def word_shingles_expr(text: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles (space-joined), JVM-side: split -> slide."""
+    """Distinct word k-shingles (space-joined), JVM-side.
+
+    Implemented by zipping k shifted copies of the words array rather than
+    slicing inside a ``transform`` lambda: a lambda body re-evaluates every
+    captured expression per element, which turns split-inside-slide into
+    O(words^2) per document. The shifted-zip form evaluates the split k+1
+    times per row total.
+    """
+    assert k == 3, "shifted-zip form below is written for k=3"
     words = F.filter(F.split(text, r"\s+"), lambda x: x != "")
     n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n == 0, F.array().cast("array<string>")).when(
-        n < k, F.array(F.array_join(words, " "))
-    ).otherwise(
-        F.array_distinct(
-            F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
-        )
+    z = F.arrays_zip(
+        words,
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        F.slice(words, 3, F.greatest(n - 2, F.lit(0))),
+    )
+    joined = F.transform(
+        z, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"])
+    )
+    return (
+        F.when(n == 0, F.array().cast("array<string>"))
+        .when(n < k, F.array(F.array_join(words, " ")))
+        .otherwise(F.array_distinct(F.slice(joined, 1, n - (k - 1))))
     )

@@ -57,9 +57,26 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_pairs(ids):
+    """All (i < j) pairs from a sorted array of structs — generates each
+    bucket's candidate pairs without a self-join, so the upstream (shingle /
+    signature) subtree is computed once instead of once per join side."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: candidate pairs sharing >= 1 of N_MINHASH single-hash
-    bands. Equi-join on (band_idx, hash), never a cross join."""
+    bands. The shuffle is keyed on (band, hash) — true duplicates co-locate;
+    pairs are generated inside each bucket (bounded by cluster size), never
+    via a cross join, and the signature subtree is evaluated once."""
     from . import load
 
     sigs = _minhash_frame(load(spark, sf_dir, "documents"))
@@ -72,40 +89,48 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("b"),
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.h").alias("h"))
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.h") == F.col("b.h")))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+    buckets = (
+        bands.groupBy("band", "h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    return (
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
-    return pairs
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle-join Jaccard: pairs sharing shingles, scored
-    |A∩B| / (|A|+|B|-|A∩B|), threshold 0.2. The shingle equi-join bounds the
-    candidate set to docs with actual overlap."""
+    """Shingle-bucket Jaccard: pairs sharing shingles, scored
+    |A∩B| / (|A|+|B|-|A∩B|), threshold 0.2. Each document's shingle count
+    rides along with every shingle row, so one pass over the shingle table
+    yields shared counts AND set sizes — no self-join, no re-evaluation of
+    the shingle subtree, no post-hoc size joins."""
     from . import load
 
     docs = load(spark, sf_dir, "documents")
     sh = docs.select(
-        "doc_id", F.explode(word_shingles_expr(F.col("text"))).alias("sh")
+        "doc_id", word_shingles_expr(F.col("text")).alias("shingles")
+    ).select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("sh"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("shared"))
+    buckets = (
+        sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ids"))
+        .where(F.size("ids") > 1)
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = (
-        shared.join(sa, "doc_a").join(sb, "doc_b")
-        .select(
+    pairs = buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+    shared = pairs.groupBy(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.a.n_sh").alias("na"),
+        F.col("p.b.n_sh").alias("nb"),
+    ).agg(F.count("*").alias("shared"))
+    return (
+        shared.select(
             "doc_a", "doc_b",
             F.round(
                 F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
@@ -113,7 +138,6 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= 0.2)
     )
-    return jac
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
