@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from pdf_extractor_spark.operators import (
     aggregates,
+    chunking,
     dedup,
     joins,
     multimodal,
@@ -28,7 +29,7 @@ from pdf_extractor_spark.operators import (
 
 _MODULES = [
     text_ops, windows, aggregates, dedup, similarity_search,
-    text_analysis, multimodal, joins, tables_md,
+    text_analysis, multimodal, joins, tables_md, chunking,
 ]
 
 

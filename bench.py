@@ -25,10 +25,15 @@ BENCH_QUERIES = [
     "balance_classify",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "knn_cosine",
+    "ann_ivf_cosine",
     "token_count",
     "normalize_text",
     "multimodal_features",
+    "spatial_join",
+    "table_merge_sessions",
+    "tumbling_window",
 ]
 
 CORPUS_CACHE = "/tmp/spark_graft_bench/transcripts_{n}_{seed}"

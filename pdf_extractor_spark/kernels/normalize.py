@@ -31,3 +31,24 @@ def safe_filename(title: str, max_len: int = 50) -> str:
     truncate, spaces -> underscores."""
     kept = _UNSAFE_FILENAME_RE.sub("", title or "")
     return kept[:max_len].strip().replace(" ", "_")
+
+
+try:  # X4 (reference: src/services/extraction_service.py:50-57) — RTL display
+    from bidi.algorithm import get_display as _bidi_get_display
+except ImportError:  # python-bidi not installed in this environment
+    _bidi_get_display = None
+
+
+def fix_bidi_text(text: str) -> str:
+    """X4: reorder RTL (Hebrew/Arabic) text for display via python-bidi.
+
+    Gated behind an import-try per the environment constraints: when the
+    library is absent this is the identity, and callers that need true
+    visual reordering must install ``python-bidi``. Logical-order text (what
+    every other kernel operates on) is unaffected either way.
+    """
+    if not text:
+        return text or ""
+    if _bidi_get_display is None:
+        return text
+    return _bidi_get_display(text)

@@ -46,16 +46,98 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic stopword/script language ID (UDF kernel; rows-only driver
-    check — semantics pinned by kernel unit tests) plus quality score."""
+    """Heuristic stopword/script language ID through the Arrow kernel UDF;
+    the DuckDB oracle re-derives the same decision procedure in SQL
+    (generated below from the same stopword tables, so they cannot drift).
+    The quality score rides along via the same batch; its arithmetic is
+    pinned separately by kernel unit tests and q_quality_features."""
     return _docs(spark, sf_dir).select(
         "doc_id",
         detect_language_udf(F.col("text")).alias("lang_guess"),
-        F.round(quality_score_udf(F.col("text")), 6).alias("quality"),
+        (quality_score_udf(F.col("text")) > 0.5).alias("quality_ok"),
     )
 
 
+def _language_id_oracle() -> str:
+    """SQL replica of kernels.textstats.detect_language: script-ratio checks
+    first, then best stopword hit-count over the sorted language list with
+    strict-greater tie-breaking, 'und' below 2 hits."""
+    from ..kernels.textstats import STOPWORDS
+
+    hit_cols = []
+    for lang in sorted(STOPWORDS):
+        terms = " + ".join(
+            f"list_contains(ws, '{sw}')::INT" for sw in STOPWORDS[lang]
+        )
+        hit_cols.append(f"({terms}) AS h_{lang}")
+    hit_cols_sql = ", ".join(hit_cols)
+    langs = sorted(STOPWORDS)
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    pick = " ".join(
+        f"WHEN h_{lg} = {best} THEN '{lg}'" for lg in langs
+    )
+    lower_words = ("list_distinct(list_transform(list_filter("
+                   "regexp_split_to_array(text, '\\s+'), x -> x <> ''), "
+                   "x -> lower(x)))")
+    en_hits = " + ".join(
+        f"list_contains({lower_words}, '{sw}')::INT" for sw in STOPWORDS["en"]
+    )
+    return f"""
+        WITH s AS (
+            SELECT doc_id, substring(text, 1, 2000) AS sample,
+                   length(substring(text, 1, 2000)) AS n,
+                   text
+            FROM documents
+        ), w AS (
+            SELECT doc_id, sample, n,
+                   list_distinct(regexp_extract_all(lower(sample), '\\w+')) AS ws
+            FROM s
+        ), h AS (
+            SELECT doc_id, sample, n, {hit_cols_sql}
+            FROM w
+        )
+        SELECT h.doc_id,
+               CASE
+                 WHEN n = 0 THEN 'und'
+                 WHEN len(regexp_extract_all(sample,
+                      '[\\x{{0590}}-\\x{{05FF}}]'))::DOUBLE / n > 0.2 THEN 'he'
+                 WHEN len(regexp_extract_all(sample,
+                      '[\\x{{0600}}-\\x{{06FF}}]'))::DOUBLE / n > 0.2 THEN 'ar'
+                 WHEN len(regexp_extract_all(sample,
+                      '[\\x{{4E00}}-\\x{{9FFF}}]'))::DOUBLE / n > 0.1 THEN 'zh'
+                 WHEN len(regexp_extract_all(sample,
+                      '[\\x{{0400}}-\\x{{04FF}}]'))::DOUBLE / n > 0.2 THEN 'ru'
+                 WHEN {best} < 2 THEN 'und'
+                 {pick}
+                 ELSE 'und'
+               END AS lang_guess,
+               q.quality > 0.5 AS quality_ok
+        FROM h
+        JOIN (
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        WHEN len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                             x -> x <> '')) = 0 THEN 0.0
+                        ELSE round(
+                          0.3 * (length(regexp_replace(text, '[^\\p{{L}}]+', '', 'g'))::DOUBLE
+                                 / length(text))
+                          + 0.2 * (CASE WHEN
+                              length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                              / len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                                x -> x <> ''))
+                              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+                          + 0.3 * least(1.0, length(text) / 200.0)
+                          + 0.2 * least(1.0, (
+                              {en_hits}
+                            ) / 5.0)
+                        , 6) END AS quality
+            FROM documents
+        ) q ON q.doc_id = h.doc_id
+    """
+
+
 ORACLES = {
+    "language_id": _language_id_oracle(),
     "token_count": """
         SELECT doc_id,
                len(list_filter(

@@ -16,7 +16,9 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 ORACLE_SUBSET = [
     "normalize_text", "sessionize", "pricing_summary", "dedup_minhash_lsh",
-    "knn_cosine", "multimodal_features",
+    "knn_cosine", "multimodal_features", "spatial_join",
+    "table_merge_sessions", "markdown_parse", "language_id",
+    "section_assembly", "tumbling_window",
 ]
 
 
@@ -52,7 +54,7 @@ def test_all_queries_run(spark):
 def test_oracle_keys_subset_of_queries():
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(os_) <= set(qs)
-    assert len(os_) >= 25
+    assert len(os_) >= 45
 
 
 @pytest.mark.parametrize("name", ORACLE_SUBSET)
