@@ -86,6 +86,34 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-style assignment step: every vector goes to its nearest of
+    N_CENTROIDS fixed seed centroids (the first N vectors — deterministic,
+    no RNG). The centroid table broadcasts; scoring is JVM expressions; the
+    per-vector argmax is a window rank. This is the coarse-quantizer build
+    step for the IVF index (q_ann_ivf_cosine is the matching probe side)."""
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = emb.join(F.broadcast(centroids)).select(
+        "vec_id",
+        "c_id",
+        cosine_similarity_expr(F.col("embedding"), F.col("c_emb")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    assigned = scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") == 1
+    )
+    return assigned.groupBy("c_id").agg(
+        F.count("*").alias("n_points"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
 _DUCK_COSINE = """
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
@@ -149,7 +177,35 @@ ORACLES = {
     """),
 }
 
+ORACLES["kmeans_assign"] = f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ), c AS (
+            SELECT vec_id AS c_id, emb AS c_emb FROM e
+            WHERE vec_id < {N_CENTROIDS}
+        ), scored AS (
+            SELECT e.vec_id, c.c_id,
+                   CASE WHEN sqrt(list_sum(list_transform(e.emb, x -> x * x))) = 0
+                          OR sqrt(list_sum(list_transform(c.c_emb, x -> x * x))) = 0
+                        THEN 0.0
+                        ELSE list_sum(list_transform(range(1, len(e.emb) + 1),
+                                 i -> e.emb[i] * c.c_emb[i]))
+                             / (sqrt(list_sum(list_transform(e.emb, x -> x * x)))
+                                * sqrt(list_sum(list_transform(c.c_emb, x -> x * x))))
+                   END AS sim
+            FROM e, c
+        ), ranked AS (
+            SELECT vec_id, c_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, c_id ASC) AS rk
+            FROM scored
+        )
+        SELECT c_id, count(*) AS n_points, min(vec_id) AS min_vec_id
+        FROM ranked WHERE rk = 1 GROUP BY c_id
+"""
+
 QUERIES = {
     "knn_cosine": q_knn_cosine,
     "ann_ivf_cosine": q_ann_ivf_cosine,
+    "kmeans_assign": q_kmeans_assign,
 }

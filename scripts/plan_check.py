@@ -1,0 +1,107 @@
+"""Physical-plan invariant checker — the ".explain and iterate" gate.
+
+Asserts the properties the engine's scale story depends on, so a regression
+in plan shape fails loudly rather than silently costing a shuffle at 100 TB:
+
+- no CartesianProduct / BroadcastNestedLoopJoin anywhere;
+- parquet scans carry PushedFilters + pruned ReadSchema where expected;
+- dimension joins broadcast (revenue_by_nation, knn_cosine, repair_coalesce);
+- the extraction pipeline has exactly one Exchange (the per-conversation
+  regroup) — no pre-shuffle before the map stage.
+
+Usage: python scripts/plan_check.py [sf_dir]
+"""
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+FORBIDDEN_EVERYWHERE = ["CartesianProduct"]
+
+# query -> (must_contain regexes, must_not_contain regexes)
+RULES = {
+    "pricing_summary": ([r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate",
+                         r"ReadSchema: [^\n]*l_returnflag"], []),
+    "revenue_by_nation": ([r"BroadcastHashJoin"], []),
+    # knn brute force is intentionally a broadcast nested-loop: the query
+    # side is 10 rows, and every candidate must be scored against each.
+    "knn_cosine": ([r"BroadcastNestedLoopJoin"], []),
+    "ann_ivf_cosine": ([r"BroadcastHashJoin"], [r"BroadcastNestedLoopJoin"]),
+    "repair_coalesce": ([r"BroadcastHashJoin.*LeftOuter|LeftOuter.*BroadcastHashJoin"], []),
+    "dedup_exact": ([r"HashAggregate"], [r"SortMergeJoin"]),
+    "dedup_minhash_lsh": ([], [r"SortMergeJoin", r"BroadcastHashJoin"]),
+    "token_count": ([], [r"Exchange", r"BatchEvalPython", r"ArrowEvalPython"]),
+    "normalize_text": ([], [r"Exchange", r"ArrowEvalPython"]),
+}
+
+
+def plan_of(df) -> str:
+    """Physical plan, formatted (for regex checks on node details)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def plan_tree(df) -> str:
+    """Physical plan, simple tree (each node appears exactly once — use for
+    node counting; the formatted mode lists every node twice)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entry_mod
+    from pdf_extractor_spark.plans.pipeline import run_pipeline
+    from pdf_extractor_spark.session import get_spark
+    from pdf_extractor_spark.sources.transcripts import transcripts_df
+
+    spark = get_spark(app_name="plan-check", master="local[4]",
+                      shuffle_partitions=8)
+    failures = []
+    queries = entry_mod.queries()
+
+    for name, (must, must_not) in RULES.items():
+        plan = plan_of(queries[name](spark, sf_dir))
+        for pat in FORBIDDEN_EVERYWHERE + must_not:
+            if re.search(pat, plan):
+                failures.append(f"{name}: forbidden pattern {pat!r} in plan")
+        for pat in must:
+            if not re.search(pat, plan, re.DOTALL):
+                failures.append(f"{name}: required pattern {pat!r} missing")
+        print(f"checked {name}")
+
+    # Pipeline shape: exactly one Exchange (assembly regroup), one Arrow UDF
+    # node (the kernel is evaluated once however many columns reference it),
+    # scan-native partitioning before the map. Input comes from parquet so
+    # the generator's own repartition does not appear in the plan.
+    corpus = "/tmp/plan_check_corpus"
+    transcripts_df(spark, 8, seed=1).write.mode("overwrite").parquet(corpus)
+    pipe_plan = plan_tree(run_pipeline(spark.read.parquet(corpus)))
+    n_exchange = len(re.findall(r"\bExchange\b", pipe_plan))
+    n_arrow = len(re.findall(r"ArrowEvalPython", pipe_plan))
+    if n_exchange != 1:
+        failures.append(f"pipeline: expected 1 Exchange, found {n_exchange}")
+    if n_arrow != 1:
+        failures.append(f"pipeline: expected 1 ArrowEvalPython, found {n_arrow}")
+    for pat in FORBIDDEN_EVERYWHERE:
+        if re.search(pat, pipe_plan):
+            failures.append(f"pipeline: forbidden {pat!r}")
+    print("checked extraction pipeline "
+          f"(exchanges={n_exchange}, arrow_nodes={n_arrow})")
+
+    spark.stop()
+    if failures:
+        print("\nPLAN CHECK FAILURES:")
+        for f in failures:
+            print(" -", f)
+        return 1
+    print("\nALL PLAN INVARIANTS HOLD")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
