@@ -70,10 +70,20 @@ def _turn_to_row(text: Optional[str]) -> dict:
     }
 
 
+_PLAIN_DUMMY = {
+    "kind": "plain", "n_pages": 0, "extracted_text": "", "spans": [],
+    "problems": [], "sections": [], "repaired_pages": [], "valid": True,
+}
+
+
 @pandas_udf(EXTRACTION_TYPE)
 def extract_turn_udf(text: pd.Series) -> pd.DataFrame:
-    """The flagship extraction kernel, one Arrow batch at a time."""
-    return pd.DataFrame([_turn_to_row(t) for t in text])
+    """The flagship extraction kernel, one Arrow batch at a time. Null inputs
+    (plain rows routed JVM-side, plans/pipeline.py) share one dummy dict —
+    the kernel never runs for them and no per-row objects are built."""
+    return pd.DataFrame([
+        _PLAIN_DUMMY if t is None else _turn_to_row(t) for t in text
+    ])
 
 
 @pandas_udf(ArrayType(StringType()))

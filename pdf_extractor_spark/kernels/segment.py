@@ -161,16 +161,30 @@ def repair_page(body: str) -> str:
     return _BLANK_RUN_RE.sub("\n\n", "\n".join(lines)).strip("\n")
 
 
+HTML_MARKERS = ("<!doctype html", "<html")
+
+
 def detect_payload_kind(text: str) -> str:
-    """'pdf' | 'html' | 'plain' routing for a turn's text."""
+    """'pdf' | 'html' | 'plain' routing for a turn's text. Payloads are
+    *embedded* in turn text (north_star), so both the pdf prefix and the
+    html document markers are searched anywhere in the turn, not only at
+    its head. Case-insensitive on the html markers."""
     if not text:
         return "plain"
     if PDF_PAYLOAD_PREFIX in text:
         return "pdf"
-    head = text.lstrip()[:200].lower()
-    if head.startswith("<!doctype html") or head.startswith("<html"):
+    low = text.lower()
+    if any(m in low for m in HTML_MARKERS):
         return "html"
     return "plain"
+
+
+def html_payload_start(text: str) -> int:
+    """Offset of the embedded html document (first marker hit), -1 if none."""
+    low = text.lower()
+    hits = [low.find(m) for m in HTML_MARKERS]
+    hits = [h for h in hits if h >= 0]
+    return min(hits) if hits else -1
 
 
 def extract_turn(
@@ -204,7 +218,10 @@ def extract_turn(
         return result
 
     if result["kind"] == "html":
-        content, block_spans = extract_main_content(text)
+        # Strip boilerplate from the embedded document onward; any assistant
+        # prose before the marker is not part of the payload.
+        start = html_payload_start(text)
+        content, block_spans = extract_main_content(text[start:])
         result["extracted_text"] = content
         result["spans"] = block_spans
         result["n_pages"] = 1

@@ -47,17 +47,18 @@ _SPAN_OF_WHOLE = (
 
 def _kind_expr() -> F.Column:
     """JVM replica of kernels.segment.detect_payload_kind — same precedence:
-    pdf prefix anywhere, else html head, else plain."""
-    head = F.lower(
-        F.substring(F.regexp_replace("text", r"^\s+", ""), 1, 14)
-    )
+    pdf prefix anywhere, else html markers anywhere (case-insensitive),
+    else plain."""
+    from ..kernels.segment import HTML_MARKERS
+
+    low = F.lower("text")
+    has_html = F.contains(low, F.lit(HTML_MARKERS[0]))
+    for m in HTML_MARKERS[1:]:
+        has_html = has_html | F.contains(low, F.lit(m))
     return (
         F.when(F.col("text").isNull() | (F.col("text") == ""), F.lit("plain"))
         .when(F.contains("text", F.lit(PDF_PAYLOAD_PREFIX)), F.lit("pdf"))
-        .when(
-            head.startswith("<!doctype html") | head.startswith("<html"),
-            F.lit("html"),
-        )
+        .when(has_html, F.lit("html"))
         .otherwise(F.lit("plain"))
     )
 
