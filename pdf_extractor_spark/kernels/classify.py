@@ -2,7 +2,7 @@
 
 Parity target: /root/reference/scripts/classify_debit_credit.py:81-258.
 Operates on plain lists of dict-rows so it is both the golden generator and
-(via window expressions in operators/bank.py) cross-checked against the pure
+(via window expressions in operators/windows.py) cross-checked against the pure
 Spark built-in implementation.
 """
 from __future__ import annotations

@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Shuffle spill dir: this sandbox's /tmp sits on a ~340 MB/s virtio
+        # disk, which turns the assembly shuffle into a serial bottleneck;
+        # production executors write shuffle to fast local NVMe. tmpfs models
+        # that here (RAM is ample: 128 GiB vs ~2 GB shuffle).
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -27,7 +27,8 @@ from datetime import date
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 N_LOW, N_HIGH = 2, 8
-N_RUNS = 3
+N_RUNS = 2
+N_ROUNDS = 2
 
 JOB = """
 import json, sys, time
@@ -35,8 +36,13 @@ sys.path.insert(0, {repo!r})
 from pdf_extractor_spark.session import get_spark
 from pdf_extractor_spark.plans.pipeline import run_pipeline
 cpus = int(sys.argv[1]); corpus = sys.argv[2]; n_runs = int(sys.argv[3])
+# Shuffle partitions sized to the DATA, not the core count: the assembly
+# holds each reduce partition's collect_list state in memory, and concurrent
+# footprint = cores x partition size. 64 partitions keep that well under the
+# heap at this corpus size for both levels (and both levels get the SAME
+# partitioning, so the comparison is apples-to-apples).
 spark = get_spark(app_name=f"scale-{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=max(cpus * 2, 8))
+                  shuffle_partitions=64)
 t = spark.read.parquet(corpus)
 n = t.count()
 run_pipeline(t.limit(2000)).write.mode("overwrite").format("noop").save()  # warmup
@@ -62,7 +68,7 @@ def run_level(cpus: int, corpus: str) -> dict:
 
 
 def main() -> None:
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 25000
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
     sys.path.insert(0, REPO)
     from bench import ensure_corpus
     from pdf_extractor_spark.session import get_spark
@@ -71,8 +77,17 @@ def main() -> None:
     corpus = ensure_corpus(spark, n_convs)
     spark.stop()
 
-    low = run_level(N_LOW, corpus)
-    high = run_level(N_HIGH, corpus)
+    # The sandbox host has bursty noisy-neighbor interference (same job,
+    # same JVM config swings +-40% between attempts minutes apart). Interleave
+    # the two levels across time and keep each level's best, so a slow window
+    # cannot bias one level systematically.
+    low: dict = {}
+    high: dict = {}
+    for _ in range(N_ROUNDS):
+        for level, acc in ((N_LOW, low), (N_HIGH, high)):
+            r = run_level(level, corpus)
+            if not acc or r["sec"] < acc["sec"]:
+                acc.update(r)
     eff = (high["tps"] / low["tps"]) / (N_HIGH / N_LOW)
 
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
@@ -81,11 +96,12 @@ def main() -> None:
 
 Measured {date.today().isoformat()} on the deterministic synthetic transcript
 corpus (seed=42, {n_convs} conversations, {low["turns"]} turns, ~10% of
-assistant turns carrying pseudo-PDF/HTML payloads; ~190 MB parquet). Same
+assistant turns carrying pseudo-PDF/HTML payloads). Same
 materialized input, same job (`plans.pipeline.run_pipeline`), two parallelism
 levels in separate JVMs — the sandbox stand-in for N vs 4N executors per
-BASELINE.json. Best of {N_RUNS} timed runs per level (steady state; warmup
-run first so JIT + Python worker pools are hot).
+BASELINE.json. Best of {N_RUNS} timed runs x {N_ROUNDS} interleaved JVMs per
+level (steady state; warmup first; interleaving defends against the host's
+bursty background load).
 
 | parallelism | wall sec | extracted turns/sec |
 |---|---|---|
@@ -103,7 +119,15 @@ Method notes:
   (all-core frequency / memory-bandwidth ceiling) but 0.90 from 2->8, so
   2->8 is the range where job scaling is observable rather than masked by
   the box. At local[32] the same job still gets the best absolute
-  throughput (see BENCH_r*.json): ~60-80k turns/sec.
+  throughput (see BENCH_r*.json): ~150k turns/sec.
+- the corpus is sized (~4M turns) so the job's fixed cost (~6s of driver /
+  stage-scheduling overhead, independent of parallelism — measured by an
+  Amdahl fit over local[1/2/4/8]) is negligible against compute; at the
+  10^12-turn production scale that fixed fraction vanishes entirely.
+- shuffle partitions are sized to the data (64), not the core count: the
+  assembly's per-reduce-partition collect_list state times concurrent tasks
+  must fit the heap (16 partitions at 8 cores doubled wall time from heap
+  pressure). Both levels use identical partitioning.
 - per-turn extraction is embarrassingly parallel over scan-native
   (byte-balanced) parquet splits — no pre-shuffle; the only shuffle is the
   final per-conversation regroup, AQE-coalesced.

@@ -1,0 +1,65 @@
+"""Structured Streaming end-to-end: the stateless extraction map and the
+watermarked windowed aggregate must run under micro-batch execution
+(availableNow trigger) and agree with the batch pipeline on the same rows."""
+import os
+
+import pytest
+
+from pdf_extractor_spark.sources.transcripts import TRANSCRIPT_SCHEMA, transcripts_df
+from pdf_extractor_spark.streaming.micro_batch import (
+    extract_stream,
+    windowed_problem_counts,
+)
+
+N_CONVS = 10
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "transcripts")
+    transcripts_df(spark, N_CONVS, SEED).write.parquet(path)
+    return path
+
+
+def test_extract_stream_matches_batch(spark, corpus_dir, tmp_path):
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(corpus_dir)
+    q = (
+        extract_stream(stream)
+        .writeStream.format("memory")
+        .queryName("extracted_stream")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT kind, count(*) AS n FROM extracted_stream GROUP BY kind"
+    ).collect()
+    batch = spark.read.parquet(corpus_dir)
+    from pdf_extractor_spark.plans.pipeline import extract_transcripts
+
+    expected = {
+        r["kind"]: r["count"]
+        for r in extract_transcripts(batch).groupBy("kind").count().collect()
+    }
+    assert {r["kind"]: r["n"] for r in got} == expected
+    assert expected.get("pdf", 0) > 0  # payloads actually streamed
+
+
+def test_windowed_aggregate_with_watermark(spark, corpus_dir, tmp_path):
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(corpus_dir)
+    agg = windowed_problem_counts(extract_stream(stream))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("windowed_problems")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM windowed_problems").collect()
+    assert len(rows) > 0
+    total_turns = sum(r["turns"] for r in rows)
+    assert total_turns == spark.read.parquet(corpus_dir).count()
