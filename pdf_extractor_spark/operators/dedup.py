@@ -140,6 +140,28 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard estimator: fraction of agreeing signature positions
+    approximates the true Jaccard (E[agree] = J). Evaluated over adjacent
+    doc pairs; the LSH banding in q_dedup_minhash_lsh is the candidate
+    filter, this is the scorer that follows it at scale."""
+    from . import load
+
+    sigs = _minhash_frame(load(spark, sf_dir, "documents"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    agree = sum(
+        (F.col(f"a.mh{i}") == F.col(f"b.mh{i}")).cast("int")
+        for i in range(N_MINHASH)
+    )
+    return (
+        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.round(agree / N_MINHASH, 4).alias("jaccard_est"),
+        )
+    )
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup bucketing (12-bit prefix). UDF-backed (bit mixing is
     not portable SQL) -> rows-only driver check, semantics pinned by unit
@@ -260,6 +282,17 @@ ORACLES = {
     """,
 }
 
+ORACLES["minhash_jaccard_estimate"] = _DUCK_MINHASH + """
+        SELECT a.doc_id AS doc_id,
+               round((
+                 (a.mh0 = b.mh0)::INT + (a.mh1 = b.mh1)::INT
+                 + (a.mh2 = b.mh2)::INT + (a.mh3 = b.mh3)::INT
+                 + (a.mh4 = b.mh4)::INT + (a.mh5 = b.mh5)::INT
+                 + (a.mh6 = b.mh6)::INT + (a.mh7 = b.mh7)::INT
+               ) / 8.0, 4) AS jaccard_est
+        FROM sigs a JOIN sigs b ON a.doc_id + 1 = b.doc_id
+"""
+
 ORACLES["dedup_embedding_cosine"] = f"""
         WITH e AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
@@ -288,4 +321,5 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "simhash_buckets": q_simhash_buckets,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
 }
