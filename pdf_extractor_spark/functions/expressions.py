@@ -110,16 +110,26 @@ def token_count_expr(text: Column) -> Column:
     )
 
 
+# Python str.strip() strips everything str.isspace() accepts: the Unicode
+# White_Space set (Java regex (?U)\s) PLUS the \x1c-\x1f separators, which
+# are NOT White_Space. Java's plain \s is ASCII-only and would break byte
+# parity on NBSP/ /... inputs.
+PY_STRIP_CLASS = r"(?U)[\s\x1c-\x1f]"
+
+
 def combine_sections_expr(
     sections_array: Column,
     separator: str = MARKDOWN_SECTION_SEPARATOR,
     empty_message: str = "# No content extracted\n\n",
 ) -> Column:
     """A1 in pure SQL: strip each, drop empties, join; singleton as-is;
-    empty -> message. ``regexp_replace`` trims all whitespace like Python
-    ``str.strip()`` (``trim`` would only handle spaces)."""
+    empty -> message. The strip regex reproduces Python ``str.strip()``
+    exactly, including Unicode whitespace (see PY_STRIP_CLASS)."""
     stripped = F.transform(
-        sections_array, lambda s: F.regexp_replace(s, r"^\s+|\s+$", "")
+        sections_array,
+        lambda s: F.regexp_replace(
+            s, f"^{PY_STRIP_CLASS}+|{PY_STRIP_CLASS}+$", ""
+        ),
     )
     nonempty = F.filter(stripped, lambda s: s != "")
     return (

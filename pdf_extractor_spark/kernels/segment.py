@@ -162,19 +162,22 @@ def repair_page(body: str) -> str:
 
 
 HTML_MARKERS = ("<!doctype html", "<html")
+HTML_CLOSE = "</html"
 
 
 def detect_payload_kind(text: str) -> str:
     """'pdf' | 'html' | 'plain' routing for a turn's text. Payloads are
     *embedded* in turn text (north_star), so both the pdf prefix and the
     html document markers are searched anywhere in the turn, not only at
-    its head. Case-insensitive on the html markers."""
+    its head (case-insensitive). A turn is 'html' only when a closing
+    ``</html`` also appears — prose that merely *mentions* the ``<html>``
+    tag stays plain and is kept verbatim."""
     if not text:
         return "plain"
     if PDF_PAYLOAD_PREFIX in text:
         return "pdf"
     low = text.lower()
-    if any(m in low for m in HTML_MARKERS):
+    if HTML_CLOSE in low and any(m in low for m in HTML_MARKERS):
         return "html"
     return "plain"
 

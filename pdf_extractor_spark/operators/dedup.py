@@ -144,7 +144,13 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash Jaccard estimator: fraction of agreeing signature positions
     approximates the true Jaccard (E[agree] = J). Evaluated over adjacent
     doc pairs; the LSH banding in q_dedup_minhash_lsh is the candidate
-    filter, this is the scorer that follows it at scale."""
+    filter, this is the scorer that follows it at scale.
+
+    Deliberately a self-join (the signature subtree IS evaluated twice): the
+    lag/lead alternative needs a global Window.orderBy(doc_id) — a single-
+    partition sort that cannot scale — and at production scale the signature
+    table would be checkpointed once and the join sides would read the
+    materialization, not recompute."""
     from . import load
 
     sigs = _minhash_frame(load(spark, sf_dir, "documents"))

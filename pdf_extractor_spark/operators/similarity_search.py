@@ -99,10 +99,14 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.where(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
     )
+    # round before ranking: the argmax must not hinge on sub-ulp double
+    # differences (defense-in-depth for cross-engine tie-breaking)
     scored = emb.join(F.broadcast(centroids)).select(
         "vec_id",
         "c_id",
-        cosine_similarity_expr(F.col("embedding"), F.col("c_emb")).alias("sim"),
+        F.round(
+            cosine_similarity_expr(F.col("embedding"), F.col("c_emb")), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_id"))
     assigned = scored.withColumn("rk", F.row_number().over(w)).where(
@@ -185,6 +189,7 @@ ORACLES["kmeans_assign"] = f"""
             WHERE vec_id < {N_CENTROIDS}
         ), scored AS (
             SELECT e.vec_id, c.c_id,
+                   round(
                    CASE WHEN sqrt(list_sum(list_transform(e.emb, x -> x * x))) = 0
                           OR sqrt(list_sum(list_transform(c.c_emb, x -> x * x))) = 0
                         THEN 0.0
@@ -192,7 +197,7 @@ ORACLES["kmeans_assign"] = f"""
                                  i -> e.emb[i] * c.c_emb[i]))
                              / (sqrt(list_sum(list_transform(e.emb, x -> x * x)))
                                 * sqrt(list_sum(list_transform(c.c_emb, x -> x * x))))
-                   END AS sim
+                   END, 6) AS sim
             FROM e, c
         ), ranked AS (
             SELECT vec_id, c_id,

@@ -58,6 +58,16 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RE2 equivalents of Python's Unicode-aware \w and str.split() whitespace:
+# RE2's \w and \s are ASCII-only, so spelled-out classes are required for
+# exact kernel parity (e.g. German 'für' must count as one word).
+_RE2_WORD = r"[\p{L}\p{M}\p{N}_]+"
+_RE2_PY_WS = (
+    r"[\s\x{000b}\x{001c}-\x{001f}\x{0085}\x{00a0}\x{1680}"
+    r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+"
+)
+
+
 def _language_id_oracle() -> str:
     """SQL replica of kernels.textstats.detect_language: script-ratio checks
     first, then best stopword hit-count over the sorted language list with
@@ -77,7 +87,7 @@ def _language_id_oracle() -> str:
         f"WHEN h_{lg} = {best} THEN '{lg}'" for lg in langs
     )
     lower_words = ("list_distinct(list_transform(list_filter("
-                   "regexp_split_to_array(text, '\\s+'), x -> x <> ''), "
+                   f"regexp_split_to_array(text, '{_RE2_PY_WS}'), x -> x <> ''), "
                    "x -> lower(x)))")
     en_hits = " + ".join(
         f"list_contains({lower_words}, '{sw}')::INT" for sw in STOPWORDS["en"]
@@ -90,7 +100,7 @@ def _language_id_oracle() -> str:
             FROM documents
         ), w AS (
             SELECT doc_id, sample, n,
-                   list_distinct(regexp_extract_all(lower(sample), '\\w+')) AS ws
+                   list_distinct(regexp_extract_all(lower(sample), '{_RE2_WORD}')) AS ws
             FROM s
         ), h AS (
             SELECT doc_id, sample, n, {hit_cols_sql}
@@ -116,14 +126,14 @@ def _language_id_oracle() -> str:
         JOIN (
             SELECT doc_id,
                    CASE WHEN length(text) = 0 THEN 0.0
-                        WHEN len(list_filter(regexp_split_to_array(text, '\\s+'),
+                        WHEN len(list_filter(regexp_split_to_array(text, '{_RE2_PY_WS}'),
                                              x -> x <> '')) = 0 THEN 0.0
                         ELSE round(
                           0.3 * (length(regexp_replace(text, '[^\\p{{L}}]+', '', 'g'))::DOUBLE
                                  / length(text))
                           + 0.2 * (CASE WHEN
-                              length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
-                              / len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              length(regexp_replace(text, '{_RE2_PY_WS}', '', 'g'))::DOUBLE
+                              / len(list_filter(regexp_split_to_array(text, '{_RE2_PY_WS}'),
                                                 x -> x <> ''))
                               BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
                           + 0.3 * least(1.0, length(text) / 200.0)

@@ -47,14 +47,15 @@ _SPAN_OF_WHOLE = (
 
 def _kind_expr() -> F.Column:
     """JVM replica of kernels.segment.detect_payload_kind — same precedence:
-    pdf prefix anywhere, else html markers anywhere (case-insensitive),
-    else plain."""
-    from ..kernels.segment import HTML_MARKERS
+    pdf prefix anywhere, else html open marker + closing tag anywhere
+    (case-insensitive), else plain."""
+    from ..kernels.segment import HTML_CLOSE, HTML_MARKERS
 
     low = F.lower("text")
-    has_html = F.contains(low, F.lit(HTML_MARKERS[0]))
+    has_open = F.contains(low, F.lit(HTML_MARKERS[0]))
     for m in HTML_MARKERS[1:]:
-        has_html = has_html | F.contains(low, F.lit(m))
+        has_open = has_open | F.contains(low, F.lit(m))
+    has_html = has_open & F.contains(low, F.lit(HTML_CLOSE))
     return (
         F.when(F.col("text").isNull() | (F.col("text") == ""), F.lit("plain"))
         .when(F.contains("text", F.lit(PDF_PAYLOAD_PREFIX)), F.lit("pdf"))

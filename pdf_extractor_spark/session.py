@@ -12,6 +12,15 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _shm_is_roomy(min_free_bytes: int = 32 * 1024**3) -> bool:
+    """True when /dev/shm exists with plenty of free space for shuffles."""
+    try:
+        st = os.statvfs("/dev/shm")
+        return st.f_bavail * st.f_frsize >= min_free_bytes
+    except OSError:
+        return False
+
+
 def get_spark(
     app_name: str = "pdf-extractor-spark",
     master: str | None = None,
@@ -43,15 +52,17 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        # Shuffle spill dir: this sandbox's /tmp sits on a ~340 MB/s virtio
-        # disk, which turns the assembly shuffle into a serial bottleneck;
-        # production executors write shuffle to fast local NVMe. tmpfs models
-        # that here (RAM is ample: 128 GiB vs ~2 GB shuffle).
-        .config(
-            "spark.local.dir",
-            os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
-        )
     )
+    # Shuffle spill dir: this sandbox's /tmp sits on a slow virtio disk;
+    # production executors write shuffle to fast local NVMe. tmpfs models
+    # that here — but only when /dev/shm is actually large (a standard
+    # Docker /dev/shm is 64 MB and would fail mid-shuffle), else Spark's
+    # disk default stands.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and _shm_is_roomy():
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

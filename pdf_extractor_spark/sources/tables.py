@@ -55,11 +55,16 @@ def write_table(
     df: DataFrame,
     target: str,
     mode: str = "append",
+    partition_by: list[str] | None = None,
 ) -> None:
     """Write results to an Iceberg table identifier or a parquet path.
     Iceberg writes are snapshot-atomic (safe concurrent appends from
-    per-bucket tasks — the manifest/resume story in plans/manifest.py);
-    the parquet fallback relies on dynamic partition overwrite instead."""
+    per-bucket tasks — the manifest/resume story in plans/manifest.py).
+    The parquet fallback only matches that idempotent-overwrite semantic
+    when ``partition_by`` is given: dynamic partition overwrite replaces
+    exactly the partitions present in ``df``. An unpartitioned overwrite
+    replaces the WHOLE target — never use it for incremental/bucketed
+    writes."""
     looks_like_path = "/" in target or target.endswith(".parquet")
     spark = df.sparkSession
     if not looks_like_path and iceberg_available(spark):
@@ -67,4 +72,8 @@ def write_table(
             df.writeTo(target).overwritePartitions()
         )
         return
-    df.write.mode("overwrite" if mode != "append" else "append").parquet(target)
+    writer = df.write.mode("overwrite" if mode != "append" else "append")
+    if partition_by:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(target)
