@@ -97,29 +97,47 @@ def q_priority_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary over lineitem — the scan+agg anchor
-    query for the benchmark (pure columnar agg, map-side partial combine)."""
+    query for the benchmark (pure columnar agg, map-side partial combine).
+
+    Exact-arithmetic output shape (round-2 hash fix): the source doubles are
+    2-decimal money values, so every row converts losslessly to integer cents
+    / percent units; products and sums are then exact integers in BOTH
+    engines (no double->decimal cast drift, which made sum_charge diverge by
+    0.01 at sf0.01 in round 1). Wide sums ride decimal(38,0) (per-row
+    charge_u6 peaks ~1.1e11, so bigint sums would overflow near 1e8 rows —
+    decimal keeps the same plan exact at 100 TB); averages are micro-unit
+    integer divisions (DIV), identical in Spark and DuckDB for positives."""
     from . import load
 
     li = load(spark, sf_dir, "lineitem")
-    # Decimal-cast before summing: double sums are accumulation-order
-    # dependent (partial aggs shuffle differently than the oracle), decimal
-    # sums are exact and engine-independent.
-    dec = lambda c: c.cast("decimal(18,4)")  # noqa: E731
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    n = F.count("*")
-    return (
+    qty = F.col("l_quantity").cast("long")
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    tax_pct = F.round(F.col("l_tax") * 100).cast("long")
+    disc_u4 = (ep_c * (100 - disc_pct)).cast("decimal(38,0)")
+    charge_u6 = (ep_c * (100 - disc_pct) * (100 + tax_pct)).cast("decimal(38,0)")
+    agg = (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(dec(F.col("l_quantity"))), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum(dec(F.col("l_extendedprice"))), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(dec(disc_price)), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(dec(charge)), 2).cast("double").alias("sum_charge"),
-            F.round((F.sum(dec(F.col("l_quantity"))) / n).cast("double"), 6).alias("avg_qty"),
-            F.round((F.sum(dec(F.col("l_discount"))) / n).cast("double"), 6).alias("avg_disc"),
-            n.alias("count_order"),
+            F.sum(qty).alias("sum_qty"),
+            F.sum(ep_c).alias("sum_base_price_cents"),
+            F.sum(disc_u4).cast("decimal(38,0)").alias("_disc_u4"),
+            F.sum(charge_u6).cast("decimal(38,0)").alias("_charge_u6"),
+            F.sum(disc_pct).alias("_disc_pct_sum"),
+            F.count("*").alias("count_order"),
         )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price_cents",
+        F.col("_disc_u4").cast("string").alias("sum_disc_price_u4"),
+        F.col("_charge_u6").cast("string").alias("sum_charge_u6"),
+        F.expr("sum_qty * 1000000 DIV count_order").alias("avg_qty_micro"),
+        F.expr("_disc_pct_sum * 10000 DIV count_order").alias("avg_disc_micro"),
+        "count_order",
     )
 
 
@@ -151,8 +169,10 @@ ORACLES = {
     "status_rollup": """
         WITH agg AS (
             SELECT user_id, count(*) AS n_events,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
+                   -- ::BIGINT: DuckDB integer sum() is HUGEINT, which lands in
+                   -- pandas as float64 and fails the driver's exact hash
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase
             FROM events GROUP BY user_id
         )
         SELECT user_id, n_events, n_error, n_purchase,
@@ -192,19 +212,32 @@ ORACLES = {
         FROM clicks c FULL OUTER JOIN views v ON c.user_id = v.user_id
     """,
     "pricing_summary": """
-        SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity::DECIMAL(18,4)), 2)::DOUBLE AS sum_qty,
-               round(sum(l_extendedprice::DECIMAL(18,4)), 2)::DOUBLE AS sum_base_price,
-               round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE
-                   AS sum_disc_price,
-               round(sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(18,4)), 2)::DOUBLE
-                   AS sum_charge,
-               round((sum(l_quantity::DECIMAL(18,4)) / count(*))::DOUBLE, 6) AS avg_qty,
-               round((sum(l_discount::DECIMAL(18,4)) / count(*))::DOUBLE, 6) AS avg_disc,
-               count(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        GROUP BY l_returnflag, l_linestatus
+        WITH rows_c AS (
+            SELECT l_returnflag, l_linestatus,
+                   l_quantity::BIGINT AS qty,
+                   round(l_extendedprice * 100)::BIGINT AS ep_c,
+                   round(l_discount * 100)::BIGINT AS disc_pct,
+                   round(l_tax * 100)::BIGINT AS tax_pct
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        ), agg AS (
+            SELECT l_returnflag, l_linestatus,
+                   sum(qty)::BIGINT AS sum_qty,
+                   sum(ep_c)::BIGINT AS sum_base_price_cents,
+                   sum((ep_c * (100 - disc_pct))::DECIMAL(38,0)) AS disc_u4,
+                   sum((ep_c * (100 - disc_pct) * (100 + tax_pct))::DECIMAL(38,0))
+                       AS charge_u6,
+                   sum(disc_pct)::BIGINT AS disc_pct_sum,
+                   count(*) AS count_order
+            FROM rows_c GROUP BY l_returnflag, l_linestatus
+        )
+        SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price_cents,
+               disc_u4::DECIMAL(38,0)::VARCHAR AS sum_disc_price_u4,
+               charge_u6::DECIMAL(38,0)::VARCHAR AS sum_charge_u6,
+               (sum_qty * 1000000) // count_order AS avg_qty_micro,
+               (disc_pct_sum * 10000) // count_order AS avg_disc_micro,
+               count_order
+        FROM agg
     """,
     "revenue_by_nation": """
         SELECT n_name,

@@ -255,9 +255,11 @@ ORACLES = {
             FROM t
             WINDOW w AS (PARTITION BY doc ORDER BY page)
         ), sessions AS (
+            -- ::BIGINT: DuckDB's windowed integer sum is HUGEINT -> pandas
+            -- float64, which fails the driver's exact hash vs Spark's long
             SELECT doc, page, header_sig,
                    sum(is_new) OVER (PARTITION BY doc ORDER BY page
-                                     ROWS UNBOUNDED PRECEDING) AS merge_id
+                                     ROWS UNBOUNDED PRECEDING)::BIGINT AS merge_id
             FROM flagged
         )
         SELECT doc, merge_id, count(*) AS n_tables,

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import math
 import sys
+from decimal import Decimal
 
 sys.path.insert(0, ".")
 
@@ -20,14 +21,31 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
-    if isinstance(v, bool):
-        return str(int(v))
+    """Exact-value canonicalization, as strict as the driver's hash: an int
+    is NOT a float (DuckDB HUGEINT->float64 5.0 must NOT equal Spark long 5),
+    floats use full shortest-repr precision (no .9g loosening — that
+    canonicalization hid 3 driver hash failures in round 1)."""
+    # numpy scalars/arrays from DuckDB's fetch_df -> native python first
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        v = v.item()
+    elif isinstance(v, np.ndarray):
+        v = v.tolist()
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return "b:" + str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return "f:" + repr(v)
+    if isinstance(v, int):
+        return "i:" + str(v)
+    if isinstance(v, Decimal):
+        return "d:" + str(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
 
 
