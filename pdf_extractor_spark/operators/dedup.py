@@ -18,6 +18,34 @@ from ..functions.udfs import simhash_udf
 
 N_MINHASH = 8  # one hash per band -> P(band collision) == per-hash Jaccard
 
+# Document-frequency cut for pair-generating buckets: a band value / shingle
+# shared by more than this many documents is dropped before pair generation.
+# Rationale (standard MinHash-dedup practice, cf. SpotSigs and Broder-style
+# shingling systems): a stop-phrase shingle or a degenerate band value (e.g.
+# near-empty docs sharing a signature) would otherwise collect_list millions
+# of doc_ids into ONE task (executor OOM) and emit O(k^2) pairs. High-DF
+# features carry almost no near-dup signal, so the cut loses little recall
+# while bounding per-task state to MAX_BUCKET_DOCS ids and per-bucket output
+# to ~MAX_BUCKET_DOCS^2/2 pairs. Drops are observable, never silent.
+MAX_BUCKET_DOCS = 50
+
+
+def _capped_buckets(buckets: DataFrame, observation=None) -> DataFrame:
+    """Apply the DF-cut to a bucket frame with an ``ids`` array column; when
+    an ``Observation`` is passed, records n_buckets_dropped / n_ids_dropped
+    so callers can log what the cap removed."""
+    if observation is not None:
+        buckets = buckets.observe(
+            observation,
+            F.sum((F.size("ids") > MAX_BUCKET_DOCS).cast("long")).alias(
+                "n_buckets_dropped"
+            ),
+            F.sum(
+                F.when(F.size("ids") > MAX_BUCKET_DOCS, F.size("ids")).otherwise(0)
+            ).alias("n_ids_dropped"),
+        )
+    return buckets.where(F.size("ids").between(2, MAX_BUCKET_DOCS))
+
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on md5 of the normalized text: one canonical doc per
@@ -72,14 +100,13 @@ def _bucket_pairs(ids):
     )
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs(docs: DataFrame, observation=None) -> DataFrame:
     """LSH banding: candidate pairs sharing >= 1 of N_MINHASH single-hash
     bands. The shuffle is keyed on (band, hash) — true duplicates co-locate;
-    pairs are generated inside each bucket (bounded by cluster size), never
-    via a cross join, and the signature subtree is evaluated once."""
-    from . import load
-
-    sigs = _minhash_frame(load(spark, sf_dir, "documents"))
+    pairs are generated inside each bucket (bounded by the MAX_BUCKET_DOCS
+    DF-cut), never via a cross join, and the signature subtree is evaluated
+    once."""
+    sigs = _minhash_frame(docs)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -89,10 +116,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("b"),
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.h").alias("h"))
-    buckets = (
-        bands.groupBy("band", "h")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
+    buckets = _capped_buckets(
+        bands.groupBy("band", "h").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ids")
+        ),
+        observation,
     )
     return (
         buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
@@ -101,15 +129,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load
+
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, observation=None) -> DataFrame:
     """Shingle-bucket Jaccard: pairs sharing shingles, scored
     |A∩B| / (|A|+|B|-|A∩B|), threshold 0.2. Each document's shingle count
     rides along with every shingle row, so one pass over the shingle table
     yields shared counts AND set sizes — no self-join, no re-evaluation of
-    the shingle subtree, no post-hoc size joins."""
-    from . import load
-
-    docs = load(spark, sf_dir, "documents")
+    the shingle subtree, no post-hoc size joins. Set sizes count ALL of a
+    doc's shingles; only shingles passing the MAX_BUCKET_DOCS DF-cut
+    contribute to the shared count (a stop-phrase shingle would otherwise be
+    a quadratic bomb)."""
     sh = docs.select(
         "doc_id", word_shingles_expr(F.col("text")).alias("shingles")
     ).select(
@@ -117,10 +151,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("sh"),
     )
-    buckets = (
-        sh.groupBy("sh")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ids"))
-        .where(F.size("ids") > 1)
+    buckets = _capped_buckets(
+        sh.groupBy("sh").agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ids")
+        ),
+        observation,
     )
     pairs = buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
     shared = pairs.groupBy(
@@ -138,6 +173,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= 0.2)
     )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load
+
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
 
 
 def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,9 +210,10 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup bucketing (12-bit prefix). UDF-backed (bit mixing is
-    not portable SQL) -> rows-only driver check, semantics pinned by unit
-    tests."""
+    """SimHash near-dup bucketing (12-bit prefix). The kernel's simhash64 is
+    md5-based, so the bucket — the top 12 bits, i.e. the per-bit vote over
+    each word-hash's first 3 md5 hex nibbles — is reproducible in DuckDB SQL
+    (oracle below); the full-width UDF stays for Hamming-distance use."""
     from . import load
 
     docs = load(spark, sf_dir, "documents")
@@ -257,26 +299,38 @@ ORACLES = {
     "minhash_signatures": _DUCK_MINHASH + """
         SELECT doc_id, mh0, mh1, mh2, mh3 FROM sigs
     """,
-    "dedup_minhash_lsh": _DUCK_MINHASH + """
+    "dedup_minhash_lsh": _DUCK_MINHASH + f"""
         , bands AS (
             SELECT doc_id, b.band, b.h FROM sigs,
             LATERAL (SELECT unnest([
-                {'band': 0, 'h': mh0}, {'band': 1, 'h': mh1},
-                {'band': 2, 'h': mh2}, {'band': 3, 'h': mh3},
-                {'band': 4, 'h': mh4}, {'band': 5, 'h': mh5},
-                {'band': 6, 'h': mh6}, {'band': 7, 'h': mh7}
+                {{'band': 0, 'h': mh0}}, {{'band': 1, 'h': mh1}},
+                {{'band': 2, 'h': mh2}}, {{'band': 3, 'h': mh3}},
+                {{'band': 4, 'h': mh4}}, {{'band': 5, 'h': mh5}},
+                {{'band': 6, 'h': mh6}}, {{'band': 7, 'h': mh7}}
             ], recursive := true)) b(band, h)
+        ), kept AS (
+            -- DF-cut mirror of MAX_BUCKET_DOCS
+            SELECT band, h FROM bands GROUP BY band, h
+            HAVING count(*) BETWEEN 2 AND {MAX_BUCKET_DOCS}
         )
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+        FROM bands a
+        JOIN kept k ON a.band = k.band AND a.h = k.h
+        JOIN bands b ON a.band = b.band AND a.h = b.h
         WHERE a.doc_id < b.doc_id
     """,
-    "dedup_ngram_jaccard": _DUCK_SHINGLES + """
+    "dedup_ngram_jaccard": _DUCK_SHINGLES + f"""
         , sizes AS (
             SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+        ), kept AS (
+            -- DF-cut mirror of MAX_BUCKET_DOCS
+            SELECT sh FROM ex GROUP BY sh
+            HAVING count(*) BETWEEN 2 AND {MAX_BUCKET_DOCS}
         ), shared AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            FROM ex a
+            JOIN kept k ON a.sh = k.sh
+            JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,
@@ -287,6 +341,45 @@ ORACLES = {
         WHERE round(shared::DOUBLE / (sa.n_sh + sb.n_sh - shared), 4) >= 0.2
     """,
 }
+
+# SimHash bucket replay: bucket = bits 52..63 of the 64-bit simhash. Bit b
+# lives in md5-hex nibble 15 - b//4 (nibble 15 = first hex char), bit b%4
+# within it; votes are +1/-1 per word per the kernel (textstats.simhash64).
+# Docs with no words hash to 0 -> bucket 0 (left join + coalesce).
+ORACLES["simhash_buckets"] = """
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x <> '')) AS w
+            FROM documents
+        ), nib AS (
+            SELECT doc_id,
+                   strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1 AS n15,
+                   strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1 AS n14,
+                   strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1 AS n13
+            FROM words
+        ), votes AS (
+            SELECT doc_id, r.bit,
+                   sum(CASE WHEN ((CASE r.bit // 4
+                                     WHEN 15 THEN n15
+                                     WHEN 14 THEN n14
+                                     ELSE n13 END
+                                   >> (r.bit % 4)) & 1) = 1
+                            THEN 1 ELSE -1 END) AS v
+            FROM nib, LATERAL (SELECT unnest(range(52, 64)) AS bit) r
+            GROUP BY doc_id, r.bit
+        ), sims AS (
+            SELECT doc_id,
+                   sum(CASE WHEN v > 0 THEN 1 << (bit - 52) ELSE 0 END)::BIGINT
+                       AS bucket
+            FROM votes GROUP BY doc_id
+        )
+        SELECT coalesce(s.bucket, 0) AS bucket,
+               count(*) AS n_docs,
+               min(d.doc_id) AS min_doc
+        FROM documents d LEFT JOIN sims s ON d.doc_id = s.doc_id
+        GROUP BY 1
+"""
 
 ORACLES["minhash_jaccard_estimate"] = _DUCK_MINHASH + """
         SELECT a.doc_id AS doc_id,

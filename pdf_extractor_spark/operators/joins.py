@@ -267,6 +267,50 @@ ORACLES = {
                min(header_sig) AS header_sig
         FROM sessions GROUP BY doc, merge_id
     """,
+    # J1 fold replay: the merge decision depends on the merged-so-far group's
+    # header (headerless continuations inherit it), so the oracle replays the
+    # fold with a recursive CTE stepping rn -> rn+1 per doc. Decision order
+    # mirrors kernels/table_merge.merge_tables_across_pages exactly:
+    # (2) header matches GROUP header -> +1 row; (3) headerless -> +2 rows
+    # (the would-be header row becomes data); (4) balance continuity
+    # (|diff| <= tol, else rel change < 0.5; balances are always > 0 so the
+    # zero-start / position-overlap branches are unreachable) -> +1 row;
+    # else a new group starts.
+    "table_merge_fold": f"""
+        WITH RECURSIVE t AS (
+            SELECT o_custkey % 100 AS doc, o_orderkey AS page,
+                   o_orderpriority AS header_sig, o_totalprice AS balance,
+                   (o_orderkey % 3) <> 0 AS has_header,
+                   row_number() OVER (PARTITION BY o_custkey % 100
+                                      ORDER BY o_orderkey) AS rn
+            FROM orders
+        ), fold AS (
+            SELECT doc, rn, page, header_sig, balance, has_header,
+                   1::BIGINT AS merge_id, header_sig AS grp_header, 1 AS n_add
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.doc, t.rn, t.page, t.header_sig, t.balance, t.has_header,
+                   CASE WHEN lower(trim(t.header_sig)) = lower(trim(f.grp_header))
+                             OR NOT t.has_header
+                             OR abs(t.balance - f.balance) <= {BALANCE_TOLERANCE}
+                             OR abs(t.balance - f.balance) / abs(f.balance) < 0.5
+                        THEN f.merge_id ELSE f.merge_id + 1 END,
+                   CASE WHEN lower(trim(t.header_sig)) = lower(trim(f.grp_header))
+                             OR NOT t.has_header
+                             OR abs(t.balance - f.balance) <= {BALANCE_TOLERANCE}
+                             OR abs(t.balance - f.balance) / abs(f.balance) < 0.5
+                        THEN f.grp_header ELSE t.header_sig END,
+                   CASE WHEN lower(trim(t.header_sig)) = lower(trim(f.grp_header))
+                        THEN 1
+                        WHEN NOT t.has_header THEN 2
+                        ELSE 1 END
+            FROM fold f JOIN t ON t.doc = f.doc AND t.rn = f.rn + 1
+        )
+        SELECT doc, (merge_id - 1)::INT AS merge_idx,
+               min(page) AS start_page, max(page) AS end_page,
+               sum(n_add)::INT AS n_rows
+        FROM fold GROUP BY doc, merge_id
+    """,
     "base64_roundtrip": """
         WITH p AS (
             SELECT doc_id,
