@@ -113,6 +113,14 @@ def parse_number_udf(text: pd.Series) -> pd.Series:
     return text.map(parse_number)
 
 
+@pandas_udf(StringType())
+def fix_bidi_udf(text: pd.Series) -> pd.Series:
+    """X4: RTL visual reordering of cell text (mini-UBA kernel)."""
+    from ..kernels.normalize import fix_bidi_text
+
+    return text.map(lambda t: fix_bidi_text(t or ""))
+
+
 @pandas_udf(DoubleType())
 def similarity_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Full similarity dispatcher (quick Jaccard early-exit + configured

@@ -30,6 +30,29 @@ def q_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_status_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 breakdown map (reference default_handler.py:199-238): per-user
+    status -> count for statuses actually seen. Built as map_from_entries in
+    the pipeline's validation_report; HERE rendered as a canonical sorted
+    "status:count" string because map key order is engine-dependent and the
+    driver hashes exact values — same information, deterministic bytes."""
+    from . import load
+
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    entries = F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+    return counts.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                entries,
+                lambda s: F.concat_ws(":", s["event_type"], s["cnt"].cast("string")),
+            ),
+            ",",
+        ).alias("breakdown"),
+        F.count("*").alias("n_statuses"),
+    )
+
+
 def q_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: per-group ordered concat with the reference separator — the stable
     -ordering requirement: sort_array(collect_list(struct)) before joining,
@@ -181,6 +204,17 @@ ORACLES = {
                     ELSE 'ok' END AS overall_status
         FROM agg
     """,
+    "status_breakdown": """
+        WITH counts AS (
+            SELECT user_id, event_type, count(*) AS cnt
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT user_id,
+               string_agg(event_type || ':' || cnt, ',' ORDER BY event_type, cnt)
+                   AS breakdown,
+               count(*) AS n_statuses
+        FROM counts GROUP BY user_id
+    """,
     "ordered_concat": """
         SELECT lang,
                string_agg(substr(text, 1, 30),
@@ -254,6 +288,7 @@ ORACLES = {
 
 QUERIES = {
     "status_rollup": q_status_rollup,
+    "status_breakdown": q_status_breakdown,
     "ordered_concat": q_ordered_concat,
     "validation_cost": q_validation_cost,
     "priority_merge": q_priority_merge,

@@ -55,19 +55,21 @@ def q_outline_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("title"),
     )
     w = Window.partitionBy("doc").orderBy("page", "title")
-    ranked = outlines.withColumn("rk", F.row_number().over(w)).where(
-        F.col("rk") <= MAX_OUTLINES
+    # total_pages must be computed BEFORE the MAX_OUTLINES cap (the reference
+    # spans the last kept section to the document end, pdf_processor.py:174-181
+    # — not to the last *kept* outline's page).
+    ranked = (
+        outlines.withColumn("total_pages", F.max("page").over(Window.partitionBy("doc")))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= MAX_OUTLINES)
     )
     w2 = Window.partitionBy("doc").orderBy("page", "title")
-    total = Window.partitionBy("doc")
     sec = ranked.select(
         "doc",
         "rk",
         "title",
         "page",
-        F.coalesce(
-            F.lead("page").over(w2), F.max("page").over(total) + 1
-        ).alias("end_page"),
+        F.coalesce(F.lead("page").over(w2), F.col("total_pages")).alias("end_page"),
     )
     chunk_lo = F.floor(F.col("page") / MAX_PAGES_PER_CHUNK)
     chunk_hi = F.greatest(
@@ -191,6 +193,8 @@ ORACLES = {
             FROM part
         ), ranked AS (
             SELECT doc, page, title,
+                   -- document page count, computed BEFORE the outline cap
+                   max(page) OVER (PARTITION BY doc) AS total_pages,
                    row_number() OVER (PARTITION BY doc
                                       ORDER BY page, title) AS rk
             FROM o
@@ -200,7 +204,7 @@ ORACLES = {
             SELECT doc, rk, title, page,
                    coalesce(lead(page) OVER (PARTITION BY doc
                                              ORDER BY page, title),
-                            max(page) OVER (PARTITION BY doc) + 1) AS end_page
+                            total_pages) AS end_page
             FROM kept
         )
         SELECT doc, rk, title, page, end_page,

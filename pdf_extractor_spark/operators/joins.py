@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 N_PAGES = 20
 WORD_W, WORD_H = 4, 3
 CELL_W, CELL_H = 25, 18
-MIN_OVERLAP = 0.5 * WORD_W * WORD_H  # >=50% of word area, per the reference
+MIN_OVERLAP = 0.5 * WORD_W * WORD_H  # strictly >50% of word area, per the reference
 BALANCE_TOLERANCE = 0.01
 
 
@@ -67,8 +67,8 @@ def _words(spark, sf_dir):
 
 
 def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4: map words into cells where rectangle overlap >= 50% of the word
-    area. Equi-join on page bounds the candidate set (never a cross join);
+    """J4: map words into cells where rectangle overlap is strictly >50% of
+    the word area. Equi-join on page bounds the candidate set (never a cross join);
     the overlap predicate (X10) is a pure expression. Word texts concatenate
     in reading order (top-to-bottom, left-to-right — W7); n_words is the A7
     fill metric."""
@@ -80,7 +80,9 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0), F.least("cy2", "wy2") - F.greatest("cy1", "wy1")
     )
     matched = cells.join(words, on="page").where(
-        overlap_w * overlap_h >= F.lit(MIN_OVERLAP)
+        # strict >: the reference requires overlap_ratio > 0.5, so a word at
+        # exactly half coverage is dropped (merge_structure_ocr.py:203-265)
+        overlap_w * overlap_h > F.lit(MIN_OVERLAP)
     )
     ordered = F.sort_array(
         F.collect_list(F.struct("wy1", "wx1", "wtext", "word_id"))
@@ -146,8 +148,8 @@ def q_table_merge_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 proper: the order-dependent merge fold (headers inherit across
     headerless continuations, so the decision depends on the merged-so-far
     table — not expressible as a window). Runs the pure kernel per document
-    group via ``applyInPandas``; rows-only driver check, semantics pinned by
-    tests/test_kernels_tables.py."""
+    group via ``applyInPandas``; value-checked against a recursive-CTE DuckDB
+    replay (oracle below), semantics also pinned by tests/test_kernels_tables.py."""
     import pandas as pd
 
     from ..kernels.table_merge import merge_tables_across_pages
@@ -232,7 +234,7 @@ ORACLES = {
         FROM cells c JOIN words w ON c.page = w.page
         WHERE greatest(0, least(c.cx2, w.wx2) - greatest(c.cx1, w.wx1))
             * greatest(0, least(c.cy2, w.wy2) - greatest(c.cy1, w.wy1))
-            >= {MIN_OVERLAP}
+            > {MIN_OVERLAP}
         GROUP BY c.cell_id, c.page
     """,
     "table_merge_sessions": f"""

@@ -61,7 +61,10 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # RE2 equivalents of Python's Unicode-aware \w and str.split() whitespace:
 # RE2's \w and \s are ASCII-only, so spelled-out classes are required for
 # exact kernel parity (e.g. German 'für' must count as one word).
-_RE2_WORD = r"[\p{L}\p{M}\p{N}_]+"
+# NO \p{M}: CPython's \w does NOT match combining marks (verified: U+0301
+# fails re.match(r"\w")), so on decomposed text the kernel splits at the mark
+# — the oracle must split identically or lang_guess diverges on NFD corpora.
+_RE2_WORD = r"[\p{L}\p{N}_]+"
 _RE2_PY_WS = (
     r"[\s\x{000b}\x{001c}-\x{001f}\x{0085}\x{00a0}\x{1680}"
     r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+"
@@ -99,8 +102,14 @@ def _language_id_oracle() -> str:
                    text
             FROM documents
         ), w AS (
+            -- extract BEFORE lowercasing, then lowercase per word: mirrors
+            -- the kernel's `w.lower() for w in _WORD_RE.findall(sample)`
+            -- (lowercasing first can alter tokenization, e.g. U+0130 -> i
+            -- plus a combining dot that \\w-minus-marks splits on)
             SELECT doc_id, sample, n,
-                   list_distinct(regexp_extract_all(lower(sample), '{_RE2_WORD}')) AS ws
+                   list_distinct(list_transform(
+                       regexp_extract_all(sample, '{_RE2_WORD}'),
+                       x -> lower(x))) AS ws
             FROM s
         ), h AS (
             SELECT doc_id, sample, n, {hit_cols_sql}

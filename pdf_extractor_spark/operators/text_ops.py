@@ -112,6 +112,68 @@ def q_extract_numbers_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bidi_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 through the Arrow UDF: Hebrew "word: number" cells (the shape the
+    reference's bank-statement tables exercise) built deterministically from
+    orders — digits map to Hebrew letters. The oracle derives the UBA display
+    form independently of the kernel: for an RTL paragraph of the shape
+    ``word: N``, digits keep LTR order, the colon flips to the number's right,
+    and the RTL word reverses — ``N || ' :' || reverse(word)``."""
+    from . import load
+    from ..functions.udfs import fix_bidi_udf
+
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0)
+    # digit->Hebrew-letter map (Spark chr() truncates to latin-1, so translate)
+    word = F.translate(
+        (F.col("o_orderkey") % 10000).cast("string"), "0123456789", "אבגדהוזחטי"
+    )
+    logical = F.concat(word, F.lit(": "), (F.col("o_orderkey") % 997).cast("string"))
+    return orders.select(
+        F.col("o_orderkey").alias("order_key"),
+        fix_bidi_udf(logical).alias("display"),
+    )
+
+
+def q_parse_number_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+X3: the CSV bank-statement entry path. Builds a quoted-field CSV
+    line per lineitem (₪-prefixed US form, EU "1.234,56" form, parenthesized
+    negative, plain integer with currency), parses it back through
+    ``from_csv`` (S7), then runs the money parser UDF (X3) on each field.
+    The oracle computes the expected values directly from exact integer
+    cents, so the whole disambiguation chain is value-checked.
+
+    Reference parity: scripts/classify_debit_credit.py:29-78 (parse) and
+    :313-373 (CSV entry)."""
+    from . import load
+    from ..functions.udfs import parse_number_udf
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    us = F.format_number(F.col("l_extendedprice"), 2)  # 68,423.46
+    eu = F.translate(us, ".,", ",.")                   # 68.423,46
+    qty = F.col("l_quantity").cast("long").cast("string")
+    quote = lambda c: F.concat(F.lit('"'), c, F.lit('"'))  # noqa: E731
+    line = F.concat_ws(
+        ",",
+        F.col("l_orderkey").cast("string"),
+        quote(F.concat(F.lit("₪"), us)),
+        quote(eu),
+        quote(F.concat(F.lit("($"), us, F.lit(")"))),
+        quote(F.concat(F.lit("₪ "), qty)),
+    )
+    parsed = li.select(
+        F.from_csv(
+            line, "order_key bigint, us string, eu string, neg string, qty string"
+        ).alias("r")
+    )
+    return parsed.select(
+        F.col("r.order_key").alias("order_key"),
+        parse_number_udf(F.col("r.us")).alias("v_us"),
+        parse_number_udf(F.col("r.eu")).alias("v_eu"),
+        parse_number_udf(F.col("r.neg")).alias("v_neg"),
+        parse_number_udf(F.col("r.qty")).alias("v_int"),
+    )
+
+
 def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X13: adjacent-document similarity via built-in levenshtein on the
     normalized texts."""
@@ -186,6 +248,27 @@ ORACLES = {
                '1234.56|' || round(l_quantity, 1)::VARCHAR || '|12.5|1234.56' AS numbers
         FROM lineitem WHERE l_linenumber = 1
     """,
+    "bidi_display": """
+        WITH src AS (
+            SELECT o_orderkey AS order_key,
+                   (o_orderkey % 10000)::VARCHAR AS ds,
+                   (o_orderkey % 997)::VARCHAR AS num
+            FROM orders WHERE o_orderkey % 20 = 0
+        ), w AS (
+            SELECT order_key, num,
+                   translate(ds, '0123456789', 'אבגדהוזחטי') AS word
+            FROM src
+        )
+        SELECT order_key, num || ' :' || reverse(word) AS display FROM w
+    """,
+    "parse_number_csv": """
+        SELECT l_orderkey AS order_key,
+               round(l_extendedprice * 100)::BIGINT / 100.0 AS v_us,
+               round(l_extendedprice * 100)::BIGINT / 100.0 AS v_eu,
+               -(round(l_extendedprice * 100)::BIGINT / 100.0) AS v_neg,
+               l_quantity::BIGINT::DOUBLE AS v_int
+        FROM lineitem WHERE l_linenumber = 1
+    """,
     "levenshtein_pairs": """
         WITH n AS (
             SELECT doc_id,
@@ -226,6 +309,8 @@ QUERIES = {
     "outline_filter": q_outline_filter,
     "detector_flags": q_detector_flags,
     "extract_numbers_roundtrip": q_extract_numbers_roundtrip,
+    "bidi_display": q_bidi_display,
+    "parse_number_csv": q_parse_number_csv,
     "levenshtein_pairs": q_levenshtein_pairs,
     "jaccard_pairs": q_jaccard_pairs,
 }

@@ -172,12 +172,25 @@ def validation_report(extracted: DataFrame) -> DataFrame:
         F.sum((F.col("status") == "passed").cast("int")).alias("n_passed"),
     )
     cost_per_page = VALIDATION_TOKENS_PER_PAGE * VALIDATION_COST_PER_1K_TOKENS / 1000.0
+    # A4 breakdown map (reference default_handler.py:199-238): status -> count,
+    # only statuses actually seen — mirrors the reference's dict semantics.
+    breakdown = F.map_from_entries(
+        F.filter(
+            F.array(
+                F.struct(F.lit("problems_fixed").alias("k"), F.col("n_fixed").alias("v")),
+                F.struct(F.lit("warnings").alias("k"), F.col("n_warnings").alias("v")),
+                F.struct(F.lit("passed").alias("k"), F.col("n_passed").alias("v")),
+            ),
+            lambda s: s["v"] > 0,
+        )
+    )
     return agg.select(
         "*",
         F.when(F.col("n_fixed") > 0, F.lit("problems_fixed"))
         .when(F.col("n_warnings") > 0, F.lit("warnings"))
         .otherwise(F.lit("passed"))
         .alias("overall_status"),
+        breakdown.alias("status_breakdown"),
         (F.col("total_pages") * F.lit(cost_per_page)).alias("estimated_cost"),
     )
 

@@ -74,6 +74,9 @@ def write_table(
         return
     writer = df.write.mode("overwrite" if mode != "append" else "append")
     if partition_by:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # writer-scoped option, NOT spark.conf.set: a session-level setting
+        # would silently flip every later partitioned overwrite in the same
+        # session from static (truncate) to dynamic semantics
+        writer = writer.option("partitionOverwriteMode", "dynamic")
         writer = writer.partitionBy(*partition_by)
     writer.parquet(target)

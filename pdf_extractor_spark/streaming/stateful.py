@@ -7,6 +7,18 @@ assembly). This is the streaming twin of
 ``plans.pipeline.assemble_conversations`` — same combine kernel, so a
 conversation fully seen produces byte-identical markdown.
 
+State growth is bounded two ways:
+- ACROSS conversations: quiescent convs are evicted via a processing-time
+  timeout (no turns for QUIESCENT_EVICT_MS -> state removed; the last
+  update-mode snapshot already emitted IS the final assembly), so total state
+  tracks only *active* conversations, not the whole corpus.
+- WITHIN a conversation: state holds the raw turn texts because turns arrive
+  out of order and markdown assembly is order-sensitive — a running-concat
+  digest would be wrong for late turns. Per-conv state is therefore O(conv
+  length); a 10^6-turn conversation belongs on the batch path
+  (assemble_conversations with the two-level combine), not in streaming
+  state. This limitation is inherent to exact out-of-order assembly.
+
 The reference has no streaming analog (SURVEY.md §2.10); this exists for the
 north rule's Structured Streaming surface: stateless map (micro_batch.py),
 watermarked windowed aggregate (micro_batch.py), and this custom stateful
@@ -26,6 +38,10 @@ SNAPSHOT_SCHEMA = (
 )
 STATE_SCHEMA = "turn_idxs array<int>, texts array<string>"
 
+# Evict a conversation's state after this long with no new turns. The final
+# snapshot was already emitted on its last update, so eviction loses nothing.
+QUIESCENT_EVICT_MS = 5 * 60 * 1000
+
 
 def assemble_fn(
     key: Tuple[str],
@@ -34,7 +50,13 @@ def assemble_fn(
 ) -> Iterator[pd.DataFrame]:
     """Merge this micro-batch's turns into per-conversation state and emit a
     snapshot. Turns may arrive out of order and across batches; assembly
-    always re-sorts by turn_idx (stable-ordering invariant)."""
+    always re-sorts by turn_idx (stable-ordering invariant). On processing-
+    time timeout the conversation is quiescent: drop its state (the latest
+    emitted snapshot stands as the final assembly)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+
     if state.exists:
         turn_idxs, texts = state.get
         turn_idxs, texts = list(turn_idxs), list(texts)
@@ -46,6 +68,7 @@ def assemble_fn(
         texts.extend(str(t) for t in pdf["extracted_text"])
 
     state.update((turn_idxs, texts))
+    state.setTimeoutDuration(QUIESCENT_EVICT_MS)
     ordered = [t for _, t in sorted(zip(turn_idxs, texts), key=lambda p: p[0])]
     yield pd.DataFrame([{
         "conv_id": key[0],
@@ -65,6 +88,6 @@ def assemble_stream(extracted_stream):
             outputStructType=SNAPSHOT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )

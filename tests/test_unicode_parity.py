@@ -25,6 +25,10 @@ UNICODE_DOCS = [
     "the and of to in is that",  # NBSP-separated
     "no stopwords here xyzzy plugh quux",               # und
     "",                                                  # empty
+    # NFD/decomposed accents: combining marks are NOT \w in CPython, so the
+    # kernel splits 'thé' at the mark — the oracle must do the same
+    "thé lé dé et les des est dans que une",
+    "für der die und das von ist den mit auf",  # decomposed 'für'
 ]
 
 
