@@ -100,13 +100,9 @@ def _bucket_pairs(ids):
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, observation=None) -> DataFrame:
-    """LSH banding: candidate pairs sharing >= 1 of N_MINHASH single-hash
-    bands. The shuffle is keyed on (band, hash) — true duplicates co-locate;
-    pairs are generated inside each bucket (bounded by the MAX_BUCKET_DOCS
-    DF-cut), never via a cross join, and the signature subtree is evaluated
-    once."""
-    sigs = _minhash_frame(docs)
+def _lsh_pairs_from_sigs(sigs: DataFrame, observation=None) -> DataFrame:
+    """LSH candidate pairs from a signature frame (doc_id, mh0..mhN): band
+    explode -> (band, hash)-keyed buckets -> DF-cut -> in-bucket pair gen."""
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -129,10 +125,60 @@ def minhash_lsh_pairs(docs: DataFrame, observation=None) -> DataFrame:
     )
 
 
+def minhash_lsh_pairs(docs: DataFrame, observation=None) -> DataFrame:
+    """LSH banding: candidate pairs sharing >= 1 of N_MINHASH single-hash
+    bands. The shuffle is keyed on (band, hash) — true duplicates co-locate;
+    pairs are generated inside each bucket (bounded by the MAX_BUCKET_DOCS
+    DF-cut), never via a cross join, and the signature subtree is evaluated
+    once."""
+    return _lsh_pairs_from_sigs(_minhash_frame(docs), observation)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import load
 
     return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+def lsh_score_pipeline(
+    docs: DataFrame,
+    checkpoint_path: str,
+    threshold: float = 0.5,
+    observation=None,
+) -> DataFrame:
+    """The production dedup sequence: LSH banding (candidate filter) followed
+    by MinHash-Jaccard scoring (agreeing-position fraction), with the
+    signature frame materialized ONCE at ``checkpoint_path``. The band
+    explode and BOTH sides of the score join read the materialization, so
+    the shingle->md5->min signature subtree is computed exactly once per
+    document — the checkpoint-at-scale story as wiring, not as a docstring
+    claim (see tests/test_dedup_pipeline.py, which asserts the scored plan
+    contains no signature recomputation)."""
+    sigs = _minhash_frame(docs)
+    sigs.write.mode("overwrite").parquet(checkpoint_path)
+    sigs_m = docs.sparkSession.read.parquet(checkpoint_path)
+
+    pairs = _lsh_pairs_from_sigs(sigs_m, observation)
+    a = sigs_m.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    b = sigs_m.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_MINHASH)
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(agree / N_MINHASH, 4).alias("jaccard_est"),
+        )
+        .where(F.col("jaccard_est") >= threshold)
+    )
 
 
 def ngram_jaccard_pairs(docs: DataFrame, observation=None) -> DataFrame:

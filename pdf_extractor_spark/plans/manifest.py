@@ -88,7 +88,6 @@ def run_resumable(
     record the manifest. Returns number of rows processed this run."""
     from .pipeline import extract_transcripts
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     todo = pending_work(spark, transcripts, manifest_path, n_buckets)
     extracted = extract_transcripts(todo, salt_partitions)
     extracted = extracted.join(
@@ -98,8 +97,11 @@ def run_resumable(
     extracted.cache()
     n = extracted.count()
     if n:
-        (extracted.write.mode("overwrite").partitionBy(BUCKET_COL)
-         .parquet(output_path))
+        # writer-scoped dynamic overwrite (idempotent re-runs replace only
+        # this run's buckets) — never a session-level conf mutation
+        (extracted.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(BUCKET_COL).parquet(output_path))
         record_metrics(extracted, manifest_path, run_id)
     extracted.unpersist()
     return n

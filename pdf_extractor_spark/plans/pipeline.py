@@ -115,35 +115,110 @@ def extract_transcripts(
     return result.withColumn("n_chars", F.length("extracted_text"))
 
 
-def assemble_conversations(extracted: DataFrame) -> DataFrame:
+def assemble_conversations(
+    extracted: DataFrame,
+    bucket_turns: Optional[int] = None,
+) -> DataFrame:
     """Per-conversation regroup with stable turn ordering — pure built-ins:
     ``sort_array(collect_list(struct(turn_idx, ...)))`` then the A1 combine
     expression (byte-parity with kernels.segment.combine_markdown_sections is
-    pinned by tests/test_pipeline_golden.py). This is the pipeline's only
-    shuffle, and it carries only the columns the report needs."""
+    pinned by tests/test_pipeline_golden.py).
+
+    Default (``bucket_turns=None``): ONE shuffle keyed on conv_id — right
+    when conversation length is bounded (transcript corpora cap out around
+    10^3-10^4 turns), since each text byte crosses the wire once and AQE
+    splits skewed sort spills.
+
+    ``bucket_turns=N``: two-level combine for UNBOUNDED conversation length —
+    a first shuffle on (conv_id, turn_idx div N) builds partial ordered
+    concats (per-task collect_list state bounded by N turns), a second merges
+    the per-bucket partials. A single 10^6-turn mega-conversation is then
+    ~10^6/N bucket rows merged in one cheap final group instead of one
+    collect_list task holding every turn. Byte-equality of the two paths is
+    pinned by tests/test_skew.py (the strip->drop-empties->join combine is
+    associative over pre-stripped partials; the 1-turn as-is special case is
+    preserved via the bucket's raw first element)."""
+    base = extracted.select(
+        "conv_id", "turn_idx", "extracted_text", "n_pages",
+        (F.size("problems") > 0).cast("int").alias("has_problem"),
+        F.size("repaired_pages").alias("n_repaired"),
+    )
+    report_cols = [
+        F.sum("n_pages").alias("total_pages"),
+        F.sum("has_problem").cast("int").alias("problem_turns"),
+        F.sum("n_repaired").cast("int").alias("repaired_pages"),
+    ]
+
+    if bucket_turns is None:
+        ordered = F.sort_array(
+            F.collect_list(F.struct("turn_idx", "extracted_text"))
+        )
+        agg = base.groupBy("conv_id").agg(
+            F.count("*").cast("int").alias("n_turns"),
+            ordered.alias("ordered"),
+            *report_cols,
+        )
+        texts = F.transform(F.col("ordered"), lambda s: s["extracted_text"])
+        return agg.select(
+            "conv_id",
+            "n_turns",
+            combine_sections_expr(texts).alias("conversation_markdown"),
+            "total_pages",
+            "problem_turns",
+            "repaired_pages",
+        )
+
+    from ..config import MARKDOWN_SECTION_SEPARATOR
+    from ..functions.expressions import PY_STRIP_CLASS
+
+    strip = lambda s: F.regexp_replace(  # noqa: E731
+        s, f"^{PY_STRIP_CLASS}+|{PY_STRIP_CLASS}+$", ""
+    )
     ordered = F.sort_array(
         F.collect_list(F.struct("turn_idx", "extracted_text"))
     )
-    agg = (
-        extracted.select(
-            "conv_id", "turn_idx", "extracted_text", "n_pages",
-            (F.size("problems") > 0).cast("int").alias("has_problem"),
-            F.size("repaired_pages").alias("n_repaired"),
-        )
-        .groupBy("conv_id")
+    texts = F.transform(ordered, lambda s: s["extracted_text"])
+    partials = (
+        base.withColumn("bucket", (F.col("turn_idx") / bucket_turns).cast("long"))
+        .groupBy("conv_id", "bucket")
         .agg(
-            F.count("*").cast("int").alias("n_turns"),
-            ordered.alias("ordered"),
-            F.sum("n_pages").alias("total_pages"),
-            F.sum("has_problem").cast("int").alias("problem_turns"),
-            F.sum("n_repaired").cast("int").alias("repaired_pages"),
+            F.count("*").cast("int").alias("b_turns"),
+            # partial combine: strip + drop empties + join (NO singleton
+            # special case at bucket level — that applies to the whole conv)
+            F.array_join(
+                F.filter(F.transform(texts, strip), lambda s: s != ""),
+                MARKDOWN_SECTION_SEPARATOR,
+            ).alias("partial_md"),
+            # raw first element, for the 1-turn-conversation as-is semantics
+            F.element_at(texts, 1).alias("first_raw"),
+            *report_cols,
         )
     )
-    texts = F.transform(F.col("ordered"), lambda s: s["extracted_text"])
+    parts = F.sort_array(
+        F.collect_list(F.struct("bucket", "partial_md", "first_raw"))
+    )
+    agg = partials.groupBy("conv_id").agg(
+        F.sum("b_turns").cast("int").alias("n_turns"),
+        parts.alias("parts"),
+        F.sum("total_pages").alias("total_pages"),
+        F.sum("problem_turns").cast("int").alias("problem_turns"),
+        F.sum("repaired_pages").cast("int").alias("repaired_pages"),
+    )
+    merged_md = F.when(
+        F.col("n_turns") == 1, F.element_at("parts", 1)["first_raw"]
+    ).otherwise(
+        F.array_join(
+            F.filter(
+                F.transform(F.col("parts"), lambda p: p["partial_md"]),
+                lambda s: s != "",
+            ),
+            MARKDOWN_SECTION_SEPARATOR,
+        )
+    )
     return agg.select(
         "conv_id",
         "n_turns",
-        combine_sections_expr(texts).alias("conversation_markdown"),
+        merged_md.alias("conversation_markdown"),
         "total_pages",
         "problem_turns",
         "repaired_pages",

@@ -1,0 +1,52 @@
+"""LSH-then-score pipeline: the signature frame must be computed once
+(materialized to parquet) and feed BOTH the band explode and the two score
+join sides — no recomputation of the shingle->md5->min subtree downstream."""
+import itertools
+
+from pdf_extractor_spark.kernels.textstats import minhash_signature
+from pdf_extractor_spark.operators.dedup import N_MINHASH, lsh_score_pipeline
+
+DOCS = [
+    (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),  # near-dup of 0
+    (2, "completely different words nothing shared here at all ok"),
+    (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),   # exact dup of 0
+    (4, "unrelated content again with its own vocabulary entirely"),
+]
+
+
+def _expected_pairs(threshold=0.5):
+    sigs = {i: minhash_signature(t, n_hashes=N_MINHASH) for i, t in DOCS}
+    out = {}
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / N_MINHASH
+        if est >= threshold:
+            out[(a, b)] = round(est, 4)
+    return out
+
+
+def test_lsh_score_pipeline_matches_bruteforce(spark, tmp_path):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    ckpt = str(tmp_path / "sigs.parquet")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard_est
+        for r in lsh_score_pipeline(docs, ckpt, threshold=0.5).collect()
+    }
+    expected = _expected_pairs(0.5)
+    # LSH candidates are a subset of all pairs, but any pair >= threshold
+    # shares >= 4 of 8 single-hash bands, so banding cannot miss it here
+    assert got == expected
+    assert (0, 3) in got and got[(0, 3)] == 1.0
+
+
+def test_signatures_computed_once(spark, tmp_path):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    ckpt = str(tmp_path / "sigs2.parquet")
+    scored = lsh_score_pipeline(docs, ckpt, threshold=0.0)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    # every branch reads the materialized signatures...
+    assert plan.count("Scan parquet") >= 3
+    # ...and nothing re-derives them: no md5/shingle machinery and no scan of
+    # the original in-memory docs frame anywhere downstream of the checkpoint
+    assert "md5" not in plan
+    assert "LocalTableScan" not in plan
