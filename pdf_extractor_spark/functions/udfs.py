@@ -121,6 +121,32 @@ def fix_bidi_udf(text: pd.Series) -> pd.Series:
     return text.map(lambda t: fix_bidi_text(t or ""))
 
 
+CASCADE_TYPE = StructType([
+    StructField("method", StringType()),
+    StructField("n_rows", IntegerType()),
+    StructField("n_cols", IntegerType()),
+    StructField("last_cell", StringType()),
+])
+
+
+@pandas_udf(CASCADE_TYPE)
+def table_cascade_udf(text: pd.Series) -> pd.DataFrame:
+    """S5: lattice/stream flavor cascade summary per document."""
+    from ..kernels.table_scan import extract_tables_cascade
+
+    def f(t):
+        r = extract_tables_cascade(t or "")
+        rows = r["rows"]
+        return {
+            "method": r["method"],
+            "n_rows": len(rows),
+            "n_cols": len(rows[0]) if rows else 0,
+            "last_cell": rows[-1][-1] if rows else "",
+        }
+
+    return pd.DataFrame([f(t) for t in text])
+
+
 @pandas_udf(DoubleType())
 def similarity_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Full similarity dispatcher (quick Jaccard early-exit + configured

@@ -155,6 +155,46 @@ def q_similarity_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lattice_stream_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: camelot-style lattice/stream flavor cascade over synthesized
+    documents — every 3rd order carries a bordered (pipe) table, every 3rd a
+    borderless whitespace-aligned table, the rest prose. The cascade tries
+    lattice first and falls back to stream; the oracle predicts the winning
+    flavor, shape, and last parsed cell directly from the construction, so
+    the fallback decision itself is value-checked.
+
+    Reference parity: scripts/extract_tables_camelot.py:29-38."""
+    from . import load
+    from ..functions.udfs import table_cascade_udf
+
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 < 3)
+    k = F.col("o_orderkey")
+    v1 = (k % 211).cast("string")
+    v2 = (k % 137).cast("string")
+    v3 = (k % 97).cast("string")
+    lattice_text = F.concat(
+        F.lit("| A | B |\n| --- | --- |\n| a | "), v1,
+        F.lit(" |\n| b | "), v2, F.lit(" |\n| c | "), v3, F.lit(" |"),
+    )
+    stream_text = F.concat(
+        F.lit("a  "), v1, F.lit("\nb  "), v2, F.lit("\nc  "), v3
+    )
+    prose = F.concat(F.lit("no table here order "), v1, F.lit(" totals "), v2)
+    text = (
+        F.when(k % 3 == 0, lattice_text)
+        .when(k % 3 == 1, stream_text)
+        .otherwise(prose)
+    )
+    r = table_cascade_udf(text)
+    return orders.select(
+        k.alias("order_key"),
+        r["method"].alias("method"),
+        r["n_rows"].alias("n_rows"),
+        r["n_cols"].alias("n_cols"),
+        r["last_cell"].alias("last_cell"),
+    )
+
+
 def q_frequency_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: word-frequency Counter per language, top-3 by (count desc, word
     asc) — explode + count + window rank, map-side partial aggregation free."""
@@ -245,6 +285,17 @@ ORACLES = {
                           ELSE full_sim END, 6) AS similarity
         FROM pairs
     """,
+    "lattice_stream_cascade": """
+        SELECT o_orderkey AS order_key,
+               CASE o_orderkey % 3 WHEN 0 THEN 'lattice'
+                                   WHEN 1 THEN 'stream'
+                                   ELSE 'none' END AS method,
+               (CASE WHEN o_orderkey % 3 = 2 THEN 0 ELSE 3 END)::INT AS n_rows,
+               (CASE WHEN o_orderkey % 3 = 2 THEN 0 ELSE 2 END)::INT AS n_cols,
+               CASE WHEN o_orderkey % 3 = 2 THEN ''
+                    ELSE (o_orderkey % 97)::VARCHAR END AS last_cell
+        FROM orders WHERE o_orderkey % 10 < 3
+    """,
     "frequency_map": f"""
         WITH words AS (
             SELECT lang, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
@@ -268,4 +319,5 @@ QUERIES = {
     "number_freq_cosine": q_number_freq_cosine,
     "similarity_dispatch": q_similarity_dispatch,
     "frequency_map": q_frequency_map,
+    "lattice_stream_cascade": q_lattice_stream_cascade,
 }
