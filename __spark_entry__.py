@@ -18,6 +18,7 @@ from pdf_extractor_spark.operators import (
     aggregates,
     chunking,
     dedup,
+    graph,
     joins,
     multimodal,
     similarity_search,
@@ -28,7 +29,7 @@ from pdf_extractor_spark.operators import (
 )
 
 _MODULES = [
-    text_ops, windows, aggregates, dedup, similarity_search,
+    text_ops, windows, aggregates, dedup, graph, similarity_search,
     text_analysis, multimodal, joins, tables_md, chunking,
 ]
 

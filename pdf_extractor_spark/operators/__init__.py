@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     aggregates,
     chunking,
     dedup,
+    graph,
     joins,
     multimodal,
     similarity_search,

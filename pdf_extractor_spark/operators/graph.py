@@ -1,0 +1,194 @@
+"""Connected-components duplicate clustering — the final stage of a
+large-scale dedup pipeline: candidate pairs (from MinHash/LSH banding)
+form a graph whose connected components are the duplicate clusters; each
+doc is assigned its cluster representative (min doc_id) so downstream
+jobs keep one canonical doc per cluster.
+
+The reference stops at pairwise similarity (similarity_service
+dispatch); clustering the pair graph is the training-data extension that
+makes pairwise output actionable at corpus scale.
+
+Scale design: iterative label propagation with POINTER JUMPING
+(``rep = rep(rep)`` each round), so convergence is O(log diameter)
+rounds rather than O(diameter) — the classic PRAM/MapReduce technique
+(cf. Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14, public literature). Each round is two shuffle-keyed equi-joins
+(neighbor-min + jump) and the label frame is ``localCheckpoint``-ed so
+lineage stays O(1) across iterations instead of doubling the plan each
+round. No step ever materializes a cross product; per-round cost is
+O(|E|) shuffle traffic. Duplicate clusters from a capped LSH bucket
+stream have tiny diameters (most are cliques), so rounds ~ 2-3 in
+practice.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import _DUCK_MINHASH, MAX_BUCKET_DOCS
+
+# Pointer jumping halves the remaining path length each round; 30 rounds
+# cover any diameter < 2^30 — unreachable for real dedup graphs. Hitting
+# the cap means a logic error, not a big input: fail loudly.
+MAX_ITERATIONS = 30
+
+# Candidate pairs are verified before clustering: single-hash LSH bands are
+# high-recall / low-precision, and clustering RAW candidates chains nearly
+# the whole corpus into one component (observed: 452 of 461 paired docs at
+# sf0.01). Only pairs whose MinHash Jaccard estimate clears this threshold
+# become graph edges — candidates -> verify -> cluster, the standard order.
+MIN_EDGE_JACCARD = 0.5
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """(node, rep) for every node in ``edges``; rep = min node id of the
+    component. Deterministic: min-label over a fixed graph."""
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct()
+        .withColumn("rep", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    # Symmetric edges are reused every round: checkpoint once so the pair
+    # generation upstream (LSH banding) runs once, not once per round.
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(MAX_ITERATIONS):
+        # neighbor-min: the smallest rep among me and my neighbors
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("rep").alias("nbr_rep"))
+        )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(F.col("rep"), F.coalesce("nbr_rep", "rep")).alias("rep"),
+        )
+        # pointer jump: rep <- rep(rep), halving remaining path lengths
+        jump = stepped.select(
+            F.col("node").alias("jnode"), F.col("rep").alias("jrep")
+        )
+        new_labels = (
+            stepped.join(jump, stepped.rep == jump.jnode, "left")
+            .select("node", F.coalesce("jrep", "rep").alias("rep"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.rep") != F.col("o.rep"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {MAX_ITERATIONS} rounds"
+    )
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over VERIFIED LSH pairs: candidate pairs from
+    the capped banding, kept only when the MinHash Jaccard estimate >=
+    MIN_EDGE_JACCARD, then clustered. Every doc in a kept edge is output
+    with its cluster representative and cluster size. Singleton docs (no
+    kept edge) are by definition their own cluster and are omitted — at
+    corpus scale that is almost everything, and emitting them would dwarf
+    the useful output.
+
+    The signature frame is localCheckpoint-ed once and feeds BOTH the
+    banding and the two verify-join sides, so the shingle/minhash subtree
+    is computed exactly once (the lsh_score_pipeline wiring, in-memory
+    form)."""
+    from . import load
+    from .dedup import N_MINHASH, _lsh_pairs_from_sigs, _minhash_frame
+
+    sigs = _minhash_frame(load(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
+    )
+    cand = _lsh_pairs_from_sigs(sigs)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    ) / float(N_MINHASH)
+    pairs = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(est >= MIN_EDGE_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    labels = connected_components(pairs)
+    sizes = labels.groupBy(F.col("rep").alias("cluster_rep")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("rep").alias("cluster_rep")
+    ).join(sizes, "cluster_rep").select("doc_id", "cluster_rep", "cluster_size")
+
+
+QUERIES = {"dedup_components": q_dedup_components}
+
+# Oracle: transitive closure by recursive CTE over the same capped LSH
+# pairs, rep = min reachable node (incl. self), size = docs per rep.
+ORACLES = {
+    "dedup_components": _DUCK_MINHASH.replace(
+        "WITH words", "WITH RECURSIVE words", 1
+    )
+    + f"""
+        , bands AS (
+            SELECT doc_id, b.band, b.h FROM sigs,
+            LATERAL (SELECT unnest([
+                {{'band': 0, 'h': mh0}}, {{'band': 1, 'h': mh1}},
+                {{'band': 2, 'h': mh2}}, {{'band': 3, 'h': mh3}},
+                {{'band': 4, 'h': mh4}}, {{'band': 5, 'h': mh5}},
+                {{'band': 6, 'h': mh6}}, {{'band': 7, 'h': mh7}}
+            ], recursive := true)) b(band, h)
+        ), kept AS (
+            SELECT band, h FROM bands GROUP BY band, h
+            HAVING count(*) BETWEEN 2 AND {MAX_BUCKET_DOCS}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+            FROM bands a
+            JOIN kept k ON a.band = k.band AND a.h = k.h
+            JOIN bands b ON a.band = b.band AND a.h = b.h
+            WHERE a.doc_id < b.doc_id
+        ), edges AS (
+            -- verify: MinHash Jaccard estimate >= MIN_EDGE_JACCARD
+            SELECT c.u, c.v
+            FROM cand c
+            JOIN sigs a ON a.doc_id = c.u
+            JOIN sigs b ON b.doc_id = c.v
+            WHERE ((a.mh0 = b.mh0)::INT + (a.mh1 = b.mh1)::INT
+                 + (a.mh2 = b.mh2)::INT + (a.mh3 = b.mh3)::INT
+                 + (a.mh4 = b.mh4)::INT + (a.mh5 = b.mh5)::INT
+                 + (a.mh6 = b.mh6)::INT + (a.mh7 = b.mh7)::INT) / 8.0
+                  >= {MIN_EDGE_JACCARD}
+        ), sym AS (
+            SELECT u, v FROM edges UNION SELECT v, u FROM edges
+        ), reach AS (
+            SELECT u, v FROM sym
+            UNION
+            SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        ), rep AS (
+            SELECT u AS doc_id, least(u, min(v)) AS cluster_rep
+            FROM reach GROUP BY u
+        )
+        SELECT doc_id, cluster_rep,
+               count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+        FROM rep
+    """,
+}
