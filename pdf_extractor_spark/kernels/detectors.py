@@ -9,15 +9,29 @@ from __future__ import annotations
 
 import re
 from collections import Counter
+from functools import lru_cache
 from typing import List, Optional, Tuple
 
 from ..config import DEFAULT_ENABLED_PROBLEMS
-from .numbers import extract_numbers
+from .numbers import extract_numbers, has_extractable_number
 
 _EMPTY_TABLE_RE = re.compile(r"(\|\s*\|\s*\|.*\n){5,}")
 _REPEAT_CHAR_RE = re.compile(r"(.)\1{9,}")
 _REPEAT_CHAR_ALLOWED = {" ", "-", "_", "=", "*", "\n"}
 _COMMON_CHARS = set(" \n\t.,;:!?-()[]{}\"'/\\|")
+# C-speed character counting for the two per-char detectors. CPython's re
+# classifies \w with the same predicate str.isalnum uses (Py_UNICODE_ISALNUM)
+# plus '_', so [^\W_] matches EXACTLY the isalnum characters — equivalence is
+# pinned by a hypothesis property test (test_kernels_detectors).
+_ALNUM_RUN_RE = re.compile(r"[^\W_]+")
+_COMMON_RUN_RE = re.compile("[" + re.escape("".join(sorted(_COMMON_CHARS))) + "]+")
+
+
+@lru_cache(maxsize=8)
+def _alnum_count(content: str) -> int:
+    # two detectors (density, garbled) count the same page back-to-back;
+    # CPython caches str hashes, so the repeat lookup is ~free
+    return sum(map(len, _ALNUM_RUN_RE.findall(content)))
 _TABLE_NUM_REPEAT_RE = re.compile(r"\|\s*(\d+(?:[.,]\d+)?)\s*\|(?:\s*\1\s*\|){2,}")
 _TEXT_NUM_REPEAT_RE = re.compile(r"\b(\d+(?:[.,]\d+)?)\s+(?:\1\s+){2,}")
 _UNKNOWN_CHARS = ["□", "�", "☐", "▯", "▢", "▣"]
@@ -44,7 +58,7 @@ def detect_low_content_density(content: str) -> bool:
     """Fewer than 100 alphanumeric characters (empty content counts)."""
     if not content:
         return True
-    return sum(c.isalnum() for c in content) < 100
+    return _alnum_count(content) < 100
 
 
 def detect_missing_numbers(content: str) -> bool:
@@ -52,7 +66,7 @@ def detect_missing_numbers(content: str) -> bool:
     if not content:
         return False
     approx_rows = content.count("|") / 4
-    return approx_rows >= 5 and len(extract_numbers(content)) == 0
+    return approx_rows >= 5 and not has_extractable_number(content)
 
 
 def detect_inconsistent_columns(content: str) -> bool:
@@ -76,10 +90,13 @@ def detect_garbled_text(content: str) -> bool:
     """Special-char to alphanumeric ratio above 0.2."""
     if not content:
         return False
-    alnum = sum(c.isalnum() for c in content)
+    alnum = _alnum_count(content)
     if alnum == 0:
         return True
-    special = sum((not c.isalnum()) and c not in _COMMON_CHARS for c in content)
+    # every char is alnum XOR common XOR special (common chars are all
+    # non-alnum), so special falls out of two C-speed counts
+    common = sum(map(len, _COMMON_RUN_RE.findall(content)))
+    special = len(content) - alnum - common
     return special / alnum > 0.2
 
 

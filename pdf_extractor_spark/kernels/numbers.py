@@ -59,6 +59,23 @@ def extract_numbers(text: str) -> List[str]:
     return out
 
 
+def has_extractable_number(text: str) -> bool:
+    """True iff ``extract_numbers(text)`` would be non-empty, stopping at the
+    first surviving match instead of materializing them all (the hot caller,
+    detect_missing_numbers, only needs emptiness)."""
+    if not text:
+        return False
+    cleaned = _CURRENCY_RE.sub("", text)
+    for match in _NUMBER_RE.finditer(cleaned):
+        num = _normalize_separators(match.group().rstrip("%")).replace(" ", "")
+        try:
+            float(num)
+        except ValueError:
+            continue
+        return True
+    return False
+
+
 _NON_NUMERIC_RE = re.compile(r"[^\d.,\-]")
 
 

@@ -106,3 +106,48 @@ def test_detect_problems_enabled_subset():
 
 def test_registry_complete():
     assert set(d.DETECTOR_REGISTRY) == set(ALL_PROBLEMS)
+
+
+# --- C-speed counting parity (the [^\W_] == isalnum equivalence) ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_text = st.text(
+    alphabet=st.characters(codec="utf-8"),
+    max_size=400,
+)
+
+
+@given(_text)
+@settings(max_examples=300, deadline=None)
+def test_alnum_count_matches_isalnum(s):
+    assert d._alnum_count(s) == sum(c.isalnum() for c in s)
+
+
+@given(_text)
+@settings(max_examples=300, deadline=None)
+def test_garbled_matches_per_char_reference(s):
+    alnum = sum(c.isalnum() for c in s)
+    if not s:
+        expect = False
+    elif alnum == 0:
+        expect = True
+    else:
+        special = sum(
+            (not c.isalnum()) and c not in d._COMMON_CHARS for c in s
+        )
+        expect = special / alnum > 0.2
+    assert d.detect_garbled_text(s) == expect
+
+
+@given(_text)
+@settings(max_examples=300, deadline=None)
+def test_low_density_matches_per_char_reference(s):
+    expect = True if not s else sum(c.isalnum() for c in s) < 100
+    assert d.detect_low_content_density(s) == expect
+
+
+def test_counting_on_mixed_scripts():
+    s = 'דוח כספי 2024 — total: 1,234.56 ₪ (☐□) "quoted"\n| a | b |'
+    assert d._alnum_count(s) == sum(c.isalnum() for c in s)

@@ -63,3 +63,28 @@ def test_parse_number_invalid():
     assert parse_number("") is None
     assert parse_number(None) is None
     assert parse_number("abc") is None
+
+
+def test_has_extractable_number_parity():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extractor_spark.kernels.numbers import (
+        extract_numbers,
+        has_extractable_number,
+    )
+
+    cases = [
+        "", "no numbers here", "| a | b |", "1,234.56", "1.234,56",
+        "only , and . dots", "-5%", "₪100", "1 234 567", "..,,--",
+        "abc 12.34.56 def", "(42)",
+    ]
+    for s in cases:
+        assert has_extractable_number(s) == bool(extract_numbers(s))
+
+    @given(st.text(alphabet="0123456789.,-%| abc₪\n", max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def prop(s):
+        assert has_extractable_number(s) == bool(extract_numbers(s))
+
+    prop()
