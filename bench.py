@@ -34,6 +34,13 @@ BENCH_QUERIES = [
     "spatial_join",
     "table_merge_sessions",
     "tumbling_window",
+    # round 2 additions
+    "dedup_components",
+    "lattice_stream_cascade",
+    "parse_number_csv",
+    "bidi_display",
+    "section_assembly",
+    "status_breakdown",
 ]
 
 CORPUS_CACHE = "/tmp/spark_graft_bench/transcripts_{n}_{seed}"
