@@ -57,10 +57,16 @@ def ensure_corpus(spark, n_convs: int, seed: int = 42) -> str:
     return path
 
 
-def time_noop(df) -> float:
-    t0 = time.perf_counter()
-    df.write.mode("overwrite").format("noop").save()
-    return time.perf_counter() - t0
+def time_noop(fn, spark, sf_dir) -> float:
+    """Best-of-2 end-to-end: query CONSTRUCTION is inside the timed window
+    (some operators, e.g. the iterative components clustering, do eager work
+    while building), and the repeat damps the host's bursty ±40% noise."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:
@@ -94,7 +100,7 @@ def main() -> None:
     queries = entry_mod.queries()
     timings = {"extraction_pipeline": round(extract_sec, 3)}
     for name in BENCH_QUERIES:
-        timings[name] = round(time_noop(queries[name](spark, sf_dir)), 3)
+        timings[name] = round(time_noop(queries[name], spark, sf_dir), 3)
 
     print(json.dumps({
         "metric": "extracted_turns_per_sec",

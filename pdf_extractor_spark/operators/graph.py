@@ -58,6 +58,8 @@ def connected_components(
     # generation upstream (LSH banding) runs once, not once per round.
     sym = sym.localCheckpoint(eager=True)
 
+    from pyspark.sql import Observation
+
     for _ in range(MAX_ITERATIONS):
         # neighbor-min: the smallest rep among me and my neighbors
         nbr = (
@@ -65,28 +67,36 @@ def connected_components(
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("rep").alias("nbr_rep"))
         )
-        stepped = labels.join(nbr, "node", "left").select(
+        stepped = labels.withColumnRenamed("rep", "prev").join(
+            nbr, "node", "left"
+        ).select(
             "node",
-            F.least(F.col("rep"), F.coalesce("nbr_rep", "rep")).alias("rep"),
+            "prev",
+            F.least(F.col("prev"), F.coalesce("nbr_rep", "prev")).alias("rep"),
         )
         # pointer jump: rep <- rep(rep), halving remaining path lengths
         jump = stepped.select(
             F.col("node").alias("jnode"), F.col("rep").alias("jrep")
         )
+        # convergence rides the checkpoint action via observe — ONE job per
+        # round (no separate old-vs-new join + count)
+        obs = Observation()
         new_labels = (
             stepped.join(jump, stepped.rep == jump.jnode, "left")
-            .select("node", F.coalesce("jrep", "rep").alias("rep"))
+            .select(
+                "node", "prev", F.coalesce("jrep", "rep").alias("rep")
+            )
+            .observe(
+                obs,
+                F.sum((F.col("rep") != F.col("prev")).cast("long")).alias(
+                    "changed"
+                ),
+            )
+            .select("node", "rep")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.rep") != F.col("o.rep"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if not obs.get["changed"]:
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {MAX_ITERATIONS} rounds"
