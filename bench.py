@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "bidi_display",
     "section_assembly",
     "status_breakdown",
+    "kmeans_fit",
+    "length_quantiles",
 ]
 
 CORPUS_CACHE = "/tmp/spark_graft_bench/transcripts_{n}_{seed}"

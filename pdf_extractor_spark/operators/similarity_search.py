@@ -209,8 +209,183 @@ ORACLES["kmeans_assign"] = f"""
         FROM ranked WHERE rk = 1 GROUP BY c_id
 """
 
+# ---------------------------------------------------------------------------
+# Full Lloyd k-means fit (iterative), exact-integer replayable in SQL.
+#
+# Cross-engine float determinism is engineered away rather than hoped for:
+# embeddings are quantized to integers (round(x*100)), distances are exact
+# integer sums of squares (argmin ties broken by centroid id — exact, both
+# engines), and centroid updates round(sum*1000.0/count) where the sum is an
+# exact INTEGER sum — the only float ops are one multiply and one divide on
+# identical operands, which IEEE evaluates identically everywhere. Values
+# are sized so nothing leaves int64 (no silent HUGEINT promotion).
+#
+# Scale: the vector frame is localCheckpoint-ed once and re-scanned per
+# iteration; centroids (K x D ints) travel driver-side — the standard
+# "broadcast the centroids" Lloyd layout. Each iteration is one scan + one
+# tiny (K x D)-row aggregate; no joins on the big side.
+# ---------------------------------------------------------------------------
+
+KMEANS_ITERS = 2  # Lloyd updates; a final assignment then reports inertia
+KMEANS_DIM = 64
+_VQ_SCALE = 100  # float embedding -> int units
+_C_SCALE = 1000  # extra centroid precision (centroid ints at 1e5 units)
+_N_CENT_OUT = 4  # centroid components included in the output
+
+
+def _quantized_vecs(emb: DataFrame) -> DataFrame:
+    vq = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * F.lit(float(_VQ_SCALE)), 0).cast(
+            "long"
+        ),
+    )
+    return emb.select("vec_id", vq.alias("vq")).where(
+        F.size("vq") == KMEANS_DIM
+    )
+
+
+def _nearest_centroid(cents) -> F.Column:
+    """struct(dist, cid) of the nearest centroid — exact integer distances,
+    ties to the smallest cid via lexicographic struct min."""
+    options = []
+    for i, c in enumerate(cents):
+        carr = F.array(*[F.lit(int(v)) for v in c])
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("vq"),
+                carr,
+                lambda a, b: (a * _C_SCALE - b) * (a * _C_SCALE - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        options.append(F.struct(dist.alias("dist"), F.lit(i).alias("cid")))
+    return F.array_min(F.array(*options))
+
+
+def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd fit: seed centroids = first N_CENTROIDS vectors,
+    KMEANS_ITERS assign+update rounds (empty clusters keep their previous
+    centroid), then a final assignment reporting per-cluster size, exact
+    integer inertia, and the first 4 trained-centroid components."""
+    ev = _quantized_vecs(_emb(spark, sf_dir)).localCheckpoint(eager=True)
+    init = (
+        ev.where(F.col("vec_id") < N_CENTROIDS)
+        .orderBy("vec_id")
+        .select("vq")
+        .collect()
+    )
+    cents = [[v * _C_SCALE for v in r["vq"]] for r in init]
+
+    for _ in range(KMEANS_ITERS):
+        assigned = ev.withColumn("a", _nearest_centroid(cents)).select(
+            "vq", F.col("a.cid").alias("cid")
+        )
+        stats = (
+            assigned.select("cid", F.posexplode("vq").alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(
+                F.round(F.sum("x") * float(_C_SCALE) / F.count("*"), 0)
+                .cast("long")
+                .alias("c")
+            )
+            .collect()
+        )
+        upd = {(r["cid"], r["d"]): r["c"] for r in stats}
+        cents = [
+            [upd.get((i, d), cents[i][d]) for d in range(KMEANS_DIM)]
+            for i in range(N_CENTROIDS)
+        ]
+
+    final = ev.withColumn("a", _nearest_centroid(cents)).select(
+        F.col("a.cid").alias("cluster"), F.col("a.dist").alias("dist")
+    )
+    out = final.groupBy("cluster").agg(
+        F.count("*").alias("n_vecs"), F.sum("dist").alias("inertia")
+    )
+    for d in range(_N_CENT_OUT):
+        byc = F.array(*[F.lit(int(cents[i][d])) for i in range(N_CENTROIDS)])
+        out = out.withColumn(
+            f"c{d}", F.element_at(byc, F.col("cluster") + 1).cast("long")
+        )
+    return out
+
+
+def _kmeans_fit_oracle() -> str:
+    """Replay the exact fit in DuckDB: nested CTEs, one pair per iteration."""
+    parts = [f"""
+        WITH ev AS (
+            SELECT vec_id, r.d AS d,
+                   round(embedding[r.d + 1]::DOUBLE * {_VQ_SCALE}.0)::BIGINT
+                       AS x
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range({KMEANS_DIM})) AS d) r
+            WHERE len(embedding) = {KMEANS_DIM}
+        ), c0 AS (
+            SELECT vec_id::INT AS cid, d, x * {_C_SCALE} AS c
+            FROM ev WHERE vec_id < {N_CENTROIDS}
+        )"""]
+    for it in range(1, KMEANS_ITERS + 1):
+        parts.append(f"""
+        , dist{it} AS (
+            SELECT e.vec_id, c.cid,
+                   sum((e.x * {_C_SCALE} - c.c) * (e.x * {_C_SCALE} - c.c))
+                       ::BIGINT AS dist
+            FROM ev e JOIN c{it - 1} c ON e.d = c.d
+            GROUP BY 1, 2
+        ), asg{it} AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rk
+            FROM dist{it}
+        ), stats{it} AS (
+            SELECT a.cid, e.d,
+                   round(sum(e.x) * {_C_SCALE}.0 / count(*))::BIGINT AS c
+            FROM asg{it} a JOIN ev e ON a.vec_id = e.vec_id
+            WHERE a.rk = 1
+            GROUP BY 1, 2
+        ), c{it} AS (
+            SELECT p.cid, p.d, coalesce(s.c, p.c) AS c
+            FROM c{it - 1} p
+            LEFT JOIN stats{it} s ON s.cid = p.cid AND s.d = p.d
+        )""")
+    last = KMEANS_ITERS
+    cent_cols = ", ".join(
+        f"max(CASE WHEN d = {d} THEN c END) AS c{d}"
+        for d in range(_N_CENT_OUT)
+    )
+    parts.append(f"""
+        , distF AS (
+            SELECT e.vec_id, c.cid,
+                   sum((e.x * {_C_SCALE} - c.c) * (e.x * {_C_SCALE} - c.c))
+                       ::BIGINT AS dist
+            FROM ev e JOIN c{last} c ON e.d = c.d
+            GROUP BY 1, 2
+        ), asgF AS (
+            SELECT vec_id, cid, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rk
+            FROM distF
+        ), grouped AS (
+            SELECT cid AS cluster, count(*) AS n_vecs,
+                   sum(dist)::BIGINT AS inertia
+            FROM asgF WHERE rk = 1 GROUP BY 1
+        ), cents AS (
+            SELECT cid, {cent_cols} FROM c{last}
+            WHERE d < {_N_CENT_OUT} GROUP BY cid
+        )
+        SELECT g.cluster, g.n_vecs, g.inertia, c.c0, c.c1, c.c2, c.c3
+        FROM grouped g JOIN cents c ON c.cid = g.cluster
+    """)
+    return "".join(parts)
+
+
+ORACLES["kmeans_fit"] = _kmeans_fit_oracle()
+
 QUERIES = {
     "knn_cosine": q_knn_cosine,
     "ann_ivf_cosine": q_ann_ivf_cosine,
     "kmeans_assign": q_kmeans_assign,
+    "kmeans_fit": q_kmeans_fit,
 }

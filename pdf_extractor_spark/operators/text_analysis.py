@@ -155,8 +155,60 @@ def _language_id_oracle() -> str:
     """
 
 
+_QUANTILES = (25, 50, 75, 90, 99)
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution: nearest-rank percentiles
+    of ``n_chars`` (type-1, value at rank ceil(q*n/100)) — all-integer math,
+    so the result is deterministic across engines (no float interpolation).
+
+    Scale: one window shuffle keyed on lang. At 100 TB the exact twin of
+    this is ``approx_percentile`` (t-digest, partial-mergeable, no full
+    sort); this query is the exact-replay form the oracle gate can check."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    d = (
+        _docs(spark, sf_dir)
+        .select("lang", "n_chars", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+    )
+    # ceil(q*n/100) in integer math: (q*n + 99) div 100
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n * {q} + 99) div 100"),
+                F.col("n_chars"),
+            )
+        ).alias(f"p{q}")
+        for q in _QUANTILES
+    ]
+    return d.groupBy("lang").agg(
+        F.max("n").alias("n_docs"), *aggs
+    )
+
+
 ORACLES = {
     "language_id": _language_id_oracle(),
+    "length_quantiles": f"""
+        WITH d AS (
+            SELECT lang, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM documents
+        )
+        SELECT lang, max(n) AS n_docs,
+               {", ".join(
+                   f"max(CASE WHEN rn = (n * {q} + 99) // 100 "
+                   f"THEN n_chars END) AS p{q}"
+                   for q in _QUANTILES
+               )}
+        FROM d GROUP BY lang
+    """,
     "token_count": """
         SELECT doc_id,
                len(list_filter(
@@ -187,4 +239,5 @@ QUERIES = {
     "quality_features": q_quality_features,
     "fingerprint": q_fingerprint,
     "language_id": q_language_id,
+    "length_quantiles": q_length_quantiles,
 }

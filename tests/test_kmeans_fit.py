@@ -1,0 +1,54 @@
+"""Iterative Lloyd k-means fit (operators/similarity_search.q_kmeans_fit)."""
+import pytest
+from pyspark.sql import functions as F
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmeans_fit_invariants(spark):
+    from pdf_extractor_spark.operators.similarity_search import (
+        KMEANS_DIM,
+        N_CENTROIDS,
+        q_kmeans_fit,
+    )
+
+    rows = q_kmeans_fit(spark, SF).collect()
+    n_total = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .where(F.size("embedding") == KMEANS_DIM)
+        .count()
+    )
+    assert sum(r["n_vecs"] for r in rows) == n_total
+    assert all(0 <= r["cluster"] < N_CENTROIDS for r in rows)
+    assert all(r["inertia"] >= 0 for r in rows)
+    # deterministic: a second run is identical
+    again = q_kmeans_fit(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_kmeans_fit_improves_on_seed_assignment(spark):
+    """Trained centroids must not be worse than the 0-update seed fit."""
+    import pdf_extractor_spark.operators.similarity_search as S
+
+    def total_inertia():
+        return sum(
+            r["inertia"] for r in S.q_kmeans_fit(spark, SF).collect()
+        )
+
+    trained = total_inertia()
+    orig = S.KMEANS_ITERS
+    try:
+        S.KMEANS_ITERS = 0
+        seed = total_inertia()
+    finally:
+        S.KMEANS_ITERS = orig
+    assert trained <= seed
+
+
+def test_registration():
+    import __spark_entry__ as e
+
+    for name in ("kmeans_fit", "length_quantiles"):
+        assert name in e.queries()
+        assert name in e.oracle_sql()
