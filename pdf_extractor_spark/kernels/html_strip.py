@@ -10,8 +10,11 @@ Heuristics:
 - drop <script>/<style>/<noscript> wholesale;
 - drop blocks inside <nav>/<header>/<footer>/<aside>;
 - split remaining markup into text blocks at block-level tag boundaries;
-- keep a block when its visible text is >= MIN_BLOCK_CHARS and its link
-  density (anchor-text chars / total chars) <= MAX_LINK_DENSITY;
+- keep a block when its visible text is >= MIN_BLOCK_CHARS, its link
+  density (anchor-text chars / total chars) <= MAX_LINK_DENSITY, and its
+  tag density (inline tags per visible char, boilerpipe-style) <=
+  MAX_TAG_DENSITY — the latter catches markup-heavy widgets (menus of
+  <span>s, button clusters) whose boilerplate carries no anchors;
 - join kept blocks with blank lines; spans index into the joined result.
 """
 from __future__ import annotations
@@ -21,6 +24,9 @@ from typing import List, Tuple
 
 MIN_BLOCK_CHARS = 25
 MAX_LINK_DENSITY = 0.33
+# tags per visible char; a paragraph with a few inline links sits ~0.02,
+# a <span>-menu or button bar ~0.3+
+MAX_TAG_DENSITY = 0.2
 
 _DROP_REGIONS_RE = re.compile(
     r"<(script|style|noscript|nav|header|footer|aside)\b.*?</\1\s*>",
@@ -56,6 +62,15 @@ def link_density(fragment: str) -> float:
     return min(1.0, anchor_chars / len(total))
 
 
+def tag_density(fragment: str) -> float:
+    """Inline tags per visible char (block-level tags were already consumed
+    as split boundaries). High values mark markup-heavy boilerplate."""
+    total = _visible_text(fragment)
+    if not total:
+        return 0.0
+    return len(_TAG_RE.findall(fragment)) / len(total)
+
+
 def extract_main_content(html: str) -> Tuple[str, List[Tuple[int, int]]]:
     """Strip boilerplate, returning (main_text, [(offset, length)] block spans
     into main_text). Deterministic; blocks joined with '\\n\\n'."""
@@ -68,6 +83,8 @@ def extract_main_content(html: str) -> Tuple[str, List[Tuple[int, int]]]:
         if len(text) < MIN_BLOCK_CHARS:
             continue
         if link_density(fragment) > MAX_LINK_DENSITY:
+            continue
+        if tag_density(fragment) > MAX_TAG_DENSITY:
             continue
         kept.append(text)
     spans: List[Tuple[int, int]] = []
