@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "status_breakdown",
     "kmeans_fit",
     "length_quantiles",
+    "range_join_binned",
 ]
 
 CORPUS_CACHE = "/tmp/spark_graft_bench/transcripts_{n}_{seed}"

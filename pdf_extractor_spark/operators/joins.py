@@ -207,7 +207,64 @@ def q_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_WINDOW_SEC = 300  # "clicks in the 5 minutes before each error"
+
+
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join via bucket binning: for each ``error`` event, count
+    the same user's ``click`` events in the preceding RANGE_WINDOW_SEC.
+
+    Scale shape: the range predicate alone would force a per-user
+    sort-merge with full cross-filtering inside each user (quadratic in a
+    hot user's events). Binning floor(epoch/W) turns it into an EQUI-join
+    on (user_id, bucket): the probe (error) side explodes to its two
+    covering buckets, the build side keys on its own bucket, and the exact
+    timestamp predicate filters the equi-matched candidates — per-task
+    work is bounded by events-per-(user, 5-min-bucket), not events-per-user.
+    A click's single bucket equals at most one of the error's two covering
+    buckets, so no double counting."""
+    from . import load
+
+    ev = load(spark, sf_dir, "events")
+    b = (F.unix_timestamp("ts") / RANGE_WINDOW_SEC).cast("long")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("e_ts"),
+        F.explode(F.array(b - 1, b)).alias("bucket"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+        b.alias("bucket"),
+    )
+    matched = errors.join(clicks, ["user_id", "bucket"]).where(
+        (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 300 SECONDS"))
+        & (F.col("c_ts") < F.col("e_ts"))
+    )
+    counts = matched.groupBy("event_id").agg(
+        F.count("*").alias("n_recent_clicks")
+    )
+    base = ev.where(F.col("event_type") == "error").select("event_id")
+    return base.join(counts, "event_id", "left").select(
+        "event_id",
+        F.coalesce("n_recent_clicks", F.lit(0)).alias("n_recent_clicks"),
+    )
+
+
 ORACLES = {
+    "range_join_binned": """
+        SELECT e.event_id,
+               count(c.user_id) AS n_recent_clicks
+        FROM events e
+        LEFT JOIN events c
+          ON c.event_type = 'click'
+         AND c.user_id = e.user_id
+         AND c.ts >= e.ts - INTERVAL 300 SECONDS
+         AND c.ts < e.ts
+        WHERE e.event_type = 'error'
+        GROUP BY 1
+    """,
     "spatial_join": f"""
         WITH cells AS (
             SELECT p_partkey AS cell_id,
@@ -337,4 +394,5 @@ QUERIES = {
     "table_merge_sessions": q_table_merge_sessions,
     "table_merge_fold": q_table_merge_fold,
     "base64_roundtrip": q_base64_roundtrip,
+    "range_join_binned": q_range_join_binned,
 }

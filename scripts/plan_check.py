@@ -34,6 +34,11 @@ RULES = {
     "dedup_minhash_lsh": ([], [r"SortMergeJoin", r"BroadcastHashJoin"]),
     "token_count": ([], [r"Exchange", r"BatchEvalPython", r"ArrowEvalPython"]),
     "normalize_text": ([], [r"Exchange", r"ArrowEvalPython"]),
+    # the range predicate must ride an equi-join on (user_id, bucket) — an
+    # NLJ here means the binning fell out of the join keys
+    "range_join_binned": ([r"Join"], [r"BroadcastNestedLoopJoin"]),
+    "length_quantiles": ([], [r"BroadcastNestedLoopJoin", r"ArrowEvalPython"]),
+    "lattice_stream_cascade": ([], [r"Exchange.*hashpartitioning.*Exchange"]),
 }
 
 
