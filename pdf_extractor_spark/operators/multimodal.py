@@ -66,7 +66,55 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(binary)
 
 
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, frame_offset bigint, frame_len bigint"
+)
+
+
+def sample_frames(binary_df: DataFrame) -> DataFrame:
+    """1→N mapInPandas: each binary "video" payload emits one row per
+    sampled frame (deterministic equal-stride offsets). This is the row-
+    exploding UDTF shape — a real decoder would yield decoded frame tensors
+    at these offsets; the stride/offset plumbing here is the real thing."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                n_frames = n % 7 + 1
+                stride = n // n_frames
+                for i in range(n_frames):
+                    rows.append((doc_id, i, i * stride, stride))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame_offset", "frame_len"],
+            )
+
+    return binary_df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over fake video payloads (documents' utf-8 bytes)."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    binary = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return sample_frames(binary)
+
+
 ORACLES = {
+    "frame_sample": """
+        WITH d AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n,
+                   octet_length(encode(text)) % 7 + 1 AS nf
+            FROM documents
+        )
+        SELECT doc_id, r.frame_idx,
+               r.frame_idx * (n // nf) AS frame_offset,
+               n // nf AS frame_len
+        FROM d, LATERAL (SELECT unnest(range(nf)) AS frame_idx) r
+    """,
     "multimodal_features": """
         SELECT doc_id,
                octet_length(encode(text)) AS n_bytes,
@@ -82,4 +130,5 @@ ORACLES = {
 
 QUERIES = {
     "multimodal_features": q_multimodal_features,
+    "frame_sample": q_frame_sample,
 }
