@@ -23,6 +23,27 @@ def extract_stream(transcript_stream: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    transcript_stream: DataFrame,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop turns whose normalized text was already
+    seen, with state bounded by the event-time watermark
+    (``dropDuplicatesWithinWatermark``) — the streaming twin of
+    ``operators.dedup.q_dedup_exact``. At 10^12-turn scale unbounded
+    dedup state is impossible; the watermark gives the standard bounded
+    contract: duplicates arriving within the lateness window are dropped,
+    older re-occurrences are a batch-compaction concern."""
+    from ..functions.expressions import normalize_for_comparison_expr
+
+    keyed = transcript_stream.withColumn(
+        "content_key", F.md5(normalize_for_comparison_expr(F.col("text")))
+    )
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_key"]
+    )
+
+
 def windowed_problem_counts(
     extracted_stream: DataFrame,
     watermark: str = "10 minutes",

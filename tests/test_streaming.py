@@ -63,3 +63,43 @@ def test_windowed_aggregate_with_watermark(spark, corpus_dir, tmp_path):
     assert len(rows) > 0
     total_turns = sum(r["turns"] for r in rows)
     assert total_turns == spark.read.parquet(corpus_dir).count()
+
+
+def test_dedup_stream_drops_in_window_duplicates(spark, tmp_path):
+    """Streaming exact dedup: duplicate content inside the watermark window
+    is dropped; distinct content survives."""
+    import datetime as dt
+
+    from pdf_extractor_spark.streaming.micro_batch import dedup_stream
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", 0, "user", "hello world", None, t0),
+        ("c1", 1, "assistant", "HELLO,  world!", None,
+         t0 + dt.timedelta(minutes=1)),  # same normalized content -> dup
+        ("c2", 0, "user", "something else entirely", None,
+         t0 + dt.timedelta(minutes=2)),
+        ("c2", 1, "user", "hello world", None,
+         t0 + dt.timedelta(minutes=3)),  # dup again
+    ]
+    src = os.path.join(str(tmp_path), "src")
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.parquet(src)
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT conv_id, turn_idx FROM dedup_stream_t ORDER BY conv_id, turn_idx"
+    ).collect()
+    kept = {(r["conv_id"], r["turn_idx"]) for r in got}
+    assert ("c2", 0) in kept
+    # exactly one of the three same-content turns survives
+    same = {("c1", 0), ("c1", 1), ("c2", 1)}
+    assert len(kept & same) == 1
+    assert len(kept) == 2
