@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "kmeans_fit",
     "length_quantiles",
     "range_join_binned",
+    "token_windows",
 ]
 
 CORPUS_CACHE = "/tmp/spark_graft_bench/transcripts_{n}_{seed}"

@@ -155,6 +155,55 @@ def _language_id_oracle() -> str:
     """
 
 
+WINDOW_TOKENS = 64  # tokens per training-context window
+WINDOW_STRIDE = 48  # 25% overlap between consecutive windows
+
+
+def q_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking — the standard LLM training-data
+    context-window op: each document becomes overlapping windows of
+    WINDOW_TOKENS tokens at WINDOW_STRIDE steps (last window may be short).
+    Pure JVM expressions: tokenize once, explode a window-index sequence,
+    slice per window — no Python, no shuffle (a pure map over the scan)."""
+    toks = F.filter(
+        F.split(
+            F.regexp_replace(
+                "text", r"([A-Za-z]+|\d+|[^\sA-Za-z\d])", "$1 "
+            ),
+            " ",
+        ),
+        lambda x: F.trim(x) != "",
+    )
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+    n_windows = F.expr(
+        f"(size(toks) + {WINDOW_STRIDE} - 1) div {WINDOW_STRIDE}"
+    )
+    win = F.slice(
+        F.col("toks"),
+        F.col("window_idx") * WINDOW_STRIDE + 1,
+        WINDOW_TOKENS,
+    )
+    return (
+        d.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), n_windows - 1)).alias(
+                "window_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("window_idx").cast("long").alias("window_idx"),
+            F.size(win).alias("n_tokens"),
+            F.array_join(win, " ").alias("window_text"),
+        )
+    )
+
+
 _QUANTILES = (25, 50, 75, 90, 99)
 
 
@@ -193,6 +242,31 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES = {
     "language_id": _language_id_oracle(),
+    "token_windows": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split(regexp_replace(text,
+                           '([A-Za-z]+|\\d+|[^\\sA-Za-z\\d])', '\\1 ', 'g'),
+                           ' '),
+                       x -> trim(x) <> '') AS toks
+            FROM documents
+        ), d AS (
+            SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               r.w AS window_idx,
+               len(list_slice(toks, r.w * {WINDOW_STRIDE} + 1,
+                              r.w * {WINDOW_STRIDE} + {WINDOW_TOKENS}))
+                   AS n_tokens,
+               array_to_string(
+                   list_slice(toks, r.w * {WINDOW_STRIDE} + 1,
+                              r.w * {WINDOW_STRIDE} + {WINDOW_TOKENS}), ' ')
+                   AS window_text
+        FROM d, LATERAL (
+            SELECT unnest(range((n + {WINDOW_STRIDE} - 1)
+                                // {WINDOW_STRIDE})) AS w) r
+    """,
     "length_quantiles": f"""
         WITH d AS (
             SELECT lang, n_chars,
@@ -240,4 +314,5 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "language_id": q_language_id,
     "length_quantiles": q_length_quantiles,
+    "token_windows": q_token_windows,
 }
