@@ -49,14 +49,15 @@ def connected_components(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
 
+    # Checkpoint the symmetric edges FIRST: both the node extraction below
+    # and every round's neighbor-min read them, so the edge-producing
+    # upstream (LSH banding + verify joins) must run exactly once.
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("node")).distinct()
         .withColumn("rep", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    # Symmetric edges are reused every round: checkpoint once so the pair
-    # generation upstream (LSH banding) runs once, not once per round.
-    sym = sym.localCheckpoint(eager=True)
 
     from pyspark.sql import Observation
 
@@ -74,6 +75,9 @@ def connected_components(
             "prev",
             F.least(F.col("prev"), F.coalesce("nbr_rep", "prev")).alias("rep"),
         )
+        # cache before the self-join below — otherwise the neighbor-min
+        # join+aggregate would be recomputed once per join side
+        stepped = stepped.persist()
         # pointer jump: rep <- rep(rep), halving remaining path lengths
         jump = stepped.select(
             F.col("node").alias("jnode"), F.col("rep").alias("jrep")
@@ -95,6 +99,7 @@ def connected_components(
             .select("node", "rep")
             .localCheckpoint(eager=True)
         )
+        stepped.unpersist()
         labels = new_labels
         if not obs.get["changed"]:
             return labels

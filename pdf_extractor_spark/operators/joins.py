@@ -239,7 +239,10 @@ def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.alias("bucket"),
     )
     matched = errors.join(clicks, ["user_id", "bucket"]).where(
-        (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 300 SECONDS"))
+        (
+            F.col("c_ts")
+            >= F.col("e_ts") - F.expr(f"INTERVAL {RANGE_WINDOW_SEC} SECONDS")
+        )
         & (F.col("c_ts") < F.col("e_ts"))
     )
     counts = matched.groupBy("event_id").agg(
@@ -253,14 +256,14 @@ def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES = {
-    "range_join_binned": """
+    "range_join_binned": f"""
         SELECT e.event_id,
                count(c.user_id) AS n_recent_clicks
         FROM events e
         LEFT JOIN events c
           ON c.event_type = 'click'
          AND c.user_id = e.user_id
-         AND c.ts >= e.ts - INTERVAL 300 SECONDS
+         AND c.ts >= e.ts - INTERVAL {RANGE_WINDOW_SEC} SECONDS
          AND c.ts < e.ts
         WHERE e.event_type = 'error'
         GROUP BY 1

@@ -273,9 +273,17 @@ def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     init = (
         ev.where(F.col("vec_id") < N_CENTROIDS)
         .orderBy("vec_id")
-        .select("vq")
+        .select("vec_id", "vq")
         .collect()
     )
+    # seed contract (mirrored by the oracle's `cid = vec_id`): vec_ids
+    # 0..N_CENTROIDS-1 must exist with the expected dimension — fail loudly
+    # rather than silently shifting cluster ids by position
+    if [r["vec_id"] for r in init] != list(range(N_CENTROIDS)):
+        raise ValueError(
+            f"kmeans_fit seeds require vec_ids 0..{N_CENTROIDS - 1} with "
+            f"{KMEANS_DIM}-dim embeddings; got {[r['vec_id'] for r in init]}"
+        )
     cents = [[v * _C_SCALE for v in r["vq"]] for r in init]
 
     for _ in range(KMEANS_ITERS):

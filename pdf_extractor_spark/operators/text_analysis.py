@@ -179,8 +179,11 @@ def q_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", toks.alias("toks"))
         .where(F.size("toks") > 0)
     )
+    # stop once a window reaches the document end: a further window would be
+    # a strict sub-range of the previous one (a 100%-duplicate chunk)
     n_windows = F.expr(
-        f"(size(toks) + {WINDOW_STRIDE} - 1) div {WINDOW_STRIDE}"
+        f"1 + (greatest(size(toks) - {WINDOW_TOKENS}, 0)"
+        f" + {WINDOW_STRIDE} - 1) div {WINDOW_STRIDE}"
     )
     win = F.slice(
         F.col("toks"),
@@ -264,8 +267,9 @@ ORACLES = {
                               r.w * {WINDOW_STRIDE} + {WINDOW_TOKENS}), ' ')
                    AS window_text
         FROM d, LATERAL (
-            SELECT unnest(range((n + {WINDOW_STRIDE} - 1)
-                                // {WINDOW_STRIDE})) AS w) r
+            SELECT unnest(range(1 + (greatest(n - {WINDOW_TOKENS}, 0)
+                                     + {WINDOW_STRIDE} - 1)
+                                    // {WINDOW_STRIDE})) AS w) r
     """,
     "length_quantiles": f"""
         WITH d AS (

@@ -52,3 +52,28 @@ def test_registration():
     for name in ("kmeans_fit", "length_quantiles"):
         assert name in e.queries()
         assert name in e.oracle_sql()
+
+
+def test_token_windows_no_duplicate_tails(spark):
+    """Every window must contain at least one token index not covered by
+    the previous window (no 100%-duplicate training chunks)."""
+    from pdf_extractor_spark.operators.text_analysis import (
+        WINDOW_STRIDE,
+        WINDOW_TOKENS,
+        q_token_windows,
+    )
+
+    rows = q_token_windows(spark, SF).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc, wins in by_doc.items():
+        wins.sort(key=lambda r: r["window_idx"])
+        for prev, cur in zip(wins, wins[1:]):
+            prev_end = prev["window_idx"] * WINDOW_STRIDE + prev["n_tokens"]
+            cur_end = cur["window_idx"] * WINDOW_STRIDE + cur["n_tokens"]
+            assert cur_end > prev_end, (doc, cur["window_idx"])
+        # last window reaches the end only when the doc exceeds one window
+        if len(wins) > 1:
+            assert wins[-1]["n_tokens"] >= 1
