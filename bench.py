@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "length_quantiles",
     "range_join_binned",
     "token_windows",
+    "dedup_incremental",
 ]
 
 CORPUS_CACHE = "/tmp/spark_graft_bench/transcripts_{n}_{seed}"

@@ -140,6 +140,68 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
 
 
+def incremental_lsh_pairs(
+    new_docs: DataFrame,
+    signature_store: str,
+    observation=None,
+) -> DataFrame:
+    """Incremental dedup — the production daily-batch pattern: signatures
+    are computed ONLY for the new documents, unioned with the persisted
+    corpus signature store, and candidate pairs are emitted only where at
+    least one side is new (old-vs-old pairs were found in previous runs).
+    The store is then extended with the new signatures, so each batch costs
+    O(new) signature compute + one bucketed shuffle over the union keys —
+    never a corpus-wide recompute.
+
+    Pair semantics are exactly `minhash_lsh_pairs(all docs)` filtered to
+    pairs involving a new doc (pinned by tests/test_dedup_pipeline.py)."""
+    spark = new_docs.sparkSession
+    # eager snapshots: the output must not depend on the store path after
+    # the append below (a lazy read could pick up the just-appended files
+    # and emit self-pairs), and the new signatures feed both the pair
+    # generation and the store extension — compute them once
+    new_sigs = _minhash_frame(new_docs).localCheckpoint(eager=True)
+    stored = spark.read.parquet(signature_store).localCheckpoint(eager=True)
+    new_ids = new_sigs.select("doc_id").withColumn("is_new", F.lit(True))
+    all_sigs = stored.unionByName(new_sigs)
+    pairs = _lsh_pairs_from_sigs(all_sigs, observation)
+    flagged = (
+        pairs.join(new_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left")
+        .withColumnRenamed("is_new", "a_new")
+        .join(new_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left")
+        .withColumnRenamed("is_new", "b_new")
+    )
+    out = flagged.where(
+        F.coalesce("a_new", F.lit(False)) | F.coalesce("b_new", F.lit(False))
+    ).select("doc_a", "doc_b")
+    # extend the store so the next batch sees these docs as old
+    new_sigs.write.mode("append").parquet(signature_store)
+    return out
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable incremental dedup: the corpus's first 80% of doc_ids
+    play the already-stored batch (store seeded fresh each run, so the query
+    is idempotent), the last 20% arrive as the new batch. Result = the full
+    LSH pair set restricted to pairs involving a new doc."""
+    import hashlib
+
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    split = docs.agg(
+        F.expr("(max(doc_id) * 4) div 5").alias("s")
+    ).first()["s"]
+    old = docs.where(F.col("doc_id") < split)
+    new = docs.where(F.col("doc_id") >= split)
+    store = (
+        "/tmp/spark_graft_store/"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    _minhash_frame(old).write.mode("overwrite").parquet(store)
+    return incremental_lsh_pairs(new, store)
+
+
 def lsh_score_pipeline(
     docs: DataFrame,
     checkpoint_path: str,
@@ -365,6 +427,31 @@ ORACLES = {
         JOIN bands b ON a.band = b.band AND a.h = b.h
         WHERE a.doc_id < b.doc_id
     """,
+    # incremental = the full pair set restricted to pairs involving a
+    # "new" doc (last 20% of doc_ids)
+    "dedup_incremental": _DUCK_MINHASH + f"""
+        , bands AS (
+            SELECT doc_id, b.band, b.h FROM sigs,
+            LATERAL (SELECT unnest([
+                {{'band': 0, 'h': mh0}}, {{'band': 1, 'h': mh1}},
+                {{'band': 2, 'h': mh2}}, {{'band': 3, 'h': mh3}},
+                {{'band': 4, 'h': mh4}}, {{'band': 5, 'h': mh5}},
+                {{'band': 6, 'h': mh6}}, {{'band': 7, 'h': mh7}}
+            ], recursive := true)) b(band, h)
+        ), kept AS (
+            SELECT band, h FROM bands GROUP BY band, h
+            HAVING count(*) BETWEEN 2 AND {MAX_BUCKET_DOCS}
+        ), split AS (
+            SELECT (max(doc_id) * 4) // 5 AS s FROM documents
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN kept k ON a.band = k.band AND a.h = k.h
+        JOIN bands b ON a.band = b.band AND a.h = b.h
+        WHERE a.doc_id < b.doc_id
+          AND (a.doc_id >= (SELECT s FROM split)
+               OR b.doc_id >= (SELECT s FROM split))
+    """,
     "dedup_ngram_jaccard": _DUCK_SHINGLES + f"""
         , sizes AS (
             SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
@@ -464,6 +551,7 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_incremental": q_dedup_incremental,
     "simhash_buckets": q_simhash_buckets,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,

@@ -50,3 +50,43 @@ def test_signatures_computed_once(spark, tmp_path):
     # the original in-memory docs frame anywhere downstream of the checkpoint
     assert "md5" not in plan
     assert "LocalTableScan" not in plan
+
+
+def test_incremental_lsh_matches_full_run(spark, tmp_path):
+    """Two-batch incremental dedup == full-corpus pairs filtered to pairs
+    involving each batch's new docs; the store grows batch by batch."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.dedup import (
+        _minhash_frame,
+        incremental_lsh_pairs,
+        minhash_lsh_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    SPLIT = 400
+    old = docs.where(F.col("doc_id") < SPLIT)
+    new = docs.where(F.col("doc_id") >= SPLIT)
+    store = str(tmp_path / "sigstore")
+
+    # batch 0 seeds the store
+    _minhash_frame(old).write.parquet(store)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_lsh_pairs(new, store).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    expected = {
+        (a, b) for a, b in full if a >= SPLIT or b >= SPLIT
+    }
+    assert got == expected
+    assert got  # the split actually exercises cross-batch pairs
+
+    # store now contains ALL signatures -> a rerun with zero new docs
+    # finds nothing
+    empty = incremental_lsh_pairs(new.limit(0), store)
+    assert empty.count() == 0
