@@ -28,6 +28,16 @@ _COMMON_RUN_RE = re.compile("[" + re.escape("".join(sorted(_COMMON_CHARS))) + "]
 
 
 @lru_cache(maxsize=8)
+def _table_lines(content: str) -> tuple:
+    """Stripped pipe-prefixed lines — shared by four detectors that each
+    scanned the page independently; cached per page object (see
+    _alnum_count on why the repeat lookup is ~free)."""
+    return tuple(
+        s for ln in content.split("\n") if (s := ln.strip()).startswith("|")
+    )
+
+
+@lru_cache(maxsize=8)
 def _alnum_count(content: str) -> int:
     # two detectors (density, garbled) count the same page back-to-back;
     # CPython caches str hashes, so the repeat lookup is ~free
@@ -73,7 +83,7 @@ def detect_inconsistent_columns(content: str) -> bool:
     """More than 2 distinct per-row column counts among pipe-rows."""
     if not content:
         return False
-    table_lines = [ln.strip() for ln in content.split("\n") if ln.strip().startswith("|")]
+    table_lines = _table_lines(content)
     if len(table_lines) < 3:
         return False
     return len({ln.count("|") - 1 for ln in table_lines}) > 2
@@ -104,7 +114,7 @@ def detect_header_only_tables(content: str) -> bool:
     """Table with a separator row but <=1 data row after it."""
     if not content:
         return False
-    lines = [ln.strip() for ln in content.split("\n") if ln.strip().startswith("|")]
+    lines = _table_lines(content)
     if len(lines) < 2:
         return False
     sep_indices = [i for i, ln in enumerate(lines) if "---" in ln]
@@ -132,7 +142,7 @@ def detect_malformed_structure(content: str) -> bool:
     """A table separator row where >30% of parts aren't dashes/spaces."""
     if not content:
         return False
-    table_lines = [ln.strip() for ln in content.split("\n") if ln.strip().startswith("|")]
+    table_lines = _table_lines(content)
     if len(table_lines) < 2:
         return False
     for sep in (ln for ln in table_lines if "-" in ln):
