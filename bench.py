@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "range_join_binned",
     "token_windows",
     "dedup_incremental",
+    "pii_redact",
 ]
 
 CORPUS_CACHE = "/tmp/spark_graft_bench/transcripts_{n}_{seed}"

@@ -202,6 +202,33 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES = {
+    "pii_redact": """
+        WITH s1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_email,
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g') AS t
+            FROM documents
+        ), s2 AS (
+            SELECT doc_id, n_email,
+                   len(regexp_extract_all(t,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                       AS n_ipv4,
+                   regexp_replace(t,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '[IPV4]', 'g') AS t
+            FROM s1
+        ), s3 AS (
+            SELECT doc_id, n_email, n_ipv4,
+                   len(regexp_extract_all(t, '\\b\\d{16}\\b')) AS n_card,
+                   regexp_replace(t, '\\b\\d{16}\\b', '[CARD]', 'g') AS t
+            FROM s2
+        )
+        SELECT doc_id, t AS redacted, n_email, n_ipv4, n_card FROM s3
+    """,
     "normalize_text": """
         SELECT doc_id,
                lower(regexp_replace(text, '[^\\p{L}\\p{N}]+', '', 'g')) AS normalized
@@ -301,7 +328,37 @@ ORACLES = {
     """,
 }
 
+# PII patterns shared by the Spark and DuckDB sides: no backreferences, no
+# lookaround, ASCII \b — the Java-regex / RE2 common subset, so both engines
+# match identical spans.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "card": r"\b\d{16}\b",
+}
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data PII scrub: replace emails / IPv4 addresses / 16-digit
+    card numbers with typed placeholders and count each kind — pure JVM
+    regexp chain, zero Python, zero shuffle (a map over the scan). The
+    counts are progressive: each kind is counted on the text with earlier
+    kinds already redacted, exactly as the redaction applies."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    red = F.col("text")
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(F.regexp_count(red, F.lit(pat)).alias(f"n_{kind}"))
+        red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
+    return docs.select(
+        "doc_id", red.alias("redacted"), *counts
+    )
+
+
 QUERIES = {
+    "pii_redact": q_pii_redact,
     "normalize_text": q_normalize_text,
     "page_header": q_page_header,
     "workflow_router": q_workflow_router,
