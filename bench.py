@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "token_windows",
     "dedup_incremental",
     "pii_redact",
+    "contamination_check",
 ]
 
 CORPUS_CACHE = "/tmp/spark_graft_bench/transcripts_{n}_{seed}"

@@ -179,6 +179,40 @@ def incremental_lsh_pairs(
     return out
 
 
+BENCHMARK_DOCS = 20  # docs playing the held-out benchmark set
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every corpus doc, how many of its
+    word 3-shingles appear anywhere in the benchmark set (the first
+    BENCHMARK_DOCS doc_ids stand in for a held-out eval set). Emits exact
+    integer counts (n_shingles, n_contaminated) — the removal policy
+    (e.g. drop when ratio > 0.1) stays a cheap downstream filter.
+
+    Scale shape: benchmark shingles are DISTINCT (bounded by the benchmark
+    size, not the corpus) and the match is a left-semi-style join keyed on
+    the shingle — contaminated counts come from one equi-keyed aggregation,
+    never a doc×doc comparison."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles_expr(F.col("text"))).alias("sh")
+    )
+    bench = (
+        sh.where(F.col("doc_id") < BENCHMARK_DOCS)
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = sh.where(F.col("doc_id") >= BENCHMARK_DOCS)
+    joined = corpus.join(bench, "sh", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("n_contaminated"),
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable incremental dedup: the corpus's first 80% of doc_ids
     play the already-stored batch (store seeded fresh each run, so the query
@@ -429,6 +463,18 @@ ORACLES = {
     """,
     # incremental = the full pair set restricted to pairs involving a
     # "new" doc (last 20% of doc_ids)
+    "contamination_check": _DUCK_SHINGLES + f"""
+        , bench AS (
+            SELECT DISTINCT sh FROM ex WHERE doc_id < {BENCHMARK_DOCS}
+        )
+        SELECT e.doc_id,
+               count(*) AS n_shingles,
+               sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_contaminated
+        FROM ex e LEFT JOIN bench b ON e.sh = b.sh
+        WHERE e.doc_id >= {BENCHMARK_DOCS}
+        GROUP BY 1
+    """,
     "dedup_incremental": _DUCK_MINHASH + f"""
         , bands AS (
             SELECT doc_id, b.band, b.h FROM sigs,
@@ -552,6 +598,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_incremental": q_dedup_incremental,
+    "contamination_check": q_contamination_check,
     "simhash_buckets": q_simhash_buckets,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
