@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "pii_redact",
     "contamination_check",
+    "vocab_top_ngrams",
 ]
 
 CORPUS_CACHE = "/tmp/spark_graft_bench/transcripts_{n}_{seed}"

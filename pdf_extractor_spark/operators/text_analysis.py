@@ -207,6 +207,57 @@ def q_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP_K = 100
+
+
+def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: corpus-wide token unigram + bigram counts,
+    top-K per n with deterministic ordering (count desc, gram asc). The
+    heavy lifting is one explode + hash-groupBy (map-side partial counts
+    make the shuffle carry one row per distinct gram per mapper); bigrams
+    come from zipping the token array with its shifted self — never a
+    per-element lambda over a recomputed split (CLAUDE.md perf rule)."""
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(
+            F.regexp_replace(
+                "text", r"([A-Za-z]+|\d+|[^\sA-Za-z\d])", "$1 "
+            ),
+            " ",
+        ),
+        lambda x: F.trim(x) != "",
+    )
+    d = _docs(spark, sf_dir).select(toks.alias("toks"))
+    n = F.size("toks")
+    uni = d.select(F.explode("toks").alias("gram")).withColumn(
+        "n", F.lit(1)
+    )
+    shifted = d.select(
+        "toks",
+        F.slice("toks", 2, F.greatest(n - 1, F.lit(0))).alias("next"),
+    )
+    bi = (
+        shifted.select(
+            F.explode(F.arrays_zip(F.col("toks"), F.col("next"))).alias("p")
+        )
+        .where(F.col("p.next").isNotNull())
+        .select(F.concat_ws(" ", "p.toks", "p.next").alias("gram"))
+        .withColumn("n", F.lit(2))
+    )
+    counts = (
+        uni.unionByName(bi)
+        .groupBy("n", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("n").orderBy(F.desc("cnt"), F.asc("gram"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= VOCAB_TOP_K)
+        .select("n", F.col("rk").cast("long").alias("rk"), "gram", "cnt")
+    )
+
+
 _QUANTILES = (25, 50, 75, 90, 99)
 
 
@@ -245,6 +296,33 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES = {
     "language_id": _language_id_oracle(),
+    "vocab_top_ngrams": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split(regexp_replace(text,
+                           '([A-Za-z]+|\\d+|[^\\sA-Za-z\\d])', '\\1 ', 'g'),
+                           ' '),
+                       x -> trim(x) <> '') AS toks
+            FROM documents
+        ), uni AS (
+            SELECT 1 AS n, unnest(toks) AS gram FROM toks
+        ), bi AS (
+            SELECT 2 AS n, toks[i] || ' ' || toks[i + 1] AS gram
+            FROM toks, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+            WHERE len(toks) >= 2
+        ), counts AS (
+            SELECT n, gram, count(*) AS cnt
+            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+            GROUP BY 1, 2
+        )
+        SELECT n, rk, gram, cnt FROM (
+            SELECT n, gram, cnt,
+                   row_number() OVER (PARTITION BY n
+                                      ORDER BY cnt DESC, gram ASC) AS rk
+            FROM counts
+        ) WHERE rk <= {VOCAB_TOP_K}
+    """,
     "token_windows": f"""
         WITH toks AS (
             SELECT doc_id,
@@ -319,4 +397,5 @@ QUERIES = {
     "language_id": q_language_id,
     "length_quantiles": q_length_quantiles,
     "token_windows": q_token_windows,
+    "vocab_top_ngrams": q_vocab_top_ngrams,
 }
