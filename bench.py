@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "contamination_check",
     "vocab_top_ngrams",
+    "holdout_split",
 ]
 
 CORPUS_CACHE = "/tmp/spark_graft_bench/transcripts_{n}_{seed}"

@@ -19,6 +19,10 @@ from ..functions.expressions import (
 )
 from ..functions.udfs import extract_numbers_udf
 
+SPLIT_VAL_PCT = 10  # % of md5 buckets -> validation
+SPLIT_TEST_PCT = 10  # % -> test; remainder -> train
+
+
 # Router mapping whose patterns actually occur in the documents vocabulary.
 DOC_ROUTER_MAPPING = {
     "spark": "text_extraction",
@@ -202,6 +206,21 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES = {
+    "holdout_split": f"""
+        WITH b AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+                       % 100 AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < {SPLIT_VAL_PCT} THEN 'val'
+                    WHEN bucket < {SPLIT_VAL_PCT + SPLIT_TEST_PCT} THEN 'test'
+                    ELSE 'train' END AS split,
+               count(*) AS n_docs,
+               min(doc_id) AS min_doc,
+               max(doc_id) AS max_doc
+        FROM b GROUP BY 1
+    """,
     "pii_redact": """
         WITH s1 AS (
             SELECT doc_id,
@@ -328,6 +347,31 @@ ORACLES = {
     """,
 }
 
+def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = the first 4 hex
+    chars of md5(doc_id) mod 100 — content-stable (same doc always lands in
+    the same split, across runs, engines, and cluster sizes; no RNG, no
+    sampleBy). A pure map over the scan; the per-split counts are one
+    hash-groupBy. This is the standard holdout recipe for training
+    pipelines where splits must survive re-partitioning and backfills."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    ) % 100
+    split = (
+        F.when(bucket < SPLIT_VAL_PCT, "val")
+        .when(bucket < SPLIT_VAL_PCT + SPLIT_TEST_PCT, "test")
+        .otherwise("train")
+    )
+    return docs.select("doc_id", split.alias("split")).groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 # PII patterns shared by the Spark and DuckDB sides: no backreferences, no
 # lookaround, ASCII \b — the Java-regex / RE2 common subset, so both engines
 # match identical spans.
@@ -358,6 +402,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "holdout_split": q_holdout_split,
     "pii_redact": q_pii_redact,
     "normalize_text": q_normalize_text,
     "page_header": q_page_header,
