@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "contamination_check",
     "vocab_top_ngrams",
     "holdout_split",
+    "gopher_quality",
 ]
 
 CORPUS_CACHE = "/tmp/spark_graft_bench/transcripts_{n}_{seed}"

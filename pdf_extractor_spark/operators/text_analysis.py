@@ -207,6 +207,53 @@ def q_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public):
+    word-count bounds, mean-word-length bounds, bullet-line fraction,
+    alphabetic-word fraction. Every ratio test is a CROSS-MULTIPLIED
+    integer comparison (e.g. ``3*n_words <= sum_chars <= 10*n_words``), so
+    the keep decision is exact and engine-independent — no float ratios
+    near thresholds. Pure JVM map over the scan."""
+    ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    lines = F.filter(F.split("text", "\n"), lambda x: F.trim(x) != "")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.aggregate(
+            F.transform(ws, lambda w: F.length(w)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("sum_chars"),
+        F.size(F.filter(ws, lambda w: w.rlike(r"\p{L}"))).alias(
+            "n_alpha_words"
+        ),
+        F.size(lines).alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.trim(ln).rlike(r"^[-*•]"),
+            )
+        ).alias("n_bullet_lines"),
+    )
+    keep = (
+        (F.col("n_words") >= 5)
+        & (F.col("n_words") <= 100000)
+        & (F.col("sum_chars") >= 3 * F.col("n_words"))
+        & (F.col("sum_chars") <= 10 * F.col("n_words"))
+        & (5 * F.col("n_alpha_words") >= 4 * F.col("n_words"))
+        & (10 * F.col("n_bullet_lines") < 9 * F.col("n_lines"))
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        "sum_chars",
+        "n_alpha_words",
+        "n_lines",
+        "n_bullet_lines",
+        keep.alias("keep"),
+    )
+
+
 VOCAB_TOP_K = 100
 
 
@@ -296,6 +343,35 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES = {
     "language_id": _language_id_oracle(),
+    "gopher_quality": """
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS ws,
+                   list_filter(string_split(text, chr(10)),
+                               x -> trim(x) <> '') AS lines
+            FROM documents
+        ), c AS (
+            SELECT doc_id,
+                   len(ws) AS n_words,
+                   coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+                       ::BIGINT AS sum_chars,
+                   len(list_filter(ws, w -> regexp_matches(w, '\\p{L}')))
+                       AS n_alpha_words,
+                   len(lines) AS n_lines,
+                   len(list_filter(lines,
+                       ln -> regexp_matches(trim(ln), '^[-*\u2022]')))
+                       AS n_bullet_lines
+            FROM d
+        )
+        SELECT doc_id, n_words, sum_chars, n_alpha_words, n_lines,
+               n_bullet_lines,
+               (n_words >= 5 AND n_words <= 100000
+                AND sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words
+                AND 5 * n_alpha_words >= 4 * n_words
+                AND 10 * n_bullet_lines < 9 * n_lines) AS keep
+        FROM c
+    """,
     "vocab_top_ngrams": f"""
         WITH toks AS (
             SELECT doc_id,
@@ -398,4 +474,5 @@ QUERIES = {
     "length_quantiles": q_length_quantiles,
     "token_windows": q_token_windows,
     "vocab_top_ngrams": q_vocab_top_ngrams,
+    "gopher_quality": q_gopher_quality,
 }
