@@ -100,17 +100,24 @@ def main() -> None:
     # warm the JVM/Arrow paths once with a small slice
     run_pipeline(transcripts.limit(2000)).write.mode("overwrite").format("noop").save()
 
-    # best of 2: first full run also finishes JIT/worker-pool warmup
-    extract_sec = float("inf")
-    for _ in range(2):
+    def run_once() -> float:
         t0 = time.perf_counter()
         run_pipeline(transcripts).write.mode("overwrite").format("noop").save()
-        extract_sec = min(extract_sec, time.perf_counter() - t0)
+        return time.perf_counter() - t0
+
+    # best of 3, with the third run AFTER the query timings: the host has
+    # multi-minute stall bursts (observed 7x), and back-to-back runs share
+    # one burst — spreading the samples across the bench window bounds the
+    # damage. First full run also finishes JIT/worker-pool warmup.
+    extract_sec = min(run_once(), run_once())
 
     queries = entry_mod.queries()
-    timings = {"extraction_pipeline": round(extract_sec, 3)}
+    timings = {}
     for name in BENCH_QUERIES:
         timings[name] = round(time_noop(queries[name], spark, sf_dir), 3)
+
+    extract_sec = min(extract_sec, run_once())
+    timings = {"extraction_pipeline": round(extract_sec, 3), **timings}
 
     print(json.dumps({
         "metric": "extracted_turns_per_sec",
