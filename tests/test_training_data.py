@@ -1,0 +1,53 @@
+"""End-to-end training-data curation (plans/training_data.py)."""
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.plans.training_data import curate
+from pdf_extractor_spark.sources.transcripts import transcripts_df
+
+
+@pytest.fixture(scope="module")
+def curated(spark):
+    return curate(transcripts_df(spark, 60, seed=42)).cache()
+
+
+def test_schema_and_rows(curated):
+    assert set(curated.columns) == {
+        "conv_id", "split", "text", "n_words", "n_turns", "total_pages",
+    }
+    n = curated.count()
+    assert 0 < n <= 60
+
+
+def test_quality_gate_applied(curated):
+    assert curated.where(F.col("n_words") < 20).count() == 0
+
+
+def test_split_deterministic_and_complete(spark, curated):
+    splits = {r["split"] for r in curated.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+    again = curate(transcripts_df(spark, 60, seed=42))
+    a = {(r["conv_id"], r["split"]) for r in curated.select("conv_id", "split").collect()}
+    b = {(r["conv_id"], r["split"]) for r in again.select("conv_id", "split").collect()}
+    assert a == b
+
+
+def test_dedup_and_pii(spark):
+    """Inject a duplicate conversation and a PII-bearing one."""
+    base = transcripts_df(spark, 5, seed=42)
+    long_text = " ".join(f"alpha{i} beta gamma" for i in range(30))
+    extra = spark.createDataFrame(
+        [
+            ("zz_dup_1", 0, "user", long_text, None, None),
+            ("zz_dup_2", 0, "user", long_text, None, None),
+            ("zz_pii", 0, "user",
+             long_text + " contact someone@example.com now", None, None),
+        ],
+        base.schema,
+    )
+    out = curate(base.union(extra)).collect()
+    by_id = {r["conv_id"]: r for r in out}
+    # exact dedup keeps the lexicographically-first conv_id
+    assert "zz_dup_1" in by_id and "zz_dup_2" not in by_id
+    assert "[EMAIL]" in by_id["zz_pii"]["text"]
+    assert "someone@example.com" not in by_id["zz_pii"]["text"]
