@@ -270,6 +270,24 @@ def validation_report(extracted: DataFrame) -> DataFrame:
     )
 
 
+def tool_usage(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation tool-call rollup over the raw transcript columns the
+    input contract carries (`role`/`tool`/`ts`): tool-turn count, the
+    deterministic sorted set of tools used, and the conversation's
+    event-time span. One keyed aggregation; collect_list drops the null
+    tool of non-tool turns for free."""
+    return transcripts.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum((F.col("role") == "tool").cast("int")).alias("n_tool_turns"),
+        F.array_join(
+            F.array_distinct(F.sort_array(F.collect_list("tool"))), ","
+        ).alias("tools_used"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("span_seconds"),
+    )
+
+
 def run_pipeline(
     transcripts: DataFrame,
     salt_partitions: Optional[int] = None,

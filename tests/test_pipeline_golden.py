@@ -91,3 +91,31 @@ def test_rerun_determinism(spark, spark_transcripts):
     out1 = run_pipeline(spark_transcripts).orderBy("conv_id").collect()
     out2 = run_pipeline(spark_transcripts).orderBy("conv_id").collect()
     assert out1 == out2
+
+
+def test_tool_usage_rollup(spark, spark_transcripts, golden_rows):
+    from pdf_extractor_spark.plans.pipeline import tool_usage
+
+    got = {r["conv_id"]: r for r in tool_usage(spark_transcripts).collect()}
+    # replay from the golden rows
+    from collections import defaultdict
+    expect = defaultdict(lambda: {"n": 0, "tools": set(), "ts": []})
+    for r in golden_rows:
+        e = expect[r["conv_id"]]
+        e["n"] += 1
+        if r["role"] == "tool":
+            e["tools"].add(r["tool"])
+        e["ts"].append(r["ts"])
+    assert set(got) == set(expect)
+    for cid, e in expect.items():
+        g = got[cid]
+        assert g["n_turns"] == e["n"]
+        assert g["n_tool_turns"] == sum(
+            1 for r in golden_rows
+            if r["conv_id"] == cid and r["role"] == "tool"
+        )
+        assert g["tools_used"] == ",".join(sorted(e["tools"]))
+        span = int((max(e["ts"]) - min(e["ts"])).total_seconds())
+        assert g["span_seconds"] == span
+    # the generator actually produces tool turns
+    assert any(g["n_tool_turns"] > 0 for g in got.values())
