@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "vocab_top_ngrams",
     "holdout_split",
     "gopher_quality",
+    "ann_recall",
+    "ann_ivf_trained",
 ]
 
 CORPUS_CACHE = "/tmp/spark_graft_bench/transcripts_{n}_{seed}"

@@ -77,3 +77,23 @@ def test_token_windows_no_duplicate_tails(spark):
         # last window reaches the end only when the doc exceeds one window
         if len(wins) > 1:
             assert wins[-1]["n_tokens"] >= 1
+
+
+def test_trained_ivf_recall_beats_lsh(spark):
+    """The data-adaptive quantizer must recall (much) better than the
+    static sign-bucket LSH at the same probe budget shape."""
+    from pdf_extractor_spark.operators.similarity_search import (
+        q_ann_ivf_cosine,
+        q_ann_ivf_trained,
+        q_knn_cosine,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {(r["q_id"], r["neighbor_id"])
+             for r in q_knn_cosine(spark, sf).collect()}
+    lsh = {(r["q_id"], r["neighbor_id"])
+           for r in q_ann_ivf_cosine(spark, sf).collect()}
+    ivf = {(r["q_id"], r["neighbor_id"])
+           for r in q_ann_ivf_trained(spark, sf).collect()}
+    assert len(exact & ivf) > len(exact & lsh)
+    assert len(exact & ivf) >= 0.8 * len(exact)
