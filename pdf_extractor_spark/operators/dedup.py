@@ -154,14 +154,27 @@ def incremental_lsh_pairs(
     never a corpus-wide recompute.
 
     Pair semantics are exactly `minhash_lsh_pairs(all docs)` filtered to
-    pairs involving a new doc (pinned by tests/test_dedup_pipeline.py)."""
+    pairs involving a new doc (pinned by tests/test_dedup_pipeline.py).
+    Retry-safe: docs already present in the store are treated as OLD (an
+    anti-join guard), so a re-submitted batch cannot duplicate store rows,
+    emit self-pairs, or inflate bucket counts past the DF-cut — a retry
+    after a successful append simply finds nothing new."""
+    import glob
+    import os
+
     spark = new_docs.sparkSession
-    # eager snapshots: the output must not depend on the store path after
-    # the append below (a lazy read could pick up the just-appended files
-    # and emit self-pairs), and the new signatures feed both the pair
-    # generation and the store extension — compute them once
-    new_sigs = _minhash_frame(new_docs).localCheckpoint(eager=True)
-    stored = spark.read.parquet(signature_store).localCheckpoint(eager=True)
+    # pin the store snapshot by file list (O(1) driver work): the append
+    # below cannot leak into this read, and unlike a localCheckpoint of
+    # the store this costs nothing per batch as the corpus grows
+    files = sorted(glob.glob(os.path.join(signature_store, "*.parquet")))
+    stored = spark.read.parquet(*files)
+    # the new-batch signatures feed the pair generation AND the store
+    # extension — compute them once (O(new), the only materialization)
+    new_sigs = (
+        _minhash_frame(new_docs)
+        .join(stored.select("doc_id"), "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
     new_ids = new_sigs.select("doc_id").withColumn("is_new", F.lit(True))
     all_sigs = stored.unionByName(new_sigs)
     pairs = _lsh_pairs_from_sigs(all_sigs, observation)

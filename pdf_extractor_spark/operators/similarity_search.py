@@ -413,10 +413,6 @@ def _kmeans_cte_chain():
             LEFT JOIN stats{it} s ON s.cid = p.cid AND s.d = p.d
         )""")
     last = KMEANS_ITERS
-    cent_cols = ", ".join(
-        f"max(CASE WHEN d = {d} THEN c END) AS c{d}"
-        for d in range(_N_CENT_OUT)
-    )
     parts.append(f"""
         , distF AS (
             SELECT e.vec_id, c.cid,

@@ -159,21 +159,45 @@ WINDOW_TOKENS = 64  # tokens per training-context window
 WINDOW_STRIDE = 48  # 25% overlap between consecutive windows
 
 
+def _tokens_expr(col: str = "text") -> F.Column:
+    """BPE-ish token array (alpha runs | digit runs | single symbol),
+    shared by token_windows and vocab_top_ngrams. Tokens are TRIMMED: the
+    marker-split leaves original whitespace attached to the following
+    token ('abc\\ndef' -> '\\ndef'), which would fragment vocabulary counts
+    across whitespace-prefixed variants."""
+    return F.filter(
+        F.transform(
+            F.split(
+                F.regexp_replace(
+                    col, r"([A-Za-z]+|\d+|[^\sA-Za-z\d])", "$1 "
+                ),
+                r"\s+",
+            ),
+            F.trim,
+        ),
+        lambda x: x != "",
+    )
+
+
+# DuckDB twin of _tokens_expr (RE2 split on runs of whitespace + trim)
+_DUCK_TOKS = """
+            list_filter(
+                list_transform(
+                    regexp_split_to_array(regexp_replace(text,
+                        '([A-Za-z]+|\\d+|[^\\sA-Za-z\\d])', '\\1 ', 'g'),
+                        '\\s+'),
+                    x -> trim(x)),
+                x -> x <> '')
+"""
+
+
 def q_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding token-window chunking — the standard LLM training-data
     context-window op: each document becomes overlapping windows of
     WINDOW_TOKENS tokens at WINDOW_STRIDE steps (last window may be short).
     Pure JVM expressions: tokenize once, explode a window-index sequence,
     slice per window — no Python, no shuffle (a pure map over the scan)."""
-    toks = F.filter(
-        F.split(
-            F.regexp_replace(
-                "text", r"([A-Za-z]+|\d+|[^\sA-Za-z\d])", "$1 "
-            ),
-            " ",
-        ),
-        lambda x: F.trim(x) != "",
-    )
+    toks = _tokens_expr()
     d = (
         _docs(spark, sf_dir)
         .select("doc_id", toks.alias("toks"))
@@ -207,17 +231,12 @@ def q_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style document quality rules (Rae et al. 2021, public):
-    word-count bounds, mean-word-length bounds, bullet-line fraction,
-    alphabetic-word fraction. Every ratio test is a CROSS-MULTIPLIED
-    integer comparison (e.g. ``3*n_words <= sum_chars <= 10*n_words``), so
-    the keep decision is exact and engine-independent — no float ratios
-    near thresholds. Pure JVM map over the scan."""
-    ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
-    lines = F.filter(F.split("text", "\n"), lambda x: F.trim(x) != "")
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
+def word_stats_exprs(col: str = "text") -> list:
+    """The Gopher word statistics (word count, summed word length,
+    alphabetic-word count) as aliased columns — the single definition both
+    q_gopher_quality and plans.training_data.curate use."""
+    ws = F.filter(F.split(col, r"\s+"), lambda x: x != "")
+    return [
         F.size(ws).alias("n_words"),
         F.aggregate(
             F.transform(ws, lambda w: F.length(w)),
@@ -227,6 +246,20 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(ws, lambda w: w.rlike(r"\p{L}"))).alias(
             "n_alpha_words"
         ),
+    ]
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public):
+    word-count bounds, mean-word-length bounds, bullet-line fraction,
+    alphabetic-word fraction. Every ratio test is a CROSS-MULTIPLIED
+    integer comparison (e.g. ``3*n_words <= sum_chars <= 10*n_words``), so
+    the keep decision is exact and engine-independent — no float ratios
+    near thresholds. Pure JVM map over the scan."""
+    lines = F.filter(F.split("text", "\n"), lambda x: F.trim(x) != "")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        *word_stats_exprs("text"),
         F.size(lines).alias("n_lines"),
         F.size(
             F.filter(
@@ -266,16 +299,7 @@ def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-element lambda over a recomputed split (CLAUDE.md perf rule)."""
     from pyspark.sql import Window
 
-    toks = F.filter(
-        F.split(
-            F.regexp_replace(
-                "text", r"([A-Za-z]+|\d+|[^\sA-Za-z\d])", "$1 "
-            ),
-            " ",
-        ),
-        lambda x: F.trim(x) != "",
-    )
-    d = _docs(spark, sf_dir).select(toks.alias("toks"))
+    d = _docs(spark, sf_dir).select(_tokens_expr().alias("toks"))
     n = F.size("toks")
     uni = d.select(F.explode("toks").alias("gram")).withColumn(
         "n", F.lit(1)
@@ -375,11 +399,7 @@ ORACLES = {
     "vocab_top_ngrams": f"""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(
-                       string_split(regexp_replace(text,
-                           '([A-Za-z]+|\\d+|[^\\sA-Za-z\\d])', '\\1 ', 'g'),
-                           ' '),
-                       x -> trim(x) <> '') AS toks
+                   {_DUCK_TOKS} AS toks
             FROM documents
         ), uni AS (
             SELECT 1 AS n, unnest(toks) AS gram FROM toks
@@ -402,11 +422,7 @@ ORACLES = {
     "token_windows": f"""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(
-                       string_split(regexp_replace(text,
-                           '([A-Za-z]+|\\d+|[^\\sA-Za-z\\d])', '\\1 ', 'g'),
-                           ' '),
-                       x -> trim(x) <> '') AS toks
+                   {_DUCK_TOKS} AS toks
             FROM documents
         ), d AS (
             SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0

@@ -347,6 +347,19 @@ ORACLES = {
     """,
 }
 
+def holdout_split_expr(id_col: F.Column) -> F.Column:
+    """'train'/'val'/'test' from md5 buckets of an id column — the single
+    definition both q_holdout_split and plans.training_data.curate use."""
+    bucket = F.conv(
+        F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10
+    ).cast("long") % 100
+    return (
+        F.when(bucket < SPLIT_VAL_PCT, "val")
+        .when(bucket < SPLIT_VAL_PCT + SPLIT_TEST_PCT, "test")
+        .otherwise("train")
+    )
+
+
 def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment: bucket = the first 4 hex
     chars of md5(doc_id) mod 100 — content-stable (same doc always lands in
@@ -357,14 +370,7 @@ def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import load
 
     docs = load(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
-        "long"
-    ) % 100
-    split = (
-        F.when(bucket < SPLIT_VAL_PCT, "val")
-        .when(bucket < SPLIT_VAL_PCT + SPLIT_TEST_PCT, "test")
-        .otherwise("train")
-    )
+    split = holdout_split_expr(F.col("doc_id"))
     return docs.select("doc_id", split.alias("split")).groupBy("split").agg(
         F.count("*").alias("n_docs"),
         F.min("doc_id").alias("min_doc"),
@@ -382,6 +388,18 @@ PII_PATTERNS = {
 }
 
 
+def _pii_placeholder(kind: str) -> str:
+    return f"[{kind.upper()}]"
+
+
+def pii_redact_expr(col: F.Column) -> F.Column:
+    """The full redaction chain (same pattern order as the counting loop) —
+    the single definition q_pii_redact and plans.training_data.curate use."""
+    for kind, pat in PII_PATTERNS.items():
+        col = F.regexp_replace(col, pat, _pii_placeholder(kind))
+    return col
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data PII scrub: replace emails / IPv4 addresses / 16-digit
     card numbers with typed placeholders and count each kind — pure JVM
@@ -395,7 +413,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = []
     for kind, pat in PII_PATTERNS.items():
         counts.append(F.regexp_count(red, F.lit(pat)).alias(f"n_{kind}"))
-        red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
+        red = F.regexp_replace(red, pat, _pii_placeholder(kind))
     return docs.select(
         "doc_id", red.alias("redacted"), *counts
     )

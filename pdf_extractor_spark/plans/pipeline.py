@@ -282,9 +282,12 @@ def tool_usage(transcripts: DataFrame) -> DataFrame:
         F.array_join(
             F.array_distinct(F.sort_array(F.collect_list("tool"))), ","
         ).alias("tools_used"),
-        (
-            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
-        ).alias("span_seconds"),
+        # difference of fractional epoch seconds, truncated ONCE — per-
+        # endpoint unix_timestamp() truncation would be off by a second on
+        # sub-second timestamps
+        (F.max("ts").cast("double") - F.min("ts").cast("double"))
+        .cast("long")
+        .alias("span_seconds"),
     )
 
 

@@ -21,12 +21,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.expressions import normalize_for_comparison_expr
-from ..operators.text_ops import PII_PATTERNS, SPLIT_TEST_PCT, SPLIT_VAL_PCT
+from ..operators.text_analysis import word_stats_exprs
+from ..operators.text_ops import holdout_split_expr, pii_redact_expr
 from .pipeline import assemble_conversations, extract_transcripts
 
-# Gopher gates, cross-multiplied integer form (operators.text_analysis
-# documents the rules; conversations are longer than single documents, so
-# the word floor is higher)
+# Gopher gates, cross-multiplied integer form. The STATS come from the
+# oracle-gated word_stats_exprs; the THRESHOLDS deliberately deviate from
+# q_gopher_quality's document rules: higher word floor (conversations are
+# longer than single documents), mean-word-length ceiling 12 not 10
+# (markdown headers/separators inflate it), and no bullet rule (assembled
+# conversations legitimately contain table/list markup).
 MIN_WORDS = 20
 MAX_WORDS = 1_000_000
 
@@ -36,23 +40,13 @@ def curate(transcripts: DataFrame) -> DataFrame:
     (conv_id, split, text, n_words, n_turns, total_pages)."""
     assembled = assemble_conversations(extract_transcripts(transcripts))
 
-    ws = F.filter(
-        F.split("conversation_markdown", r"\s+"), lambda x: x != ""
-    )
+    # the same word statistics the oracle-gated q_gopher_quality uses
     scored = assembled.select(
         "conv_id",
         "n_turns",
         "total_pages",
         F.col("conversation_markdown").alias("text"),
-        F.size(ws).alias("n_words"),
-        F.aggregate(
-            F.transform(ws, lambda w: F.length(w)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("sum_chars"),
-        F.size(F.filter(ws, lambda w: w.rlike(r"\p{L}"))).alias(
-            "n_alpha_words"
-        ),
+        *word_stats_exprs("conversation_markdown"),
     )
     kept = scored.where(
         (F.col("n_words") >= MIN_WORDS)
@@ -62,10 +56,7 @@ def curate(transcripts: DataFrame) -> DataFrame:
         & (5 * F.col("n_alpha_words") >= 4 * F.col("n_words"))
     )
 
-    red = F.col("text")
-    for kind, pat in PII_PATTERNS.items():
-        red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
-    redacted = kept.withColumn("text", red)
+    redacted = kept.withColumn("text", pii_redact_expr(F.col("text")))
 
     # exact dedup on normalized content: keep the lowest conv_id per key
     key = F.md5(normalize_for_comparison_expr(F.col("text")))
@@ -79,17 +70,7 @@ def curate(transcripts: DataFrame) -> DataFrame:
         .drop("rk", "content_key", "sum_chars", "n_alpha_words")
     )
 
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("conv_id")), 1, 4), 16, 10
-        ).cast("long")
-        % 100
-    )
-    split = (
-        F.when(bucket < SPLIT_VAL_PCT, "val")
-        .when(bucket < SPLIT_VAL_PCT + SPLIT_TEST_PCT, "test")
-        .otherwise("train")
-    )
+    split = holdout_split_expr(F.col("conv_id"))
     return deduped.select(
         "conv_id", split.alias("split"), "text", "n_words", "n_turns",
         "total_pages",

@@ -90,3 +90,34 @@ def test_incremental_lsh_matches_full_run(spark, tmp_path):
     # finds nothing
     empty = incremental_lsh_pairs(new.limit(0), store)
     assert empty.count() == 0
+
+
+def test_incremental_retry_is_safe(spark, tmp_path):
+    """Re-submitting an already-committed batch must not duplicate store
+    rows, emit self-pairs, or emit anything at all."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.dedup import (
+        _minhash_frame,
+        incremental_lsh_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    old = docs.where(F.col("doc_id") < 450)
+    new = docs.where(F.col("doc_id") >= 450)
+    store = str(tmp_path / "sigstore_retry")
+    _minhash_frame(old).write.parquet(store)
+
+    first = incremental_lsh_pairs(new, store).collect()
+    assert all(r["doc_a"] != r["doc_b"] for r in first)
+    n_store = spark.read.parquet(store).count()
+    assert n_store == 500
+
+    # retry the same batch: nothing new, store unchanged
+    retry = incremental_lsh_pairs(new, store).collect()
+    assert retry == []
+    assert spark.read.parquet(store).count() == 500
+    assert (
+        spark.read.parquet(store).select("doc_id").distinct().count() == 500
+    )
