@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "gopher_quality",
     "ann_recall",
     "ann_ivf_trained",
+    "corpus_merge",
 ]
 
 CORPUS_CACHE = "/tmp/spark_graft_bench/transcripts_{n}_{seed}"

@@ -192,6 +192,29 @@ def incremental_lsh_pairs(
     return out
 
 
+def q_corpus_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus merge with provenance — the "merge multiple
+    crawls" op: documents from all sources collapse onto their normalized-
+    content fingerprint; each surviving row keeps the canonical doc (min
+    doc_id), how many sources contributed, and the sorted source list.
+    One hash-groupBy keyed on content — scales like exact dedup."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    key = F.md5(normalize_for_comparison_expr(F.col("text")))
+    return (
+        docs.select(key.alias("fingerprint"), "doc_id", "source")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+            F.array_join(
+                F.array_distinct(F.sort_array(F.collect_list("source"))), ","
+            ).alias("sources"),
+        )
+    )
+
+
 BENCHMARK_DOCS = 20  # docs playing the held-out benchmark set
 
 
@@ -444,6 +467,15 @@ _DUCK_MINHASH = _DUCK_SHINGLES + """
 """
 
 ORACLES = {
+    "corpus_merge": """
+        SELECT md5(lower(regexp_replace(text, '[^\\p{L}\\p{N}]+', '', 'g')))
+                   AS fingerprint,
+               min(doc_id) AS canonical_id,
+               count(*) AS n_copies,
+               array_to_string(list_distinct(list_sort(list(source))), ',')
+                   AS sources
+        FROM documents GROUP BY 1
+    """,
     "dedup_exact": """
         SELECT md5(lower(regexp_replace(text, '[^\\p{L}\\p{N}]+', '', 'g')))
                    AS content_key,
@@ -612,6 +644,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_incremental": q_dedup_incremental,
     "contamination_check": q_contamination_check,
+    "corpus_merge": q_corpus_merge,
     "simhash_buckets": q_simhash_buckets,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,

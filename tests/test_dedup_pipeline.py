@@ -121,3 +121,30 @@ def test_incremental_retry_is_safe(spark, tmp_path):
     assert (
         spark.read.parquet(store).select("doc_id").distinct().count() == 500
     )
+
+
+def test_corpus_merge_provenance(spark):
+    """Cross-source merge collapses same-content docs and keeps sorted
+    source provenance (the sf corpus has no cross-source dups, so pin the
+    behavior with crafted rows)."""
+    import pdf_extractor_spark.operators.dedup as D
+
+    rows = [
+        (1, "Same Content here!", "en", "crawl_a", 18),
+        (2, "same   content HERE", "en", "crawl_b", 19),  # same normalized
+        (3, "different content", "en", "crawl_a", 17),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import pdf_extractor_spark.operators as O
+    orig = O.load
+    O.load = lambda s, d, n: df
+    try:
+        got = {r["canonical_id"]: r for r in D.q_corpus_merge(spark, "x").collect()}
+    finally:
+        O.load = orig
+    assert set(got) == {1, 3}
+    assert got[1]["n_copies"] == 2
+    assert got[1]["sources"] == "crawl_a,crawl_b"
+    assert got[3]["n_copies"] == 1
