@@ -30,21 +30,23 @@ N_MINHASH = 8  # one hash per band -> P(band collision) == per-hash Jaccard
 MAX_BUCKET_DOCS = 50
 
 
-def _capped_buckets(buckets: DataFrame, observation=None) -> DataFrame:
+def _capped_buckets(
+    buckets: DataFrame, observation=None, cap: int = MAX_BUCKET_DOCS
+) -> DataFrame:
     """Apply the DF-cut to a bucket frame with an ``ids`` array column; when
     an ``Observation`` is passed, records n_buckets_dropped / n_ids_dropped
     so callers can log what the cap removed."""
     if observation is not None:
         buckets = buckets.observe(
             observation,
-            F.sum((F.size("ids") > MAX_BUCKET_DOCS).cast("long")).alias(
+            F.sum((F.size("ids") > cap).cast("long")).alias(
                 "n_buckets_dropped"
             ),
             F.sum(
-                F.when(F.size("ids") > MAX_BUCKET_DOCS, F.size("ids")).otherwise(0)
+                F.when(F.size("ids") > cap, F.size("ids")).otherwise(0)
             ).alias("n_ids_dropped"),
         )
-    return buckets.where(F.size("ids").between(2, MAX_BUCKET_DOCS))
+    return buckets.where(F.size("ids").between(2, cap))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,36 +407,60 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_NEAR_DUP_THRESHOLD = 0.35
 
+# A label block larger than this is first REFINED (sub-blocked by the 8-bit
+# sign-bucket key — near-identical vectors share sign bits, so true near-dups
+# stay co-blocked) and any refined block still over the bound is dropped with
+# observable counts, exactly like the LSH/shingle DF-cut. Without this, one
+# hot label (at 100 TB a coarse cluster can hold 1e8 vectors) makes the
+# within-block pair generation quadratic.
+MAX_EMB_BLOCK_DOCS = 100
+
+
+def embedding_cosine_pairs(emb: DataFrame, observation=None) -> DataFrame:
+    """Embedding-cosine near-dup pairs over (vec_id, label, emb), blocked by
+    the label column (the coarse-cluster key). Labels above MAX_EMB_BLOCK_DOCS
+    are sub-blocked by the sign-bucket key before pair generation; refined
+    blocks are hard-capped with drops recorded on ``observation``. Pairs come
+    from groupBy + collect_list + in-block pair generation (bounded state:
+    <= MAX_EMB_BLOCK_DOCS vectors per group), never a self-join — the scan
+    and blocking subtree run once. Cosine is pure JVM expressions."""
+    from ..functions.expressions import cosine_similarity_expr
+    from .similarity_search import _sign_bucket
+
+    counts = emb.groupBy("label").agg(F.count("*").alias("n_label"))
+    keyed = emb.join(F.broadcast(counts), "label").select(
+        "label",
+        F.when(
+            F.col("n_label") > MAX_EMB_BLOCK_DOCS, _sign_bucket(F.col("emb"))
+        )
+        .otherwise(F.lit(0))
+        .alias("blk"),
+        "vec_id",
+        "emb",
+    )
+    blocks = keyed.groupBy("label", "blk").agg(
+        F.sort_array(F.collect_list(F.struct("vec_id", "emb"))).alias("ids")
+    )
+    pairs = _capped_buckets(blocks, observation, cap=MAX_EMB_BLOCK_DOCS).select(
+        F.explode(_bucket_pairs(F.col("ids"))).alias("p")
+    )
+    sim = F.round(
+        cosine_similarity_expr(F.col("p.a.emb"), F.col("p.b.emb")), 4
+    )
+    return pairs.select(
+        F.col("p.a.vec_id").alias("vec_a"),
+        F.col("p.b.vec_id").alias("vec_b"),
+        sim.alias("sim"),
+    ).where(F.col("sim") >= EMB_NEAR_DUP_THRESHOLD)
+
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by the label column (the
-    coarse-cluster key): the label equi-join replaces the n^2 cross join with
-    a shuffle keyed on label — same shape as the LSH band join. Cosine is
-    pure JVM expressions."""
     from . import load
-
-    from ..functions.expressions import cosine_similarity_expr
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
-    a, b = emb.alias("a"), emb.alias("b")
-    sim = F.round(
-        cosine_similarity_expr(F.col("a.emb"), F.col("b.emb")), 4
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            sim.alias("sim"),
-        )
-        .where(F.col("sim") >= EMB_NEAR_DUP_THRESHOLD)
-    )
+    return embedding_cosine_pairs(emb)
 
 
 _DUCK_SHINGLES = """
@@ -616,9 +642,28 @@ ORACLES["minhash_jaccard_estimate"] = _DUCK_MINHASH + """
         FROM sigs a JOIN sigs b ON a.doc_id + 1 = b.doc_id
 """
 
+# Sign-bucket sub-key for hot labels, mirroring similarity_search._sign_bucket
+_DUCK_SIGN_BUCKET = " + ".join(
+    f"(CASE WHEN emb[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+
 ORACLES["dedup_embedding_cosine"] = f"""
         WITH e AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+        ), cnt AS (
+            SELECT label, count(*) AS n_label FROM e GROUP BY 1
+        ), keyed AS (
+            -- hot labels sub-block by the 8-bit sign bucket; small labels
+            -- keep blk = 0 (mirror of MAX_EMB_BLOCK_DOCS refinement)
+            SELECT e.vec_id, e.label, e.emb,
+                   CASE WHEN c.n_label > {MAX_EMB_BLOCK_DOCS}
+                        THEN {_DUCK_SIGN_BUCKET}
+                        ELSE 0 END AS blk
+            FROM e JOIN cnt c ON e.label = c.label
+        ), kept AS (
+            -- DF-cut mirror of the refined-block hard cap
+            SELECT label, blk FROM keyed GROUP BY 1, 2
+            HAVING count(*) BETWEEN 2 AND {MAX_EMB_BLOCK_DOCS}
         ), pairs AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(
@@ -630,8 +675,10 @@ ORACLES["dedup_embedding_cosine"] = f"""
                                / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
                                   * sqrt(list_sum(list_transform(b.emb, x -> x * x))))
                      END, 4) AS sim
-            FROM e a JOIN e b
-              ON a.label = b.label AND a.vec_id < b.vec_id
+            FROM keyed a
+            JOIN kept k ON a.label = k.label AND a.blk = k.blk
+            JOIN keyed b ON a.label = b.label AND a.blk = b.blk
+                        AND a.vec_id < b.vec_id
         )
         SELECT vec_a, vec_b, sim FROM pairs
         WHERE sim >= {EMB_NEAR_DUP_THRESHOLD}

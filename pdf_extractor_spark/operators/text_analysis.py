@@ -288,6 +288,12 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 VOCAB_TOP_K = 100
+# Salt width for the two-stage top-K: the partial rank runs per
+# (n, hash(gram) % VOCAB_SALT) partition, so no single task ever sorts the
+# full distinct-gram set. Any gram in the global top-K is necessarily in the
+# top-K of its salt partition (ranking a subset can only improve its rank),
+# so the final rank over the <= VOCAB_SALT * VOCAB_TOP_K survivors is exact.
+VOCAB_SALT = 32
 
 
 def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,7 +302,17 @@ def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy lifting is one explode + hash-groupBy (map-side partial counts
     make the shuffle carry one row per distinct gram per mapper); bigrams
     come from zipping the token array with its shifted self — never a
-    per-element lambda over a recomputed split (CLAUDE.md perf rule)."""
+    per-element lambda over a recomputed split (CLAUDE.md perf rule).
+
+    The rank is TWO-STAGE: a salted partial top-K per (n, hash(gram) %
+    VOCAB_SALT) partition, then a final top-K over the S*K survivors —
+    at 100 TB the distinct gram count is O(billions) and a single
+    Window.partitionBy("n") with n in {1,2} would funnel everything into
+    two tasks; the salted stage bounds every sort to ~1/S of the grams and
+    the final window sees at most VOCAB_SALT * VOCAB_TOP_K rows per n.
+    Result is identical to the single-window form (top-K distributes over
+    the salt partition union); scripts/plan_check.py pins the two-window
+    shape."""
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir).select(_tokens_expr().alias("toks"))
@@ -321,9 +337,17 @@ def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n", "gram")
         .agg(F.count("*").alias("cnt"))
     )
-    w = Window.partitionBy("n").orderBy(F.desc("cnt"), F.asc("gram"))
+    order = (F.desc("cnt"), F.asc("gram"))
+    w_salt = Window.partitionBy("n", "salt").orderBy(*order)
+    survivors = (
+        counts.withColumn("salt", F.pmod(F.xxhash64("gram"), F.lit(VOCAB_SALT)))
+        .withColumn("rk", F.row_number().over(w_salt))
+        .where(F.col("rk") <= VOCAB_TOP_K)
+        .drop("rk", "salt")
+    )
+    w = Window.partitionBy("n").orderBy(*order)
     return (
-        counts.withColumn("rk", F.row_number().over(w))
+        survivors.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= VOCAB_TOP_K)
         .select("n", F.col("rk").cast("long").alias("rk"), "gram", "cnt")
     )

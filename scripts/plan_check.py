@@ -81,6 +81,22 @@ def main() -> int:
                 failures.append(f"{name}: required pattern {pat!r} missing")
         print(f"checked {name}")
 
+    # Vocab top-K must be two-stage: a salted partial rank (pmod in the
+    # first window's partition keys) then the tiny final rank — a single
+    # Window.partitionBy("n") with n in {1,2} would be a 2-task global sort.
+    vocab_df = queries["vocab_top_ngrams"](spark, sf_dir)
+    n_windows = len(re.findall(r"\bWindow\b", plan_tree(vocab_df)))
+    if n_windows != 2:
+        failures.append(
+            f"vocab_top_ngrams: expected 2 Window nodes (salted partial "
+            f"rank + final rank), found {n_windows}"
+        )
+    if not re.search(r"pmod", plan_of(vocab_df)):
+        failures.append(
+            "vocab_top_ngrams: salted partial rank missing (no pmod in plan)"
+        )
+    print(f"checked vocab_top_ngrams (windows={n_windows}, salted)")
+
     # Pipeline shape: exactly one Exchange (assembly regroup), one Arrow UDF
     # node (the kernel is evaluated once however many columns reference it),
     # scan-native partitioning before the map. Input comes from parquet so

@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 
 from pdf_extractor_spark.operators.dedup import (
     MAX_BUCKET_DOCS,
+    MAX_EMB_BLOCK_DOCS,
+    embedding_cosine_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
 )
@@ -46,6 +48,40 @@ def test_lsh_cap_bounds_hot_band(spark):
     assert not any(a < 1000 and b < 1000 for a, b in ids)
     assert (1000, 1001) in ids
     assert obs.get["n_buckets_dropped"] > 0
+
+
+def test_embedding_hot_label_subblock_and_cap(spark):
+    """A hot label is first refined by the sign-bucket sub-key; a refined
+    block still over MAX_EMB_BLOCK_DOCS is dropped with observable counts,
+    while sign-spread hot labels and small labels keep their pairs."""
+    n_hot = MAX_EMB_BLOCK_DOCS + 20
+    rows = []
+    # label 1: hot AND sign-degenerate (every vector in sign bucket 255) ->
+    # the refined block is still over the cap -> dropped, observed
+    for i in range(n_hot):
+        rows.append((i, 1, [1.0] * 8))
+    # label 2: hot but sign-spread across 16 sub-buckets (~8 vectors each,
+    # well under the cap) -> in-bucket near-dup pairs survive
+    for i in range(n_hot):
+        bits = i % 16
+        v = [1.0 if (bits >> d) & 1 else -1.0 for d in range(4)] + [1.0] * 4
+        rows.append((1000 + i, 2, v))
+    # label 3: small -> blk 0, pair kept untouched
+    rows.append((5000, 3, [0.5] * 8))
+    rows.append((5001, 3, [0.5] * 8))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, emb array<double>"
+    )
+    obs = Observation("emb_drops")
+    pairs = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs(emb, observation=obs).collect()
+    }
+    assert not any(a < 1000 and b < 1000 for a, b in pairs)
+    assert any(1000 <= a < 5000 and 1000 <= b < 5000 for a, b in pairs)
+    assert (5000, 5001) in pairs
+    assert obs.get["n_buckets_dropped"] >= 1
+    assert obs.get["n_ids_dropped"] >= n_hot
 
 
 def test_cap_noop_below_threshold(spark):
