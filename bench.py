@@ -54,7 +54,21 @@ BENCH_QUERIES = [
     "ann_recall",
     "ann_ivf_trained",
     "corpus_merge",
+    # round 3 additions
+    "dedup_embedding_cosine",
 ]
+
+# Queries whose pair-generating buckets are DF-cut capped: bench threads an
+# Observation through them so the cap's drops are OBSERVED in the recorded
+# runs (n_buckets_dropped / n_ids_dropped in the output JSON), not merely
+# observable — dedup.py's "never silent" contract in the path that runs.
+CAP_OBSERVED = {
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_incremental",
+    "dedup_components",
+    "dedup_embedding_cosine",
+}
 
 CORPUS_CACHE = "/tmp/spark_graft_bench/transcripts_{n}_{seed}"
 
@@ -114,10 +128,25 @@ def main() -> None:
     # damage. First full run also finishes JIT/worker-pool warmup.
     extract_sec = min(run_once(), run_once())
 
+    from pyspark.sql.observation import Observation
+
     queries = entry_mod.queries()
-    timings = {}
+    timings, cap_drops = {}, {}
     for name in BENCH_QUERIES:
-        timings[name] = round(time_noop(queries[name], spark, sf_dir), 3)
+        qfn = queries[name]
+        if name in CAP_OBSERVED:
+            holder = {}
+
+            def observed(spark, sf_dir, _q=qfn, _h=holder):
+                # fresh Observation per run (an instance binds to one plan)
+                _h["obs"] = Observation()
+                return _q(spark, sf_dir, observation=_h["obs"])
+
+            timings[name] = round(time_noop(observed, spark, sf_dir), 3)
+            got = holder["obs"].get
+            cap_drops[name] = {k: int(got[k]) for k in sorted(got)}
+        else:
+            timings[name] = round(time_noop(qfn, spark, sf_dir), 3)
 
     extract_sec = min(extract_sec, run_once())
     timings = {"extraction_pipeline": round(extract_sec, 3), **timings}
@@ -127,6 +156,7 @@ def main() -> None:
         "value": round(n_turns / extract_sec, 1),
         "unit": "sec",
         "queries": timings,
+        "cap_drops": cap_drops,
         "sf": sf_dir,
         "turns": n_turns,
         "cpus": cpus,

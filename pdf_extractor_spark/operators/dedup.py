@@ -136,49 +136,51 @@ def minhash_lsh_pairs(docs: DataFrame, observation=None) -> DataFrame:
     return _lsh_pairs_from_sigs(_minhash_frame(docs), observation)
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str, observation=None) -> DataFrame:
     from . import load
 
-    return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), observation)
 
 
-def incremental_lsh_pairs(
-    new_docs: DataFrame,
-    signature_store: str,
-    observation=None,
-) -> DataFrame:
-    """Incremental dedup — the production daily-batch pattern: signatures
-    are computed ONLY for the new documents, unioned with the persisted
-    corpus signature store, and candidate pairs are emitted only where at
-    least one side is new (old-vs-old pairs were found in previous runs).
-    The store is then extended with the new signatures, so each batch costs
+def _store_snapshot_files(spark: SparkSession, signature_store: str) -> list:
+    """Pin the store snapshot by file list through the Hadoop FileSystem
+    API — works on any supported filesystem (HDFS/S3/local), unlike a
+    driver-local glob; O(1) driver work, and the append later in the batch
+    cannot leak into a read pinned this way. Returns [] for a missing or
+    empty store (a legitimate first batch with no seed)."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(signature_store)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    return sorted(
+        f.getPath().toString()
+        for f in fs.listStatus(hpath)
+        if f.getPath().getName().endswith(".parquet")
+    )
+
+
+def _incremental_pair_plan(
+    new_docs: DataFrame, stored_sigs: DataFrame, observation=None
+):
+    """Shared incremental-dedup plan: signatures are computed ONLY for the
+    new batch (docs already present in ``stored_sigs`` are treated as OLD
+    via an anti-join — the retry guard), unioned with the stored
+    signatures, and candidate pairs are kept only where at least one side
+    is new (old-vs-old pairs were found in previous runs). Each batch costs
     O(new) signature compute + one bucketed shuffle over the union keys —
     never a corpus-wide recompute.
 
-    Pair semantics are exactly `minhash_lsh_pairs(all docs)` filtered to
-    pairs involving a new doc (pinned by tests/test_dedup_pipeline.py).
-    Retry-safe: docs already present in the store are treated as OLD (an
-    anti-join guard), so a re-submitted batch cannot duplicate store rows,
-    emit self-pairs, or inflate bucket counts past the DF-cut — a retry
-    after a successful append simply finds nothing new."""
-    import glob
-    import os
-
-    spark = new_docs.sparkSession
-    # pin the store snapshot by file list (O(1) driver work): the append
-    # below cannot leak into this read, and unlike a localCheckpoint of
-    # the store this costs nothing per batch as the corpus grows
-    files = sorted(glob.glob(os.path.join(signature_store, "*.parquet")))
-    stored = spark.read.parquet(*files)
-    # the new-batch signatures feed the pair generation AND the store
-    # extension — compute them once (O(new), the only materialization)
+    Returns ``(new_sigs, pairs)``. ``new_sigs`` is eagerly materialized
+    (localCheckpoint) because it feeds the pair plan on three branches and,
+    in the store-backed caller, the store extension."""
     new_sigs = (
         _minhash_frame(new_docs)
-        .join(stored.select("doc_id"), "doc_id", "left_anti")
+        .join(stored_sigs.select("doc_id"), "doc_id", "left_anti")
         .localCheckpoint(eager=True)
     )
     new_ids = new_sigs.select("doc_id").withColumn("is_new", F.lit(True))
-    all_sigs = stored.unionByName(new_sigs)
+    all_sigs = stored_sigs.unionByName(new_sigs)
     pairs = _lsh_pairs_from_sigs(all_sigs, observation)
     flagged = (
         pairs.join(new_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left")
@@ -189,7 +191,64 @@ def incremental_lsh_pairs(
     out = flagged.where(
         F.coalesce("a_new", F.lit(False)) | F.coalesce("b_new", F.lit(False))
     ).select("doc_a", "doc_b")
-    # extend the store so the next batch sees these docs as old
+    return new_sigs, out
+
+
+def incremental_lsh_pairs(
+    new_docs: DataFrame,
+    signature_store: str,
+    observation=None,
+    pairs_output: str | None = None,
+) -> DataFrame:
+    """Incremental dedup — the production daily-batch pattern over a
+    persisted corpus signature store (see ``_incremental_pair_plan`` for
+    the plan shape; pair semantics are exactly ``minhash_lsh_pairs(all
+    docs)`` filtered to pairs involving a new doc, pinned by
+    tests/test_dedup_pipeline.py).
+
+    Commit protocol: extending the store before the batch's pairs are
+    durable is a data-loss window — if the driver dies in between, the
+    retry's anti-join treats the batch as old and its pairs are never
+    emitted again. Two modes:
+
+    * ``pairs_output`` given (the production form): the pairs are written
+      to ``pairs_output`` FIRST with mode=error — a retry that finds the
+      output already committed skips the write instead of clobbering it —
+      and only then is the store extended. Every crash window replays
+      correctly: die before the pairs commit → full recompute; die between
+      pairs commit and store append → recompute finds the same batch new,
+      the existing output satisfies the write, the append completes; die
+      after both → the anti-join yields nothing and the committed output
+      is returned as-is. ``pairs_output`` must be unique per batch (e.g. a
+      dated batch directory).
+    * ``pairs_output`` None (library/composition mode): the pair frame is
+      eagerly materialized before the store append, so evaluating the
+      returned frame cannot fail after the append within this driver; a
+      driver death between the append and the caller's own persist can
+      still lose the batch — use ``pairs_output`` when pairs must survive
+      the driver.
+
+    Retry-safety of the store itself: docs already present are anti-joined
+    away, so a re-submitted batch cannot duplicate store rows, emit
+    self-pairs, or inflate bucket counts past the DF-cut."""
+    from pyspark.errors import AnalysisException
+
+    spark = new_docs.sparkSession
+    files = _store_snapshot_files(spark, signature_store)
+    if files:
+        stored = spark.read.parquet(*files)
+    else:
+        # first batch: empty store -> every incoming doc is new
+        stored = _minhash_frame(new_docs.limit(0))
+    new_sigs, out = _incremental_pair_plan(new_docs, stored, observation)
+    if pairs_output is not None:
+        try:
+            out.write.mode("error").parquet(pairs_output)
+        except AnalysisException:
+            pass  # a prior attempt already committed this batch's pairs
+        new_sigs.write.mode("append").parquet(signature_store)
+        return spark.read.parquet(pairs_output)
+    out = out.localCheckpoint(eager=True)
     new_sigs.write.mode("append").parquet(signature_store)
     return out
 
@@ -251,13 +310,16 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_incremental(spark: SparkSession, sf_dir: str, observation=None) -> DataFrame:
     """Driver-checkable incremental dedup: the corpus's first 80% of doc_ids
-    play the already-stored batch (store seeded fresh each run, so the query
-    is idempotent), the last 20% arrive as the new batch. Result = the full
-    LSH pair set restricted to pairs involving a new doc."""
-    import hashlib
+    play the already-stored batch, the last 20% arrive as the new batch.
+    Result = the full LSH pair set restricted to pairs involving a new doc.
 
+    The stored-batch signatures are an IN-PLAN subtree (exactly how the
+    oracle models them, materialized once like a store read would be), so
+    this registered query performs no filesystem mutation and cannot race a
+    concurrent run on the same sf_dir. The store-backed production form is
+    ``incremental_lsh_pairs``, exercised by tests/test_dedup_pipeline.py."""
     from . import load
 
     docs = load(spark, sf_dir, "documents")
@@ -266,12 +328,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()["s"]
     old = docs.where(F.col("doc_id") < split)
     new = docs.where(F.col("doc_id") >= split)
-    store = (
-        "/tmp/spark_graft_store/"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    )
-    _minhash_frame(old).write.mode("overwrite").parquet(store)
-    return incremental_lsh_pairs(new, store)
+    stored = _minhash_frame(old).localCheckpoint(eager=True)
+    _, pairs = _incremental_pair_plan(new, stored, observation)
+    return pairs
 
 
 def lsh_score_pipeline(
@@ -355,10 +414,10 @@ def ngram_jaccard_pairs(docs: DataFrame, observation=None) -> DataFrame:
     )
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, observation=None) -> DataFrame:
     from . import load
 
-    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), observation)
 
 
 def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,13 +513,13 @@ def embedding_cosine_pairs(emb: DataFrame, observation=None) -> DataFrame:
     ).where(F.col("sim") >= EMB_NEAR_DUP_THRESHOLD)
 
 
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str, observation=None) -> DataFrame:
     from . import load
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
-    return embedding_cosine_pairs(emb)
+    return embedding_cosine_pairs(emb, observation)
 
 
 _DUCK_SHINGLES = """

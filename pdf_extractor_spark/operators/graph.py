@@ -108,7 +108,7 @@ def connected_components(
     )
 
 
-def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_components(spark: SparkSession, sf_dir: str, observation=None) -> DataFrame:
     """Duplicate clusters over VERIFIED LSH pairs: candidate pairs from
     the capped banding, kept only when the MinHash Jaccard estimate >=
     MIN_EDGE_JACCARD, then clustered. Every doc in a kept edge is output
@@ -127,7 +127,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _minhash_frame(load(spark, sf_dir, "documents")).localCheckpoint(
         eager=True
     )
-    cand = _lsh_pairs_from_sigs(sigs)
+    cand = _lsh_pairs_from_sigs(sigs, observation)
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],

@@ -148,3 +148,109 @@ def test_corpus_merge_provenance(spark):
     assert got[1]["n_copies"] == 2
     assert got[1]["sources"] == "crawl_a,crawl_b"
     assert got[3]["n_copies"] == 1
+
+
+def test_incremental_first_batch_empty_store(spark, tmp_path):
+    """A missing/empty store is a legitimate first batch: every incoming doc
+    is new, pairs equal the batch's own full LSH pair set, and the store is
+    created with the batch's signatures."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_lsh_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    new = spark.read.parquet(f"{sf}/documents.parquet").where(
+        F.col("doc_id") < 100
+    )
+    store = str(tmp_path / "fresh_store")  # does not exist yet
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_lsh_pairs(new, store).collect()
+    }
+    expected = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(new).collect()
+    }
+    assert got == expected
+    assert spark.read.parquet(store).count() == 100
+
+
+def test_incremental_two_phase_commit_and_retry(spark, tmp_path):
+    """pairs_output mode: pairs are committed BEFORE the store append, and a
+    retry after a full commit returns the committed pairs unchanged instead
+    of clobbering them with an empty overwrite."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.dedup import (
+        _minhash_frame,
+        incremental_lsh_pairs,
+        minhash_lsh_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    old = docs.where(F.col("doc_id") < 400)
+    new = docs.where(F.col("doc_id") >= 400)
+    store = str(tmp_path / "store2p")
+    out = str(tmp_path / "pairs_batch1")
+    _minhash_frame(old).write.parquet(store)
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_lsh_pairs(new, store, pairs_output=out).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    expected = {(a, b) for a, b in full if a >= 400 or b >= 400}
+    assert got == expected
+    assert spark.read.parquet(store).count() == 500
+
+    # retry after full commit: anti-join finds nothing new, but the
+    # COMMITTED output must be returned, not overwritten with empty
+    retry = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_lsh_pairs(new, store, pairs_output=out).collect()
+    }
+    assert retry == expected
+    assert spark.read.parquet(store).count() == 500
+
+
+def test_incremental_crash_between_pairs_commit_and_store_append(spark, tmp_path):
+    """Simulated driver death in the window the r02 advice flagged: attempt 1
+    committed its pair output but died before the store append. The retry
+    must still extend the store and return the committed pairs — the batch's
+    duplicates are never lost."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.dedup import (
+        _incremental_pair_plan,
+        _minhash_frame,
+        incremental_lsh_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    old = docs.where(F.col("doc_id") < 450)
+    new = docs.where(F.col("doc_id") >= 450)
+    store = str(tmp_path / "store_crash")
+    out = str(tmp_path / "pairs_crash")
+    _minhash_frame(old).write.parquet(store)
+
+    # attempt 1: pairs committed, store append never happened (driver died)
+    _, pairs = _incremental_pair_plan(new, spark.read.parquet(store))
+    pairs.write.parquet(out)
+    committed = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(out).collect()}
+    assert spark.read.parquet(store).count() == 450  # append did NOT run
+
+    # retry: batch is still new (store unextended), existing output
+    # satisfies the write, append completes
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_lsh_pairs(new, store, pairs_output=out).collect()
+    }
+    assert got == committed
+    assert spark.read.parquet(store).count() == 500
+    assert spark.read.parquet(store).select("doc_id").distinct().count() == 500
