@@ -1,11 +1,19 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata, with
-decode/feature-extraction as Arrow-batched mapInPandas stubs.
+"""Multimodal columns: opaque binary payloads with typed metadata, decoded
+by Arrow-batched mapInPandas kernels.
 
-The real image/audio decode libraries are not in this container, so the
-decode kernel is a clearly-marked deterministic fake (byte-length-derived
-features); everything Spark-side — binary schema, batching, UDF signature,
-partition behavior — is real and oracle-checked (the fake features are
-reproducible in SQL from octet lengths).
+The decode is REAL (round 3): documents are wrapped into valid WAV
+(RIFF/fmt/data) or BMP (BITMAPFILEHEADER + BITMAPINFOHEADER) containers —
+built entirely JVM-side from little-endian byte expressions, parameters a
+deterministic function of the row — and the kernel parses the headers back
+with stdlib ``struct`` (kernels/media.py): magic dispatch, RIFF chunk walk,
+sample-rate/channel/dimension extraction. No codec library is involved
+because container headers don't need one; pixel/sample DATA decode (PIL /
+librosa territory) is the only part out of scope in this container.
+
+The DuckDB oracle replays the synthesis arithmetic in SQL, so a green row
+proves the parser extracted from real bytes exactly the values the writer
+put in — writer and parser share no code (reference analog: byte-payload
+magic dispatch in /root/reference/src/services/workflow_orchestrator.py).
 """
 from __future__ import annotations
 
@@ -15,55 +23,147 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-FEATURE_SCHEMA = (
-    "doc_id bigint, n_bytes int, fake_width int, fake_height int, "
-    "fake_frames int, modality string"
+from ..kernels.media import _FIELDS, parse_media_header
+
+
+def _le_sql(expr: str, n_bytes: int) -> str:
+    """SQL for the ``n_bytes``-wide little-endian encoding of an integer
+    expression: per-byte hex -> lpad -> unhex, concatenated as BINARY."""
+    return "concat(" + ", ".join(
+        f"unhex(lpad(hex((({expr}) div {256 ** i}) % 256), 2, '0'))"
+        for i in range(n_bytes)
+    ) + ")"
+
+
+# WAV synthesis parameters — deterministic functions of doc_id, mirrored
+# verbatim in the DuckDB oracle.
+_WAV_CH = "((doc_id div 2) % 2) + 1"
+_WAV_SR = "8000 + ((doc_id div 4) % 5) * 4000"
+_BMP_W = "4 + doc_id % 13"
+_BMP_H = "4 + doc_id % 7"
+
+_WAV_BYTES = (
+    "concat(X'52494646', "                      # 'RIFF'
+    + _le_sql("36 + data_len", 4)
+    + ", X'57415645666D7420', "                 # 'WAVEfmt '
+    + _le_sql("16", 4)                          # fmt chunk length
+    + ", " + _le_sql("1", 2)                    # PCM
+    + ", " + _le_sql("ch", 2)
+    + ", " + _le_sql("sr", 4)
+    + ", " + _le_sql("sr * ch * 2", 4)          # byte rate
+    + ", " + _le_sql("ch * 2", 2)               # block align
+    + ", " + _le_sql("16", 2)                   # bits per sample
+    + ", X'64617461', "                         # 'data'
+    + _le_sql("data_len", 4)
+    + ", substring(body, 1, cast(data_len AS int)))"
+)
+
+_BMP_BYTES = (
+    "concat(X'424D', "                          # 'BM'
+    + _le_sql("54 + img", 4)
+    + ", " + _le_sql("0", 4)                    # reserved
+    + ", " + _le_sql("54", 4)                   # pixel offset
+    + ", " + _le_sql("40", 4)                   # BITMAPINFOHEADER size
+    + ", " + _le_sql("w", 4)
+    + ", " + _le_sql("h", 4)
+    + ", " + _le_sql("1", 2)                    # planes
+    + ", " + _le_sql("24", 2)                   # bpp
+    + ", " + _le_sql("0", 4)                    # BI_RGB
+    + ", " + _le_sql("img", 4)
+    + ", " + _le_sql("2835", 4)                 # x px/m
+    + ", " + _le_sql("2835", 4)                 # y px/m
+    + ", " + _le_sql("0", 4)                    # palette colors
+    + ", " + _le_sql("0", 4)                    # important colors
+    # pixel rows padded to 4-byte stride; pad/truncate body to exactly img
+    + ", rpad(substring(body, 1, cast(img AS int)), cast(img AS int), X'00'))"
 )
 
 
-def _decode_stub(payload: bytes) -> dict:
-    """STUB decode: a real deployment would decode image/audio bytes here
-    (PIL/librosa/ffmpeg). Deterministic byte-length-derived fake so the
-    Spark plumbing is testable without the codec libraries."""
-    n = len(payload)
-    return {
-        "n_bytes": n,
-        "fake_width": n % 640,
-        "fake_height": n % 480,
-        "fake_frames": n % 7 + 1,
-        "modality": ("image", "audio", "video")[n % 3],
-    }
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload:binary) with REAL container bytes — even doc_ids
+    become PCM WAV files (body = the document's utf-8 bytes as samples),
+    odd doc_ids become 24-bit BMPs. Pure JVM expression work: the binary
+    column is assembled from hex/unhex little-endian pieces, no Python."""
+    params = docs.selectExpr(
+        "doc_id",
+        "encode(text, 'utf-8') AS body",
+        f"CAST({_WAV_CH} AS bigint) AS ch",
+        f"CAST({_WAV_SR} AS bigint) AS sr",
+        f"CAST({_BMP_W} AS bigint) AS w",
+        f"CAST({_BMP_H} AS bigint) AS h",
+    ).selectExpr(
+        "doc_id",
+        "body",
+        "ch",
+        "sr",
+        "w",
+        "h",
+        # sample data must align to whole blocks (block align = ch * 2)
+        "octet_length(body) - octet_length(body) % (ch * 2) AS data_len",
+        "(((w * 3 + 3) div 4) * 4) * h AS img",
+    )
+    return params.selectExpr(
+        "doc_id",
+        f"CASE WHEN doc_id % 2 = 0 THEN {_WAV_BYTES} ELSE {_BMP_BYTES} END"
+        " AS payload",
+    )
+
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, container string, sample_rate bigint, "
+    "channels bigint, bits bigint, n_samples bigint, duration_ms bigint, "
+    "width bigint, height bigint, bpp bigint, image_size bigint"
+)
 
 
 def decode_features(binary_df: DataFrame) -> DataFrame:
-    """mapInPandas over (doc_id, payload:binary): Arrow-batched binary in,
-    typed feature rows out — the multimodal feature-extraction shape."""
+    """mapInPandas over (doc_id, payload:binary): Arrow-batched bytes in,
+    header-parsed typed feature rows out. The kernel sees only the bytes —
+    container type comes from magic dispatch, fields from ``struct``
+    unpacking (kernels/media.py), never from the synthesis parameters."""
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_stub(p) for p in pdf["payload"]]
-            out = pd.DataFrame(feats)
-            out.insert(0, "doc_id", pdf["doc_id"].values)
-            yield out
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = parse_media_header(bytes(payload))
+                rows.append(
+                    (int(doc_id), len(payload))
+                    + tuple(parsed[k] for k in _FIELDS)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes", *_FIELDS],
+                dtype=object,
+            )
 
     return binary_df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def real_decode_stub(payload: bytes):
-    """The honest version: raises until codec libraries exist."""
-    raise NotImplementedError(
-        "image/audio decode requires PIL/librosa which are not installed; "
-        "use _decode_stub for the deterministic fake path"
-    )
-
-
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Treat each document's utf-8 bytes as an opaque binary payload and run
-    the decode/feature pipeline over it."""
+    """Synthesize real WAV/BMP containers from the documents table, then
+    decode their headers back in the Arrow kernel.
+
+    Fields of the other modality are emitted as -1 rather than NULL in this
+    REGISTERED form only: the gate comparator pulls DuckDB results through
+    pandas, which coerces a nullable BIGINT column to float64 — a sentinel
+    keeps both sides exact int. ``decode_features`` itself yields true
+    nulls."""
     from . import load
 
-    docs = load(spark, sf_dir, "documents")
-    binary = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    return decode_features(binary)
+    feats = decode_features(
+        synthesize_media(load(spark, sf_dir, "documents"))
+    )
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "container",
+        *[
+            F.coalesce(F.col(c), F.lit(-1)).alias(c)
+            for c in _FIELDS
+            if c != "container"
+        ],
+    )
 
 
 FRAME_SCHEMA = (
@@ -94,7 +194,7 @@ def sample_frames(binary_df: DataFrame) -> DataFrame:
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over fake video payloads (documents' utf-8 bytes)."""
+    """Frame sampling over opaque payloads (documents' utf-8 bytes)."""
     from . import load
 
     docs = load(spark, sf_dir, "documents")
@@ -115,16 +215,39 @@ ORACLES = {
                n // nf AS frame_len
         FROM d, LATERAL (SELECT unnest(range(nf)) AS frame_idx) r
     """,
+    # Replays the synthesis arithmetic: a hash match proves the struct
+    # parser read back from real container bytes exactly what the JVM
+    # byte-expression writer encoded.
     "multimodal_features": """
-        SELECT doc_id,
-               octet_length(encode(text)) AS n_bytes,
-               octet_length(encode(text)) % 640 AS fake_width,
-               octet_length(encode(text)) % 480 AS fake_height,
-               octet_length(encode(text)) % 7 + 1 AS fake_frames,
-               CASE octet_length(encode(text)) % 3
-                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
-               END AS modality
-        FROM documents
+        WITH d AS (
+            SELECT doc_id, octet_length(encode(text)) AS n,
+                   ((doc_id // 2) % 2) + 1 AS ch,
+                   8000 + ((doc_id // 4) % 5) * 4000 AS sr,
+                   4 + doc_id % 13 AS w_,
+                   4 + doc_id % 7 AS h_
+            FROM documents
+        ), wav AS (
+            SELECT doc_id, n - n % (ch * 2) AS data_len, ch, sr FROM d
+            WHERE doc_id % 2 = 0
+        ), bmp AS (
+            SELECT doc_id, w_, h_, (((w_ * 3 + 3) // 4) * 4) * h_ AS img
+            FROM d WHERE doc_id % 2 = 1
+        )
+        SELECT doc_id, 44 + data_len AS n_bytes, 'wav' AS container,
+               sr AS sample_rate, ch AS channels, 16 AS bits,
+               data_len // (ch * 2) AS n_samples,
+               (data_len // (ch * 2)) * 1000 // sr AS duration_ms,
+               -1 AS width, -1 AS height,
+               -1 AS bpp, -1 AS image_size
+        FROM wav
+        UNION ALL
+        SELECT doc_id, 54 + img AS n_bytes, 'bmp' AS container,
+               -1 AS sample_rate,
+               -1 AS channels, -1 AS bits,
+               -1 AS n_samples,
+               -1 AS duration_ms,
+               w_ AS width, h_ AS height, 24 AS bpp, img AS image_size
+        FROM bmp
     """,
 }
 
