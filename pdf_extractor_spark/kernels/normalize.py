@@ -173,9 +173,16 @@ def fix_bidi_text(text: str) -> str:
     reference's ``bidi.get_display`` on table-cell content. Uses python-bidi
     when installed; otherwise the built-in mini-UBA above (identical on the
     cell-level subset: strong runs, digits, separators, mirrors — no explicit
-    embedding codes). Pure-LTR text is returned unchanged either way."""
+    embedding codes). Pure-LTR text is returned unchanged either way.
+
+    Paragraph semantics (UAX #9 P1): each line gets its OWN base direction —
+    a multi-line cell whose first line is English and second is Hebrew must
+    render line 2 RTL. The reference reaches the same behavior by running
+    ``get_display`` per extracted paragraph (extraction_service.py:50-57)."""
     if not text:
         return text or ""
+    if "\n" in text:
+        return "\n".join(fix_bidi_text(line) for line in text.split("\n"))
     if _bidi_get_display is not None:
         try:
             return _bidi_get_display(text)

@@ -122,7 +122,13 @@ def q_bidi_display(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders — digits map to Hebrew letters. The oracle derives the UBA display
     form independently of the kernel: for an RTL paragraph of the shape
     ``word: N``, digits keep LTR order, the colon flips to the number's right,
-    and the RTL word reverses — ``N || ' :' || reverse(word)``."""
+    and the RTL word reverses — ``N || ' :' || reverse(word)``.
+
+    Every 2nd row is a TWO-LINE cell (an English header above the Hebrew
+    line): per UAX #9 P1 each line resolves its own base direction, so the
+    LTR header stays put while the Hebrew line below still renders RTL —
+    the reference's per-paragraph get_display semantics
+    (extraction_service.py:50-57)."""
     from . import load
     from ..functions.udfs import fix_bidi_udf
 
@@ -131,7 +137,11 @@ def q_bidi_display(spark: SparkSession, sf_dir: str) -> DataFrame:
     word = F.translate(
         (F.col("o_orderkey") % 10000).cast("string"), "0123456789", "אבגדהוזחטי"
     )
-    logical = F.concat(word, F.lit(": "), (F.col("o_orderkey") % 997).cast("string"))
+    heb_line = F.concat(word, F.lit(": "), (F.col("o_orderkey") % 997).cast("string"))
+    logical = F.when(
+        F.col("o_orderkey") % 40 == 0,
+        F.concat(F.lit("Page 1 summary\n"), heb_line),
+    ).otherwise(heb_line)
     return orders.select(
         F.col("o_orderkey").alias("order_key"),
         fix_bidi_udf(logical).alias("display"),
@@ -305,7 +315,12 @@ ORACLES = {
                    translate(ds, '0123456789', 'אבגדהוזחטי') AS word
             FROM src
         )
-        SELECT order_key, num || ' :' || reverse(word) AS display FROM w
+        SELECT order_key,
+               CASE WHEN order_key % 40 = 0
+                    THEN 'Page 1 summary' || chr(10) || num || ' :' || reverse(word)
+                    ELSE num || ' :' || reverse(word)
+               END AS display
+        FROM w
     """,
     "parse_number_csv": """
         SELECT l_orderkey AS order_key,

@@ -55,3 +55,16 @@ def test_hebrew_mixed_numbers_fixture():
 def test_idempotent_on_ascii_and_stable_types():
     assert fix_bidi_text(None or "") == ""
     assert fix_bidi_text("a-b") == "a-b"
+
+
+def test_multiline_per_paragraph_base():
+    """UAX #9 P1 / reference per-paragraph get_display: each line gets its
+    own base direction. An English first line must stay LTR even when the
+    second line is Hebrew (and vice versa)."""
+    two = f"Page 1 summary\n{INCOME}: 1,234"
+    assert fix_bidi_text(two) == f"Page 1 summary\n1,234 :{INCOME_REV}"
+    # RTL first line must not drag a following English line to RTL base
+    other = f"{INCOME}: 7\nTotal 99"
+    assert fix_bidi_text(other) == f"7 :{INCOME_REV}\nTotal 99"
+    # blank lines survive the split/rejoin byte-exactly
+    assert fix_bidi_text("a\n\nb") == "a\n\nb"
