@@ -70,7 +70,8 @@ CAP_OBSERVED = {
     "dedup_embedding_cosine",
 }
 
-CORPUS_CACHE = "/tmp/spark_graft_bench/transcripts_{n}_{seed}"
+# v2: cache key versioned with the generator (round 3 added layout payloads)
+CORPUS_CACHE = "/tmp/spark_graft_bench/transcripts_v2_{n}_{seed}"
 
 
 def ensure_corpus(spark, n_convs: int, seed: int = 42) -> str:

@@ -42,6 +42,7 @@ from ..config import (
 )
 from .detectors import detect_problems
 from .html_strip import extract_main_content
+from .layout import LAYOUT_PAYLOAD_PREFIX, layout_pages
 from .similarity import calculate_similarity
 
 PDF_PAYLOAD_PREFIX = "data:application/pdf;base64,"
@@ -166,14 +167,16 @@ HTML_CLOSE = "</html"
 
 
 def detect_payload_kind(text: str) -> str:
-    """'pdf' | 'html' | 'plain' routing for a turn's text. Payloads are
-    *embedded* in turn text (north_star), so both the pdf prefix and the
-    html document markers are searched anywhere in the turn, not only at
-    its head (case-insensitive). A turn is 'html' only when a closing
-    ``</html`` also appears — prose that merely *mentions* the ``<html>``
-    tag stays plain and is kept verbatim."""
+    """'layout' | 'pdf' | 'html' | 'plain' routing for a turn's text (F2).
+    Payloads are *embedded* in turn text (north_star), so the payload
+    prefixes and the html document markers are searched anywhere in the
+    turn, not only at its head (case-insensitive for html). A turn is
+    'html' only when a closing ``</html`` also appears — prose that merely
+    *mentions* the ``<html>`` tag stays plain and is kept verbatim."""
     if not text:
         return "plain"
+    if LAYOUT_PAYLOAD_PREFIX in text:
+        return "layout"
     if PDF_PAYLOAD_PREFIX in text:
         return "pdf"
     low = text.lower()
@@ -230,8 +233,13 @@ def extract_turn(
         result["n_pages"] = 1
         return result
 
-    # --- pseudo-PDF path ---
-    start = text.index(PDF_PAYLOAD_PREFIX) + len(PDF_PAYLOAD_PREFIX)
+    # --- base64-payload dialects (pdf | layout): decode + guardrails are
+    # shared; the PARSE is dialect-specific ---
+    prefix = (
+        LAYOUT_PAYLOAD_PREFIX if result["kind"] == "layout"
+        else PDF_PAYLOAD_PREFIX
+    )
+    start = text.index(prefix) + len(prefix)
     m = _B64_RE.match(text, start)
     b64 = m.group(0) if m else ""
     if len(b64) > MAX_BASE64_LENGTH:
@@ -242,18 +250,35 @@ def extract_turn(
     except (binascii.Error, UnicodeDecodeError, ValueError):
         result.update(valid=False, problems=["invalid_base64"])
         return result
-    if not decoded.startswith("%PDF"):
-        result.update(valid=False, problems=["invalid_magic"])
-        return result
 
-    # Drop the %PDF version line, parse TOC, split pages.
-    body = decoded.split("\n", 1)[1] if "\n" in decoded else ""
-    outlines, body = parse_outline_toc(body)
-    pages = split_pages(body)
+    if result["kind"] == "layout":
+        # document-intelligence dialect: JSON pages -> coordinate reading
+        # order + role rendering (kernels/layout.py)
+        import json
+
+        try:
+            doc = json.loads(decoded)
+        except ValueError:
+            result.update(valid=False, problems=["invalid_layout_json"])
+            return result
+        if not isinstance(doc, dict) or not isinstance(doc.get("pages"), list):
+            result.update(valid=False, problems=["invalid_layout_json"])
+            return result
+        pages, outlines = layout_pages(doc)
+    else:
+        # pseudo-PDF dialect: magic line, TOC outline, ready-markdown pages
+        if not decoded.startswith("%PDF"):
+            result.update(valid=False, problems=["invalid_magic"])
+            return result
+        body = decoded.split("\n", 1)[1] if "\n" in decoded else ""
+        outlines, body = parse_outline_toc(body)
+        pages = split_pages(body)
+
     if len(pages) > MAX_PDF_PAGES:
         result["problems"].append("too_many_pages")
         pages = pages[:MAX_PDF_PAGES]
 
+    # Shared validation stage (all dialects): detect -> repair -> assemble.
     problems: List[str] = list(result["problems"])
     repaired: List[int] = []
     page_strings: List[str] = []

@@ -47,8 +47,9 @@ _SPAN_OF_WHOLE = (
 
 def _kind_expr() -> F.Column:
     """JVM replica of kernels.segment.detect_payload_kind — same precedence:
-    pdf prefix anywhere, else html open marker + closing tag anywhere
-    (case-insensitive), else plain."""
+    layout prefix anywhere, else pdf prefix anywhere, else html open marker
+    + closing tag anywhere (case-insensitive), else plain."""
+    from ..kernels.layout import LAYOUT_PAYLOAD_PREFIX
     from ..kernels.segment import HTML_CLOSE, HTML_MARKERS
 
     low = F.lower("text")
@@ -58,6 +59,7 @@ def _kind_expr() -> F.Column:
     has_html = has_open & F.contains(low, F.lit(HTML_CLOSE))
     return (
         F.when(F.col("text").isNull() | (F.col("text") == ""), F.lit("plain"))
+        .when(F.contains("text", F.lit(LAYOUT_PAYLOAD_PREFIX)), F.lit("layout"))
         .when(F.contains("text", F.lit(PDF_PAYLOAD_PREFIX)), F.lit("pdf"))
         .when(has_html, F.lit("html"))
         .otherwise(F.lit("plain"))

@@ -12,8 +12,10 @@ handling; the generator shuffles the row order so stable-ordering windows are
 actually load-bearing.
 
 ~10% of assistant turns embed a payload: a paged pseudo-PDF (base64,
-``%PDF`` magic, ``# Page n`` sections, optional TOC outline) or an HTML
-document with boilerplate — the formats the extraction kernels parse.
+``%PDF`` magic, ``# Page n`` sections, optional TOC outline), an HTML
+document with boilerplate, or a layout-JSON document (base64 JSON of
+positioned blocks, read back by coordinate reading order) — the three
+non-plain dialects the F2 router dispatches to different kernels.
 """
 from __future__ import annotations
 
@@ -103,6 +105,49 @@ def make_pdf_payload(rng: random.Random) -> str:
     return PDF_PAYLOAD_PREFIX + base64.b64encode(raw.encode("utf-8")).decode("ascii")
 
 
+def make_layout_payload(rng: random.Random) -> str:
+    """Base64 layout-JSON payload (FIXTURES.md §1c): 1-8 pages of positioned
+    blocks. Columns are generated in order then SHUFFLED, so the kernel's
+    coordinate-based reading-order reconstruction is load-bearing; a footer
+    block exercises the layout-level boilerplate drop."""
+    import json
+
+    from ..kernels.layout import LAYOUT_PAYLOAD_PREFIX
+
+    n_pages = 1 + int(7 * (rng.random() ** 2))
+    pages = []
+    for p in range(n_pages):
+        blocks = [{
+            "x": 72, "y": 40, "w": 300, "h": 18,
+            "role": "title", "text": rng.choice(_TITLES),
+        }]
+        two_col = rng.random() < 0.5
+        for col_x in ([72, 320] if two_col else [72]):
+            y = 80
+            for _ in range(rng.randint(1, 4)):
+                role = "table" if rng.random() < 0.25 else "paragraph"
+                text = (
+                    _make_table(rng, rng.randint(2, 5)) if role == "table"
+                    else _sentence(rng, rng.randint(10, 40), _WORDS + _FILLER)
+                )
+                blocks.append({
+                    "x": col_x, "y": y, "w": 220, "h": 60,
+                    "role": role, "text": text,
+                })
+                y += rng.randint(70, 120)
+        if rng.random() < 0.5:
+            blocks.append({
+                "x": 72, "y": 760, "w": 400, "h": 12,
+                "role": "footer", "text": f"page {p + 1} — confidential",
+            })
+        rng.shuffle(blocks)
+        pages.append({"number": p + 1, "width": 612, "blocks": blocks})
+    raw = json.dumps({"pages": pages})
+    return LAYOUT_PAYLOAD_PREFIX + base64.b64encode(
+        raw.encode("utf-8")
+    ).decode("ascii")
+
+
 def make_html_payload(rng: random.Random) -> str:
     nav_links = " ".join(
         f'<a href="/{w}">{w}</a>' for w in rng.sample(_WORDS, 6)
@@ -131,9 +176,13 @@ def conv_turns(conv_num: int, seed: int = 42) -> List[Dict]:
         ]
         tool = rng.choice(["search", "calculator", "browser"]) if role == "tool" else None
         if role == "assistant" and rng.random() < 0.10:
-            text = (_sentence(rng, 8, _WORDS) + " "
-                    + (make_pdf_payload(rng) if rng.random() < 0.6
-                       else make_html_payload(rng)))
+            roll = rng.random()
+            payload = (
+                make_pdf_payload(rng) if roll < 0.55
+                else make_html_payload(rng) if roll < 0.8
+                else make_layout_payload(rng)
+            )
+            text = _sentence(rng, 8, _WORDS) + " " + payload
         else:
             text = _sentence(rng, rng.randint(5, 60), _WORDS + _FILLER)
         rows.append({

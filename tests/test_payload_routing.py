@@ -16,6 +16,10 @@ CASES = [
     ("", "plain"),
     # pdf prefix wins even when html markers are present
     ("data:application/pdf;base64,QUJD <html></html>", "pdf"),
+    # layout dialect routes distinctly, and wins over pdf/html markers
+    ("see data:application/vnd.layout+json;base64,e30= inline", "layout"),
+    ("data:application/vnd.layout+json;base64,e30= and "
+     "data:application/pdf;base64,QUJD <html></html>", "layout"),
 ]
 
 

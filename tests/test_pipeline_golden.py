@@ -50,6 +50,11 @@ def test_per_turn_extraction_matches_golden(spark, spark_transcripts, golden_row
         if g["kind"] != "plain":
             payload_turns += 1
     assert payload_turns > 0  # the corpus must actually exercise payloads
+    # route divergence is exercised end-to-end: all three non-plain dialects
+    # (different kernels: markdown page split / DOM strip / coordinate
+    # reading order) must appear in the golden corpus
+    kinds = {g["kind"] for g in map(lambda r: extract_turn(r["text"]), golden_rows)}
+    assert {"pdf", "html", "layout"} <= kinds
 
 
 def test_spans_point_into_extracted_text(spark_transcripts):
