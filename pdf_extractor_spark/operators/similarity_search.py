@@ -307,6 +307,54 @@ def _centroid_dist_structs(cents) -> F.Column:
     return F.array(*options)
 
 
+def centroids_df(spark: SparkSession, cents) -> DataFrame:
+    """Trained centroids as a DataFrame (cid, cvec) — the form the broadcast
+    assignment consumes, and what a production fit would materialize."""
+    return spark.createDataFrame(
+        [(i, [int(v) for v in c]) for i, c in enumerate(cents)],
+        "cid int, cvec array<long>",
+    )
+
+
+def assign_broadcast(ev: DataFrame, cents: DataFrame) -> DataFrame:
+    """Broadcast-join form of the centroid assignment for LARGE K: centroids
+    travel as DATA — one broadcast row holding array<struct(cid, cvec)> —
+    instead of K x D plan literals, so the plan size is O(1) in K (the
+    literal form in ``_nearest_centroid`` grows the plan linearly with K,
+    fine at K=8, not at K in the thousands). The 1-row broadcast join adds
+    no shuffle and the per-row argmin stays a pure expression; distances
+    are the same exact-integer form, ties to the smallest cid via
+    lexicographic struct min (parity with the literal path is pinned by
+    tests/test_kmeans_fit.py).
+
+    Returns ev plus ``a`` = struct(dist, cid) of the nearest centroid."""
+    packed = cents.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
+    )
+    dist_of = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col("vq"),
+            c["cvec"],
+            lambda a, b: (a * _C_SCALE - b) * (a * _C_SCALE - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    nearest = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                dist_of(c).alias("dist"), c["cid"].alias("cid")
+            ),
+        )
+    )
+    return (
+        ev.join(F.broadcast(packed))
+        .withColumn("a", nearest)
+        .drop("cents")
+    )
+
+
 def _fit_centroids(ev: DataFrame):
     """The Lloyd loop: seed from vec_ids 0..K-1, KMEANS_ITERS assign+update
     rounds (empty clusters keep their previous centroid). Returns the

@@ -97,3 +97,38 @@ def test_trained_ivf_recall_beats_lsh(spark):
            for r in q_ann_ivf_trained(spark, sf).collect()}
     assert len(exact & ivf) > len(exact & lsh)
     assert len(exact & ivf) >= 0.8 * len(exact)
+
+
+def test_broadcast_assignment_parity(spark):
+    """assign_broadcast (centroids as broadcast DATA, O(1) plan size in K)
+    must produce the identical assignment struct as the literal-expression
+    path at K=8, and its plan must carry a broadcast with no extra
+    Exchange."""
+    from pdf_extractor_spark.operators.similarity_search import (
+        _emb,
+        _fit_centroids,
+        _nearest_centroid,
+        _quantized_vecs,
+        assign_broadcast,
+        centroids_df,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ev = _quantized_vecs(_emb(spark, sf)).localCheckpoint(eager=True)
+    cents = _fit_centroids(ev)
+
+    lit_rows = {
+        r["vec_id"]: (r["a"]["dist"], r["a"]["cid"])
+        for r in ev.withColumn("a", _nearest_centroid(cents)).collect()
+    }
+    bc = assign_broadcast(ev, centroids_df(spark, cents))
+    bc_rows = {
+        r["vec_id"]: (r["a"]["dist"], r["a"]["cid"]) for r in bc.collect()
+    }
+    assert bc_rows == lit_rows and len(bc_rows) > 0
+
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    # the broadcast of the 1-row packed-centroid side must be the ONLY
+    # exchange-like node: no shuffle is needed for a per-row argmin
+    assert "Exchange hashpartitioning" not in plan
