@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "corpus_merge",
     # round 3 additions
     "dedup_embedding_cosine",
+    "paragraph_dedup",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

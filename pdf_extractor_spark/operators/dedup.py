@@ -333,6 +333,104 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str, observation=None) -> D
     return pairs
 
 
+# C4-style passage dedup: a passage (fixed PARA_WORDS-word window standing in
+# for a paragraph — the corpus carries no newlines) occurring at least
+# MIN_PARA_COUNT times across the corpus is boilerplate and is removed from
+# every document; remaining passages reassemble in order.
+PARA_WORDS = 12
+MIN_PARA_COUNT = 3
+
+
+def paragraph_dedup(
+    docs: DataFrame, min_count: int = MIN_PARA_COUNT
+) -> DataFrame:
+    """Corpus-wide repeated-passage removal (the C4 "discard any line seen
+    three times" rule; Raffel et al. 2020, RefinedWeb): documents split into
+    PARA_WORDS-word passages, passage frequencies counted corpus-wide, hot
+    passages dropped from every document, survivors reassembled in order.
+
+    Scale shape: the passage explode is corpus-token-linear; the frequency
+    count is ONE map-side-combined hash groupBy keyed on md5(passage) — the
+    shuffle carries 32-byte digests, never passage text (DuckDB has md5, so
+    the key survives the oracle); the hot set joins back equi-keyed on the
+    digest; per-document reassembly is one more keyed groupBy with
+    collect_list state bounded by document length. No self-joins, nothing
+    quadratic, no driver materialization.
+
+    Output: doc_id, n_paras, n_removed, clean_text."""
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(F.split("text", " ")) / PARA_WORDS).cast(
+                        "int"
+                    ) - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice(
+                        F.split("text", " "), i * PARA_WORDS + 1, PARA_WORDS
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("p_idx", "para"),
+    ).withColumn("pkey", F.md5("para"))
+    hot = (
+        paras.groupBy("pkey")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("pkey", F.lit(True).alias("hot"))
+    )
+    flagged = paras.join(hot, "pkey", "left")
+    kept_para = F.when(F.col("hot").isNull(), F.col("para"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.col("hot").isNotNull().cast("long")).alias("n_removed"),
+            F.array_join(
+                F.filter(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("p_idx", kept_para.alias("para")))
+                        ),
+                        lambda s: s["para"],
+                    ),
+                    lambda p: p.isNotNull(),
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
+# 12-word boilerplate banner injected on every 5th doc so the removal path
+# has guaranteed work on the driver corpus (its small-vocab texts also
+# produce some natural 12-gram repeats; both kinds are removed by the same
+# frequency rule) — mirrored verbatim in the oracle.
+_PARA_BANNER = (
+    "subscribe to our newsletter terms of service all rights reserved "
+    "privacy policy"
+)
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(_PARA_BANNER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return paragraph_dedup(docs)
+
+
 def lsh_score_pipeline(
     docs: DataFrame,
     checkpoint_path: str,
@@ -655,6 +753,43 @@ ORACLES = {
 # lives in md5-hex nibble 15 - b//4 (nibble 15 = first hex char), bit b%4
 # within it; votes are +1/-1 per word per the kernel (textstats.simhash64).
 # Docs with no words hash to 0 -> bucket 0 (left join + coalesce).
+ORACLES["paragraph_dedup"] = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN '{_PARA_BANNER} ' || text ELSE text END AS text
+            FROM documents
+        ), w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM d
+        ), p AS (
+            SELECT doc_id, r.i AS p_idx,
+                   md5(array_to_string(
+                       words[r.i * {PARA_WORDS} + 1 : (r.i + 1) * {PARA_WORDS}],
+                       ' ')) AS pkey,
+                   array_to_string(
+                       words[r.i * {PARA_WORDS} + 1 : (r.i + 1) * {PARA_WORDS}],
+                       ' ') AS para
+            FROM w, LATERAL (
+                SELECT unnest(range(
+                    CAST(ceil(len(words) / {PARA_WORDS}.0) AS BIGINT)
+                )) AS i
+            ) r
+        ), f AS (
+            SELECT pkey, count(*) AS cnt FROM p GROUP BY 1
+        )
+        SELECT p.doc_id,
+               count(*) AS n_paras,
+               sum(CASE WHEN f.cnt >= {MIN_PARA_COUNT} THEN 1 ELSE 0 END)::BIGINT
+                   AS n_removed,
+               coalesce(
+                   string_agg(
+                       CASE WHEN f.cnt < {MIN_PARA_COUNT} THEN p.para END,
+                       ' ' ORDER BY p.p_idx),
+                   '') AS clean_text
+        FROM p JOIN f USING (pkey)
+        GROUP BY 1
+"""
+
 ORACLES["simhash_buckets"] = """
         WITH words AS (
             SELECT doc_id,
@@ -751,6 +886,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "contamination_check": q_contamination_check,
     "corpus_merge": q_corpus_merge,
+    "paragraph_dedup": q_paragraph_dedup,
     "simhash_buckets": q_simhash_buckets,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
