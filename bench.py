@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     # round 3 additions
     "dedup_embedding_cosine",
     "paragraph_dedup",
+    "mixture_resample",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

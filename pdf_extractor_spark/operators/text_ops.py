@@ -362,6 +362,47 @@ ORACLES = {
     """,
 }
 
+
+def _mixture_oracle() -> str:
+    """Replays mixture_resample's integer arithmetic: DuckDB `//` mirrors
+    Spark's DIV; the keep test cross-multiplies in DECIMAL(38,0) on both
+    sides so neither engine rounds."""
+    values = ", ".join(
+        f"('{s}', {w})" for s, w in sorted(MIXTURE_WEIGHTS.items())
+    )
+    return f"""
+        WITH w AS (
+            SELECT * FROM (VALUES {values}) AS t(source, weight_pct)
+        ), c AS (
+            SELECT source, count(*) AS n_available
+            FROM documents GROUP BY 1
+        ), cw AS (
+            SELECT c.source, n_available, weight_pct,
+                   n_available * 100 // weight_pct AS cap
+            FROM c JOIN w USING (source)
+        ), nmin AS (
+            SELECT min(cap) AS n_total FROM cw
+        ), r AS (
+            SELECT cw.source, cw.n_available, cw.weight_pct,
+                   n_total * weight_pct // 100 AS n_target
+            FROM cw, nmin
+        ), k AS (
+            SELECT d.source, d.doc_id,
+                   ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                       AS bucket
+            FROM documents d JOIN w USING (source)
+        )
+        SELECT r.source, r.weight_pct, r.n_available, r.n_target,
+               count(*) AS n_kept,
+               min(k.doc_id) AS min_kept,
+               max(k.doc_id) AS max_kept
+        FROM k JOIN r USING (source)
+        WHERE bucket::DECIMAL(38,0) * r.n_available
+              < r.n_target::DECIMAL(38,0) * {_BUCKET_SPACE}
+        GROUP BY 1, 2, 3, 4
+    """
+
+
 def holdout_split_expr(id_col: F.Column) -> F.Column:
     """'train'/'val'/'test' from md5 buckets of an id column — the single
     definition both q_holdout_split and plans.training_data.curate use."""
@@ -434,7 +475,89 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Target mixture over named sources (integer percents, sum 100). Sources
+# outside the mixture are dropped; weights are the DoReMi/Pile-style "domain
+# weights" a curation run pins before training.
+MIXTURE_WEIGHTS = {"src0": 40, "src1": 25, "src2": 20, "src3": 10, "src4": 5}
+
+# Hash-threshold scale: buckets are the first 8 hex chars of md5(doc_id),
+# i.e. uniform on [0, 2^32).
+_BUCKET_SPACE = 1 << 32
+
+
+def mixture_resample(
+    docs: DataFrame, weights: dict[str, int] | None = None
+) -> DataFrame:
+    """Deterministic domain-mixture resampling: given integer target weights
+    per source, find the largest feasible corpus size N (the binding source
+    caps it: N = min_s floor(c_s·100 / w_s)), set per-source targets
+    n_s = floor(N·w_s / 100) <= c_s, and keep a document iff its stable md5
+    bucket clears the source's threshold — the keep test is the exact
+    integer cross-multiply bucket·c_s < n_s·2^32 in DECIMAL(38,0), so it
+    cannot overflow at 100 TB row counts and replays bit-for-bit in SQL.
+
+    Scale shape: one tiny per-source count aggregate, a 1-row min reduce,
+    and a broadcast join of the per-source thresholds back onto the scan —
+    the selection itself is a pure map with no global rank (an exact-count
+    variant would need a per-source rank, the single-task-sort trap; hash
+    thresholding lands within binomial noise of n_s and is the standard
+    production recipe because membership is content-stable across runs,
+    engines, and cluster sizes).
+
+    Output (per mixture source): weight_pct, n_available, n_target, n_kept,
+    min_kept, max_kept."""
+    weights = MIXTURE_WEIGHTS if weights is None else weights
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        sorted(weights.items()), "source string, weight_pct int"
+    )
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_available"))
+        .join(wdf, "source")
+    )
+    caps = counts.withColumn(
+        "cap", F.expr("n_available * 100 DIV weight_pct")
+    )
+    n_total = caps.agg(F.min("cap").alias("n_total"))
+    rates = caps.crossJoin(F.broadcast(n_total)).withColumn(
+        "n_target", F.expr("n_total * weight_pct DIV 100")
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    kept = (
+        docs.join(
+            F.broadcast(
+                rates.select("source", "n_available", "weight_pct", "n_target")
+            ),
+            "source",
+        )
+        .withColumn("bucket", bucket)
+        .where(
+            F.col("bucket").cast("decimal(38,0)") * F.col("n_available")
+            < F.col("n_target").cast("decimal(38,0)") * F.lit(_BUCKET_SPACE)
+        )
+    )
+    return kept.groupBy(
+        "source", "weight_pct", "n_available", "n_target"
+    ).agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("min_kept"),
+        F.max("doc_id").alias("max_kept"),
+    )
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load
+
+    return mixture_resample(load(spark, sf_dir, "documents"))
+
+
+ORACLES["mixture_resample"] = _mixture_oracle()
+
 QUERIES = {
+    "mixture_resample": q_mixture_resample,
     "holdout_split": q_holdout_split,
     "pii_redact": q_pii_redact,
     "normalize_text": q_normalize_text,
