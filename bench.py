@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "paragraph_dedup",
     "mixture_resample",
+    "repetition_filters",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

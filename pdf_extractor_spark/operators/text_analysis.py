@@ -353,6 +353,176 @@ def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher repetition thresholds (Rae et al. 2021, Table A1): the fraction of
+# word characters covered by the single most frequent n-gram must not exceed
+# pct/100 for n = 2/3/4, and characters inside 5-grams occurring >= 2 times
+# (each occurrence counted, the MassiveText approximation) must not exceed
+# DUP5_PCT/100. Expressed as integer (num, den) cross-multiplies so the keep
+# bit is exact in both engines.
+REP_TOP_PCT = {2: 20, 3: 18, 4: 16}
+REP_DUP5_PCT = 15
+
+
+def repetition_filters(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition removal signals: per document, the character
+    coverage of the most frequent 2/3/4-gram and of all duplicated 5-grams,
+    plus word-diversity counts, with the keep decision as all-integer
+    cross-multiplied comparisons (no float ratios near thresholds).
+
+    Coverage is counted in WORD characters (gram length minus its n-1
+    separators, times occurrence count) against the document's summed word
+    length — whitespace runs never enter either side, so the measure is
+    layout-independent.
+
+    Scale shape: the gram explode is corpus-token-linear (x4 for the four
+    n values); the occurrence count is a map-side-combined groupBy keyed
+    (doc_id, n, gram) — the key is doc-scoped, so no corpus-hot gram can
+    skew a reducer the way a global vocab count can; the per-doc rollups
+    are two more doc-keyed groupBys. No self-joins, no windows, no global
+    sort."""
+    from functools import reduce
+
+    words = docs.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("ws"),
+    )
+    stats = words.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_distinct_words"),
+        F.aggregate(
+            F.transform("ws", lambda w: F.length(w)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("sum_chars"),
+    )
+
+    def grams(n: int) -> DataFrame:
+        # sequence(1, n_words-n+1) descends when n_words < n — guard with
+        # an empty array so short docs contribute no grams.
+        idx = F.when(
+            F.size("ws") >= n,
+            F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        return words.select(
+            "doc_id",
+            F.lit(n).alias("n"),
+            F.explode(
+                F.transform(idx, lambda i: F.array_join(F.slice("ws", i, n), " "))
+            ).alias("gram"),
+        )
+
+    all_grams = reduce(
+        DataFrame.unionByName, [grams(n) for n in (*REP_TOP_PCT, 5)]
+    )
+    counts = all_grams.groupBy("doc_id", "n", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    word_chars = F.col("cnt") * (F.length("gram") - (F.col("n") - 1))
+    per_n = counts.groupBy("doc_id", "n").agg(
+        F.max(word_chars).cast("long").alias("top_cover"),
+        F.sum(F.when(F.col("cnt") >= 2, word_chars).otherwise(0))
+        .cast("long")
+        .alias("dup_cover"),
+    )
+    pivots = per_n.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("top_cover")))
+            .alias(f"top{n}_cover")
+            for n in REP_TOP_PCT
+        ],
+        F.max(F.when(F.col("n") == 5, F.col("dup_cover"))).alias("dup5_cover"),
+    )
+    d = stats.join(pivots, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "sum_chars",
+        *[
+            F.coalesce(f"top{n}_cover", F.lit(0)).alias(f"top{n}_cover")
+            for n in REP_TOP_PCT
+        ],
+        F.coalesce("dup5_cover", F.lit(0)).alias("dup5_cover"),
+    )
+    keep = F.lit(True)
+    for n, pct in REP_TOP_PCT.items():
+        keep = keep & (
+            100 * F.col(f"top{n}_cover") <= pct * F.col("sum_chars")
+        )
+    keep = keep & (100 * F.col("dup5_cover") <= REP_DUP5_PCT * F.col("sum_chars"))
+    return d.withColumn("keep", keep)
+
+
+def q_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_filters(_docs(spark, sf_dir))
+
+
+def _repetition_oracle() -> str:
+    """Replays q_repetition_filters: same gram construction (1-based word
+    slices joined by one space), same word-char coverage arithmetic, same
+    integer threshold cross-multiplies."""
+    # One UNION ALL block per constant n: DuckDB's binder cannot resolve a
+    # LATERAL range() that references a VALUES alias column.
+    gram_blocks = "\n            UNION ALL\n".join(
+        f"""
+            SELECT doc_id, {n} AS n,
+                   array_to_string(ws[r.i : r.i + {n - 1}], ' ') AS gram
+            FROM w, LATERAL (
+                SELECT unnest(range(1, len(ws) - {n} + 2)) AS i
+            ) r"""
+        for n in (*REP_TOP_PCT, 5)
+    )
+    top_cols = ",\n               ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN top_cover END), 0)::BIGINT"
+        f" AS top{n}_cover"
+        for n in REP_TOP_PCT
+    )
+    keep = " AND ".join(
+        f"100 * coalesce(top{n}_cover, 0) <= {pct} * sum_chars"
+        for n, pct in REP_TOP_PCT.items()
+    )
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), s AS (
+            SELECT doc_id, len(ws) AS n_words,
+                   len(list_distinct(ws)) AS n_distinct_words,
+                   coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+                       ::BIGINT AS sum_chars
+            FROM w
+        ), g AS ({gram_blocks}
+        ), c AS (
+            SELECT doc_id, n, gram, count(*) AS cnt
+            FROM g GROUP BY 1, 2, 3
+        ), cov AS (
+            SELECT doc_id, n,
+                   max(cnt * (length(gram) - (n - 1))) AS top_cover,
+                   sum(CASE WHEN cnt >= 2
+                            THEN cnt * (length(gram) - (n - 1))
+                            ELSE 0 END) AS dup_cover
+            FROM c GROUP BY 1, 2
+        ), p AS (
+            SELECT doc_id,
+               {top_cols},
+               coalesce(max(CASE WHEN n = 5 THEN dup_cover END), 0)::BIGINT
+                   AS dup5_cover
+            FROM cov GROUP BY 1
+        )
+        SELECT s.doc_id, s.n_words, s.n_distinct_words, s.sum_chars,
+               coalesce(top2_cover, 0)::BIGINT AS top2_cover,
+               coalesce(top3_cover, 0)::BIGINT AS top3_cover,
+               coalesce(top4_cover, 0)::BIGINT AS top4_cover,
+               coalesce(dup5_cover, 0)::BIGINT AS dup5_cover,
+               ({keep}
+                AND 100 * coalesce(dup5_cover, 0)
+                    <= {REP_DUP5_PCT} * sum_chars) AS keep
+        FROM s LEFT JOIN p USING (doc_id)
+    """
+
+
 _QUANTILES = (25, 50, 75, 90, 99)
 
 
@@ -391,6 +561,7 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES = {
     "language_id": _language_id_oracle(),
+    "repetition_filters": _repetition_oracle(),
     "gopher_quality": """
         WITH d AS (
             SELECT doc_id,
@@ -515,4 +686,5 @@ QUERIES = {
     "token_windows": q_token_windows,
     "vocab_top_ngrams": q_vocab_top_ngrams,
     "gopher_quality": q_gopher_quality,
+    "repetition_filters": q_repetition_filters,
 }
