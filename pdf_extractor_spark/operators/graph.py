@@ -155,7 +155,37 @@ def q_dedup_components(spark: SparkSession, sf_dir: str, observation=None) -> Da
     ).join(sizes, "cluster_rep").select("doc_id", "cluster_rep", "cluster_size")
 
 
-QUERIES = {"dedup_components": q_dedup_components}
+def q_dedup_retention(
+    spark: SparkSession, sf_dir: str, observation=None
+) -> DataFrame:
+    """Retain-one-per-cluster applied to the WHOLE corpus: every document
+    gets a keep/drop decision — singletons (no verified duplicate edge)
+    keep trivially, clustered docs keep iff they are the cluster
+    representative (min doc_id). This is the stage that turns the
+    detect -> verify -> cluster chain into an actual deduplicated corpus;
+    downstream it is one `where(keep)` on the corpus scan.
+
+    Scale shape: the labels frame holds only docs inside clusters (at web
+    scale a few percent of the corpus); attaching it back is a single
+    doc_id equi-join against the scan — no new quadratic or iterative
+    work beyond what the components query already did."""
+    from . import load
+
+    labels = q_dedup_components(spark, sf_dir, observation)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    rep = F.coalesce("cluster_rep", F.col("doc_id"))
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        rep.alias("cluster_rep"),
+        F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+        (rep == F.col("doc_id")).alias("keep"),
+    )
+
+
+QUERIES = {
+    "dedup_components": q_dedup_components,
+    "dedup_retention": q_dedup_retention,
+}
 
 # Oracle: transitive closure by recursive CTE over the same capped LSH
 # pairs, rep = min reachable node (incl. self), size = docs per rep.
@@ -207,3 +237,14 @@ ORACLES = {
         FROM rep
     """,
 }
+
+# Retention wraps the components closure as a subquery: documents outside
+# any verified cluster are their own representative (keep = true).
+ORACLES["dedup_retention"] = f"""
+        SELECT d.doc_id,
+               coalesce(t.cluster_rep, d.doc_id) AS cluster_rep,
+               coalesce(t.cluster_size, 1)::BIGINT AS cluster_size,
+               (coalesce(t.cluster_rep, d.doc_id) = d.doc_id) AS keep
+        FROM documents d
+        LEFT JOIN ({ORACLES["dedup_components"]}) t USING (doc_id)
+"""
