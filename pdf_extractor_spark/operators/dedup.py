@@ -342,12 +342,21 @@ MIN_PARA_COUNT = 3
 
 
 def paragraph_dedup(
-    docs: DataFrame, min_count: int = MIN_PARA_COUNT
+    docs: DataFrame,
+    min_count: int = MIN_PARA_COUNT,
+    passages: F.Column | None = None,
+    joiner: str = " ",
 ) -> DataFrame:
     """Corpus-wide repeated-passage removal (the C4 "discard any line seen
     three times" rule; Raffel et al. 2020, RefinedWeb): documents split into
-    PARA_WORDS-word passages, passage frequencies counted corpus-wide, hot
-    passages dropped from every document, survivors reassembled in order.
+    passages, passage frequencies counted corpus-wide, hot passages dropped
+    from every document, survivors reassembled in order.
+
+    ``passages`` is the array<string> expression defining a passage; the
+    default is fixed PARA_WORDS-word windows over ``text`` (the driver
+    corpus carries no newlines). Corpora with real line structure pass
+    e.g. non-blank ``split(text, '\\n')`` with ``joiner='\\n'`` — the C4
+    rule verbatim (plans.training_data.curate does).
 
     Scale shape: the passage explode is corpus-token-linear; the frequency
     count is ONE map-side-combined hash groupBy keyed on md5(passage) — the
@@ -358,24 +367,21 @@ def paragraph_dedup(
     quadratic, no driver materialization.
 
     Output: doc_id, n_paras, n_removed, clean_text."""
+    if passages is None:
+        passages = F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(F.split("text", " ")) / PARA_WORDS).cast("int")
+                - 1,
+            ),
+            lambda i: F.array_join(
+                F.slice(F.split("text", " "), i * PARA_WORDS + 1, PARA_WORDS),
+                " ",
+            ),
+        )
     paras = docs.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.ceil(F.size(F.split("text", " ")) / PARA_WORDS).cast(
-                        "int"
-                    ) - 1,
-                ),
-                lambda i: F.array_join(
-                    F.slice(
-                        F.split("text", " "), i * PARA_WORDS + 1, PARA_WORDS
-                    ),
-                    " ",
-                ),
-            )
-        ).alias("p_idx", "para"),
+        F.posexplode(passages).alias("p_idx", "para"),
     ).withColumn("pkey", F.md5("para"))
     hot = (
         paras.groupBy("pkey")
@@ -400,7 +406,7 @@ def paragraph_dedup(
                     ),
                     lambda p: p.isNotNull(),
                 ),
-                " ",
+                joiner,
             ).alias("clean_text"),
         )
     )

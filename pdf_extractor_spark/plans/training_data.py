@@ -6,22 +6,26 @@ Composes the engine's stages the way a real data-curation job would:
     extract (payload-routed Arrow kernel)
       -> assemble per-conversation markdown
       -> Gopher-style quality gate (exact integer rules)
+      -> C4 line-level boilerplate removal (corpus-wide hot lines)
+      -> Gopher repetition gate (top n-gram / dup 5-gram coverage)
       -> PII redaction (email / IPv4 / card placeholders)
       -> exact dedup (md5 of normalized text, keep min conv_id)
       -> deterministic holdout split (content-stable md5 buckets)
 
-Everything between the two ends is a pure JVM map or a single hash
-aggregation — the only shuffles are the assembly regroup and the dedup
-groupBy, both keyed, both AQE-managed. Each stage is individually
-oracle-checked via its `queries()` twin; this module pins that they
-compose (tests/test_training_data.py + the /verify drive)."""
+Shuffle budget: the assembly regroup, the dedup groupBy, plus the
+boilerplate stage's digest-keyed frequency count + per-conv regroup and
+the repetition stage's conv-keyed gram rollup — every one keyed and
+AQE-managed; nothing quadratic or globally sorted. Each stage is
+individually oracle-checked via its `queries()` twin; this module pins
+that they compose (tests/test_training_data.py + the /verify drive)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.expressions import normalize_for_comparison_expr
-from ..operators.text_analysis import word_stats_exprs
+from ..operators.dedup import paragraph_dedup
+from ..operators.text_analysis import repetition_filters, word_stats_exprs
 from ..operators.text_ops import holdout_split_expr, pii_redact_expr
 from .pipeline import assemble_conversations, extract_transcripts
 
@@ -37,7 +41,8 @@ MAX_WORDS = 1_000_000
 
 def curate(transcripts: DataFrame) -> DataFrame:
     """Transcripts -> one row per kept conversation:
-    (conv_id, split, text, n_words, n_turns, total_pages)."""
+    (conv_id, split, text, n_words, n_turns, total_pages,
+    n_boiler_lines)."""
     assembled = assemble_conversations(extract_transcripts(transcripts))
 
     # the same word statistics the oracle-gated q_gopher_quality uses
@@ -56,7 +61,44 @@ def curate(transcripts: DataFrame) -> DataFrame:
         & (5 * F.col("n_alpha_words") >= 4 * F.col("n_words"))
     )
 
-    redacted = kept.withColumn("text", pii_redact_expr(F.col("text")))
+    # C4 line rule verbatim on the assembled markdown (real newlines here):
+    # any non-blank line occurring >= 3 times corpus-wide — page headers,
+    # repeated banners — is boilerplate and is removed from every
+    # conversation. n_words is recomputed on the cleaned text so the
+    # output's stats describe what ships.
+    lines = F.filter(F.split("text", "\n"), lambda x: F.trim(x) != "")
+    boiler = paragraph_dedup(
+        kept.select(F.col("conv_id").alias("doc_id"), "text"),
+        passages=lines,
+        joiner="\n",
+    ).select(
+        F.col("doc_id").alias("conv_id"),
+        F.col("clean_text"),
+        F.col("n_removed").alias("n_boiler_lines"),
+    )
+    cleaned = (
+        kept.drop("text", "n_words")
+        .join(boiler, "conv_id")
+        .withColumn(
+            "n_words",
+            F.size(F.filter(F.split("clean_text", r"\s+"), lambda x: x != "")),
+        )
+        .withColumnRenamed("clean_text", "text")
+    )
+
+    # Gopher repetition gate on the cleaned text: conversations dominated
+    # by one repeated n-gram are dropped entirely (semi-join on the
+    # oracle-gated signal frame's keep bit).
+    rep_keep = (
+        repetition_filters(
+            cleaned.select(F.col("conv_id").alias("doc_id"), "text")
+        )
+        .where("keep")
+        .select(F.col("doc_id").alias("conv_id"))
+    )
+    gated = cleaned.join(rep_keep, "conv_id", "left_semi")
+
+    redacted = gated.withColumn("text", pii_redact_expr(F.col("text")))
 
     # exact dedup on normalized content: keep the lowest conv_id per key
     key = F.md5(normalize_for_comparison_expr(F.col("text")))
@@ -73,5 +115,5 @@ def curate(transcripts: DataFrame) -> DataFrame:
     split = holdout_split_expr(F.col("conv_id"))
     return deduped.select(
         "conv_id", split.alias("split"), "text", "n_words", "n_turns",
-        "total_pages",
+        "total_pages", "n_boiler_lines",
     )

@@ -14,6 +14,7 @@ def curated(spark):
 def test_schema_and_rows(curated):
     assert set(curated.columns) == {
         "conv_id", "split", "text", "n_words", "n_turns", "total_pages",
+        "n_boiler_lines",
     }
     n = curated.count()
     assert 0 < n <= 60
@@ -35,7 +36,10 @@ def test_split_deterministic_and_complete(spark, curated):
 def test_dedup_and_pii(spark):
     """Inject a duplicate conversation and a PII-bearing one."""
     base = transcripts_df(spark, 5, seed=42)
-    long_text = " ".join(f"alpha{i} beta gamma" for i in range(30))
+    # bigram-unique filler: a repeated "beta gamma" here would trip the
+    # repetition gate (top-2-gram coverage), which is not what this test
+    # is about
+    long_text = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(30))
     extra = spark.createDataFrame(
         [
             ("zz_dup_1", 0, "user", long_text, None, None),
@@ -51,3 +55,26 @@ def test_dedup_and_pii(spark):
     assert "zz_dup_1" in by_id and "zz_dup_2" not in by_id
     assert "[EMAIL]" in by_id["zz_pii"]["text"]
     assert "someone@example.com" not in by_id["zz_pii"]["text"]
+
+
+def test_boilerplate_and_repetition_stages(spark):
+    """The round-3 stages fire inside curate: a banner line present in >= 3
+    conversations vanishes from all of them; a conversation dominated by
+    one repeated bigram is dropped entirely."""
+    base = transcripts_df(spark, 5, seed=42)
+    banner = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+    filler = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(30))
+    rows = [
+        (f"zz_banner_{k}", 0, "user", f"{banner}\n{filler} uniq{k}",
+         None, None)
+        for k in range(3)
+    ]
+    rows.append(("zz_repeat", 0, "user", "dup word " * 60, None, None))
+    extra = spark.createDataFrame(rows, base.schema)
+    out = {r["conv_id"]: r for r in curate(base.union(extra)).collect()}
+    for k in range(3):
+        r = out[f"zz_banner_{k}"]
+        assert banner not in r["text"]
+        assert r["n_boiler_lines"] >= 1
+        assert f"uniq{k}" in r["text"]
+    assert "zz_repeat" not in out
