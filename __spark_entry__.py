@@ -21,6 +21,7 @@ from pdf_extractor_spark.operators import (
     graph,
     joins,
     multimodal,
+    packing,
     similarity_search,
     tables_md,
     text_analysis,
@@ -30,7 +31,7 @@ from pdf_extractor_spark.operators import (
 
 _MODULES = [
     text_ops, windows, aggregates, dedup, graph, similarity_search,
-    text_analysis, multimodal, joins, tables_md, chunking,
+    text_analysis, multimodal, joins, tables_md, chunking, packing,
 ]
 
 

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "mixture_resample",
     "repetition_filters",
+    "token_packing",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     graph,
     joins,
     multimodal,
+    packing,
     similarity_search,
     tables_md,
     text_analysis,

@@ -1,0 +1,128 @@
+"""Training-sequence packing: GPT-style concat-and-chunk. Documents are laid
+end-to-end in deterministic doc_id order on a global token axis, which is cut
+every SEQ_TOKENS tokens into training sequences; each document reports where
+it lands (sequence id, offset) and how many sequence boundaries it spans.
+
+No reference counterpart (the reference stops at extraction); this is the
+training-data extension that turns a curated corpus into fixed-length model
+inputs.
+
+Scale design — the global token offset is a DISTRIBUTED PREFIX SUM, not a
+global window: a single ``Window.orderBy(doc_id)`` running sum would funnel
+the whole corpus through one task. Instead docs are bucketed by
+``doc_id div PACK_BUCKET`` (deterministic, data-independent ranges, unlike
+sampled range partitioning); each bucket computes its local exclusive
+prefix in a bounded window (<= PACK_BUCKET rows per task), bucket totals are
+rolled up into exclusive bucket offsets in one tiny cumulative pass (one row
+per bucket — corpus/PACK_BUCKET rows, e.g. 10^5 at 10^10 docs with a 10^5
+bucket: single-task-safe BECAUSE it is bounded, and itself bucketable into a
+third level if ever not), and the global start is offset + local prefix.
+The classic two-level scan from the PRAM literature, in DataFrame form.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.expressions import token_count_expr
+
+SEQ_TOKENS = 512
+PACK_BUCKET = 64
+
+
+def token_packing(
+    docs: DataFrame, seq_tokens: int = SEQ_TOKENS
+) -> DataFrame:
+    """Per document: its token count, global start offset on the packed
+    token axis, the training sequence it starts in, its offset within that
+    sequence, and the number of sequences it spans.
+
+    Output: doc_id, n_tokens, global_start, seq_id, seq_offset, n_seqs.
+    All-integer arithmetic; empty docs (0 tokens) span 0 sequences."""
+    counted = docs.select(
+        "doc_id",
+        token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket"),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = counted.withColumn(
+        "local_start", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    w_bucket = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        counted.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .withColumn(
+            "bucket_start",
+            F.coalesce(F.sum("bucket_tokens").over(w_bucket), F.lit(0)),
+        )
+        .select("bucket", "bucket_start")
+    )
+    start = F.col("bucket_start") + F.col("local_start")
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select("doc_id", "n_tokens", start.alias("global_start"))
+        .withColumn(
+            "seq_id", F.expr(f"global_start DIV {seq_tokens}").cast("long")
+        )
+        .withColumn(
+            "seq_offset", (F.col("global_start") % seq_tokens).cast("long")
+        )
+        .withColumn(
+            "n_seqs",
+            F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr(
+                    f"(global_start + n_tokens - 1) DIV {seq_tokens}"
+                ).cast("long")
+                - F.col("seq_id")
+                + 1
+            ),
+        )
+    )
+
+
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load
+
+    return token_packing(load(spark, sf_dir, "documents"))
+
+
+QUERIES = {"token_packing": q_token_packing}
+
+# Oracle: the packing layout is order-defined, so a plain single-window
+# cumulative sum over doc_id replays it exactly (DuckDB doesn't need the
+# two-level scan — correctness is the same by construction).
+ORACLES = {
+    "token_packing": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(list_filter(
+                       string_split(regexp_replace(text,
+                           '([A-Za-z]+|\\d+|[^\\sA-Za-z\\d])', '\\1 ', 'g'),
+                           ' '),
+                       x -> trim(x) <> ''))::BIGINT AS n_tokens
+            FROM documents
+        ), s AS (
+            SELECT doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0)::BIGINT AS global_start
+            FROM t
+        )
+        SELECT doc_id, n_tokens, global_start,
+               global_start // {SEQ_TOKENS} AS seq_id,
+               (global_start % {SEQ_TOKENS})::BIGINT AS seq_offset,
+               CASE WHEN n_tokens = 0 THEN 0
+                    ELSE (global_start + n_tokens - 1) // {SEQ_TOKENS}
+                         - global_start // {SEQ_TOKENS} + 1
+               END::BIGINT AS n_seqs
+        FROM s
+    """,
+}

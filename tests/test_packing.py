@@ -1,0 +1,72 @@
+"""Token packing: the two-level distributed prefix sum must equal the naive
+single-window layout, across bucket boundaries, empty and spanning docs."""
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from pdf_extractor_spark.operators.packing import (
+    PACK_BUCKET,
+    SEQ_TOKENS,
+    token_packing,
+)
+
+
+def _naive(df):
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    return {
+        r["doc_id"]: r["global_start"]
+        for r in df.withColumn(
+            "global_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        ).collect()
+    }
+
+
+def test_matches_naive_prefix_sum_across_buckets(spark):
+    # 3+ buckets with gaps and uneven ids
+    rows = [(i, f"tok {'x ' * (i % 7)}") for i in range(0, PACK_BUCKET * 3, 5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["global_start"]
+        for r in token_packing(docs).collect()
+    }
+    counted = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    assert got == _naive(counted)
+
+
+def test_spanning_and_empty_docs(spark):
+    big = "w " * (SEQ_TOKENS + 10)  # spans a boundary from offset 0
+    docs = spark.createDataFrame(
+        [(1, big), (2, ""), (3, "a b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in token_packing(docs).collect()}
+    assert out[1]["seq_id"] == 0 and out[1]["n_seqs"] == 2
+    assert out[2]["n_tokens"] == 0 and out[2]["n_seqs"] == 0
+    # doc 3 starts right after doc 1's tokens
+    assert out[3]["global_start"] == SEQ_TOKENS + 10
+    assert out[3]["seq_id"] == 1 and out[3]["seq_offset"] == 10
+
+
+def test_no_global_window_over_docs(spark):
+    """The only unpartitioned window runs over the bucket-totals frame (one
+    row per PACK_BUCKET docs), never over the doc rows."""
+    docs = spark.createDataFrame(
+        [(i, "a b") for i in range(200)], "doc_id long, text string"
+    )
+    plan = token_packing(docs)._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    unpartitioned = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(" in ln.lower()
+        and "bucket#" not in ln.split("windowspecdefinition")[1][:120]
+    ]
+    # every unpartitioned window spec must sort by bucket (the totals
+    # frame), not by doc_id
+    for ln in unpartitioned:
+        spec = ln.lower().split("windowspecdefinition(")[1]
+        assert spec.startswith("bucket"), ln
