@@ -93,7 +93,59 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_packing(load(spark, sf_dir, "documents"))
 
 
-QUERIES = {"token_packing": q_token_packing}
+def sequence_manifest(
+    docs: DataFrame, seq_tokens: int = SEQ_TOKENS
+) -> DataFrame:
+    """The emit side of packing: each document explodes into one segment
+    per training sequence it touches, and segments roll up into the
+    per-sequence manifest a data loader would read — how many documents
+    compose the sequence, how many of its token slots are filled (always
+    seq_tokens except the final sequence), and the contributing doc-id
+    range.
+
+    Scale shape: the explode adds ~(n_docs + total_tokens/seq_tokens)
+    rows; the rollup is one hash groupBy keyed on seq_id, whose
+    cardinality is total_tokens/seq_tokens — uniform by construction (no
+    hot keys: a sequence holds at most seq_tokens tokens).
+
+    Output: seq_id, n_docs, n_tokens, first_doc, last_doc."""
+    packed = token_packing(docs, seq_tokens).where(F.col("n_tokens") > 0)
+    seg = packed.select(
+        "doc_id",
+        "global_start",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.col("seq_id"), F.col("seq_id") + F.col("n_seqs") - 1
+            )
+        ).alias("seq"),
+    )
+    doc_end = F.col("global_start") + F.col("n_tokens")
+    toks = F.least(
+        (F.col("seq") + 1) * seq_tokens, doc_end
+    ) - F.greatest(F.col("seq") * seq_tokens, F.col("global_start"))
+    return (
+        seg.withColumn("toks", toks)
+        .groupBy(F.col("seq").alias("seq_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load
+
+    return sequence_manifest(load(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "token_packing": q_token_packing,
+    "sequence_manifest": q_sequence_manifest,
+}
 
 # Oracle: the packing layout is order-defined, so a plain single-window
 # cumulative sum over doc_id replays it exactly (DuckDB doesn't need the
@@ -126,3 +178,40 @@ ORACLES = {
         FROM s
     """,
 }
+
+# Manifest oracle: segments via a correlated LATERAL range over each doc's
+# touched sequences, then the same seq-keyed rollup.
+ORACLES["sequence_manifest"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(list_filter(
+                       string_split(regexp_replace(text,
+                           '([A-Za-z]+|\\d+|[^\\sA-Za-z\\d])', '\\1 ', 'g'),
+                           ' '),
+                       x -> trim(x) <> ''))::BIGINT AS n_tokens
+            FROM documents
+        ), s AS (
+            SELECT doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0)::BIGINT AS global_start
+            FROM t
+        ), seg AS (
+            SELECT doc_id, q.seq,
+                   least((q.seq + 1) * {SEQ_TOKENS},
+                         global_start + n_tokens)
+                   - greatest(q.seq * {SEQ_TOKENS}, global_start) AS toks
+            FROM s, LATERAL (
+                SELECT unnest(range(
+                    global_start // {SEQ_TOKENS},
+                    (global_start + n_tokens - 1) // {SEQ_TOKENS} + 1
+                )) AS seq
+            ) q
+            WHERE n_tokens > 0
+        )
+        SELECT seq AS seq_id, count(*) AS n_docs,
+               sum(toks)::BIGINT AS n_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM seg GROUP BY 1
+"""

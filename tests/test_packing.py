@@ -70,3 +70,21 @@ def test_no_global_window_over_docs(spark):
     for ln in unpartitioned:
         spec = ln.lower().split("windowspecdefinition(")[1]
         assert spec.startswith("bucket"), ln
+
+
+def test_sequence_manifest_slots(spark):
+    from pdf_extractor_spark.operators.packing import sequence_manifest
+
+    rows = [(i, "w " * (17 + i % 13)) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    seqs = sorted(
+        sequence_manifest(docs).collect(), key=lambda r: r["seq_id"]
+    )
+    # gap-free sequence ids; every sequence but the last completely full
+    assert [r["seq_id"] for r in seqs] == list(range(len(seqs)))
+    for r in seqs[:-1]:
+        assert r["n_tokens"] == SEQ_TOKENS
+    assert 0 < seqs[-1]["n_tokens"] <= SEQ_TOKENS
+    # doc ranges tile without overlap beyond boundary docs
+    for a, b in zip(seqs, seqs[1:]):
+        assert a["last_doc"] <= b["first_doc"] <= a["last_doc"] + 1
