@@ -489,9 +489,10 @@ def mixture_resample(
     docs: DataFrame, weights: dict[str, int] | None = None
 ) -> DataFrame:
     """Deterministic domain-mixture resampling: given integer target weights
-    per source, find the largest feasible corpus size N (the binding source
-    caps it: N = min_s floor(c_s·100 / w_s)), set per-source targets
-    n_s = floor(N·w_s / 100) <= c_s, and keep a document iff its stable md5
+    per source (any positive integers; shares of their sum), find the
+    largest feasible corpus size N (the binding source caps it:
+    N = min_s floor(c_s·W / w_s), W = sum of weights), set per-source targets
+    n_s = floor(N·w_s / W) <= c_s, and keep a document iff its stable md5
     bucket clears the source's threshold — the keep test is the exact
     integer cross-multiply bucket·c_s < n_s·2^32 in DECIMAL(38,0), so it
     cannot overflow at 100 TB row counts and replays bit-for-bit in SQL.
@@ -507,6 +508,7 @@ def mixture_resample(
     Output (per mixture source): weight_pct, n_available, n_target, n_kept,
     min_kept, max_kept."""
     weights = MIXTURE_WEIGHTS if weights is None else weights
+    w_total = sum(weights.values())
     spark = docs.sparkSession
     wdf = spark.createDataFrame(
         sorted(weights.items()), "source string, weight_pct int"
@@ -517,11 +519,11 @@ def mixture_resample(
         .join(wdf, "source")
     )
     caps = counts.withColumn(
-        "cap", F.expr("n_available * 100 DIV weight_pct")
+        "cap", F.expr(f"n_available * {w_total} DIV weight_pct")
     )
     n_total = caps.agg(F.min("cap").alias("n_total"))
     rates = caps.crossJoin(F.broadcast(n_total)).withColumn(
-        "n_target", F.expr("n_total * weight_pct DIV 100")
+        "n_target", F.expr(f"n_total * weight_pct DIV {w_total}")
     )
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
@@ -554,9 +556,72 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_resample(load(spark, sf_dir, "documents"))
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture (τ = 1/2, the Pile / XLM-R
+    recipe): target weights proportional to sqrt of each source's count, so
+    big sources are down-weighted and small ones up-weighted without any
+    hand-tuned dict. Weights are integer isqrt(c_s) — exact in both engines
+    (floor of a correctly-rounded IEEE sqrt equals isqrt for counts far
+    below 2^50) — and feed the same feasibility/threshold machinery as
+    mixture_resample.
+
+    The per-source counts collected to the driver are one row per source
+    (like k-means centroids: bounded driver traffic, not data)."""
+    import math
+
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    weights = {r["source"]: math.isqrt(r["n"]) for r in counts}
+    return mixture_resample(docs, weights)
+
+
+def _temperature_oracle() -> str:
+    return f"""
+        WITH c AS (
+            SELECT source, count(*) AS n_available
+            FROM documents GROUP BY 1
+        ), w AS (
+            SELECT source, n_available,
+                   CAST(floor(sqrt(n_available)) AS INT) AS weight_pct
+            FROM c
+        ), tot AS (
+            -- ::BIGINT: sum(INT) is HUGEINT in DuckDB, which arrives as
+            -- float through Arrow and breaks the integer hash
+            SELECT sum(weight_pct)::BIGINT AS w_total FROM w
+        ), cw AS (
+            SELECT source, n_available, weight_pct,
+                   n_available * w_total // weight_pct AS cap
+            FROM w, tot
+        ), nmin AS (
+            SELECT min(cap) AS n_total FROM cw
+        ), r AS (
+            SELECT cw.source, cw.n_available, cw.weight_pct,
+                   n_total * weight_pct // w_total AS n_target
+            FROM cw, nmin, tot
+        ), k AS (
+            SELECT d.source, d.doc_id,
+                   ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                       AS bucket
+            FROM documents d
+        )
+        SELECT r.source, r.weight_pct, r.n_available, r.n_target,
+               count(*) AS n_kept,
+               min(k.doc_id) AS min_kept,
+               max(k.doc_id) AS max_kept
+        FROM k JOIN r USING (source)
+        WHERE bucket::DECIMAL(38,0) * r.n_available
+              < r.n_target::DECIMAL(38,0) * {_BUCKET_SPACE}
+        GROUP BY 1, 2, 3, 4
+    """
+
+
 ORACLES["mixture_resample"] = _mixture_oracle()
+ORACLES["temperature_mixture"] = _temperature_oracle()
 
 QUERIES = {
+    "temperature_mixture": q_temperature_mixture,
     "mixture_resample": q_mixture_resample,
     "holdout_split": q_holdout_split,
     "pii_redact": q_pii_redact,
