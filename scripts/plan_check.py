@@ -41,6 +41,13 @@ RULES = {
     # the cascade is a pure map: scan -> filter -> ONE Arrow UDF, no shuffle
     "lattice_stream_cascade": ([r"ArrowEvalPython"], [r"Exchange"]),
     "token_windows": ([], [r"Exchange", r"ArrowEvalPython"]),
+    # round-3 curation ops: thresholds/offsets must ride broadcast joins;
+    # the repetition rollup must stay pure hash aggregation (no windows)
+    "mixture_resample": ([r"BroadcastHashJoin"], [r"SortMergeJoin"]),
+    "repetition_filters": ([], [r"\bWindow\b", r"ArrowEvalPython"]),
+    "token_packing": ([r"BroadcastHashJoin"], [r"SortMergeJoin"]),
+    "sequence_manifest": ([r"BroadcastHashJoin"], [r"SortMergeJoin"]),
+    "paragraph_dedup": ([], [r"ArrowEvalPython"]),
 }
 
 
