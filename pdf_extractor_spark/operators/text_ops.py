@@ -518,9 +518,13 @@ def mixture_resample(
         .agg(F.count("*").alias("n_available"))
         .join(wdf, "source")
     )
+    # materialize the per-source caps ONCE (rows = #sources): the min
+    # reduce, the rates frame, and the selection join all read it — without
+    # this the full corpus count re-scans per consumer (3 corpus scans
+    # instead of 2 at 100 TB)
     caps = counts.withColumn(
         "cap", F.expr(f"n_available * {w_total} DIV weight_pct")
-    )
+    ).localCheckpoint(eager=True)
     n_total = caps.agg(F.min("cap").alias("n_total"))
     rates = caps.crossJoin(F.broadcast(n_total)).withColumn(
         "n_target", F.expr(f"n_total * weight_pct DIV {w_total}")
