@@ -39,11 +39,15 @@ def token_packing(
 
     Output: doc_id, n_tokens, global_start, seq_id, seq_offset, n_seqs.
     All-integer arithmetic; empty docs (0 tokens) span 0 sequences."""
+    # The explicit isnotnull matches the filter the join infers on its own
+    # side; without it the two bucket-keyed Exchange subtrees canonicalize
+    # differently and ReuseExchange cannot dedup them (verified on the
+    # executed plan).
     counted = docs.select(
         "doc_id",
         token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
         (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket"),
-    )
+    ).where(F.col("bucket").isNotNull())
     w_local = (
         Window.partitionBy("bucket")
         .orderBy("doc_id")
@@ -55,9 +59,19 @@ def token_packing(
     w_bucket = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # Bucket totals are derived from the SAME windowed frame (last row's
+    # local_start + n_tokens = the bucket's token sum), not from a second
+    # groupBy over the raw counts: both consumers then share one scan and
+    # one bucket-keyed Exchange (ReuseExchange dedups the subtree), and the
+    # rollup itself needs no further shuffle because the frame is already
+    # hash-partitioned by bucket.
     offsets = (
-        counted.groupBy("bucket")
-        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        local.groupBy("bucket")
+        .agg(
+            F.max(F.col("local_start") + F.col("n_tokens")).alias(
+                "bucket_tokens"
+            )
+        )
         .withColumn(
             "bucket_start",
             F.coalesce(F.sum("bucket_tokens").over(w_bucket), F.lit(0)),

@@ -374,14 +374,14 @@ def repetition_filters(docs: DataFrame) -> DataFrame:
     length — whitespace runs never enter either side, so the measure is
     layout-independent.
 
-    Scale shape: the gram explode is corpus-token-linear (x4 for the four
-    n values); the occurrence count is a map-side-combined groupBy keyed
-    (doc_id, n, gram) — the key is doc-scoped, so no corpus-hot gram can
-    skew a reducer the way a global vocab count can; the per-doc rollups
-    are two more doc-keyed groupBys. No self-joins, no windows, no global
-    sort."""
-    from functools import reduce
-
+    Scale shape: ONE corpus scan builds all four gram lengths (a single
+    flattened array of (n, gram) structs per doc — not a 4-way union that
+    would re-scan and re-tokenize per n); the occurrence count is a
+    map-side-combined groupBy keyed (doc_id, n, gram) — the key is
+    doc-scoped, so no corpus-hot gram can skew a reducer the way a global
+    vocab count can; the per-doc rollups are two more doc-keyed groupBys.
+    The word-stats branch is the only second scan. No self-joins, no
+    windows, no global sort."""
     words = docs.select(
         "doc_id",
         F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("ws"),
@@ -397,24 +397,27 @@ def repetition_filters(docs: DataFrame) -> DataFrame:
         ).alias("sum_chars"),
     )
 
-    def grams(n: int) -> DataFrame:
+    def gram_entries(n: int) -> F.Column:
         # sequence(1, n_words-n+1) descends when n_words < n — guard with
         # an empty array so short docs contribute no grams.
         idx = F.when(
             F.size("ws") >= n,
             F.sequence(F.lit(1), F.size("ws") - (n - 1)),
         ).otherwise(F.array().cast("array<int>"))
-        return words.select(
-            "doc_id",
-            F.lit(n).alias("n"),
-            F.explode(
-                F.transform(idx, lambda i: F.array_join(F.slice("ws", i, n), " "))
-            ).alias("gram"),
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.array_join(F.slice("ws", i, n), " ").alias("gram"),
+            ),
         )
 
-    all_grams = reduce(
-        DataFrame.unionByName, [grams(n) for n in (*REP_TOP_PCT, 5)]
-    )
+    all_grams = words.select(
+        "doc_id",
+        F.explode(
+            F.flatten(F.array(*[gram_entries(n) for n in (*REP_TOP_PCT, 5)]))
+        ).alias("g"),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
     counts = all_grams.groupBy("doc_id", "n", "gram").agg(
         F.count("*").alias("cnt")
     )
