@@ -560,6 +560,55 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_resample(load(spark, sf_dir, "documents"))
 
 
+STRAT_K = 10  # docs kept per source
+STRAT_SALT = 8  # salt width for the partial rank
+
+
+def stratified_sample(docs: DataFrame, k: int = STRAT_K) -> DataFrame:
+    """Exactly-K-per-source deterministic sample: within each source, keep
+    the K documents with the smallest md5(doc_id) — a content-stable
+    shuffle order, so membership survives re-partitioning, backfills, and
+    engine changes (no RNG). The complement to mixture_resample's
+    hash-threshold (approximate counts, one pass): this one is exact-count
+    at the cost of a rank.
+
+    The rank is TWO-STAGE like vocab_top_ngrams: a partial top-K per
+    (source, pmod(xxhash64(doc_id), STRAT_SALT)) partition bounds every
+    sort to ~1/S of a source's docs (a hot source never lands in one
+    task), then the final rank sees at most S*K rows per source. Top-K
+    distributes over the salt-partition union, so the result is identical
+    to the single-window form.
+
+    Output: source, doc_id, rk (1..K in md5 order)."""
+    from pyspark.sql import Window
+
+    order_key = F.md5(F.col("doc_id").cast("string"))
+    base = docs.select(
+        "source",
+        "doc_id",
+        order_key.alias("okey"),
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(STRAT_SALT)).alias("salt"),
+    )
+    w_salt = Window.partitionBy("source", "salt").orderBy("okey", "doc_id")
+    survivors = (
+        base.withColumn("rk", F.row_number().over(w_salt))
+        .where(F.col("rk") <= k)
+        .drop("rk", "salt")
+    )
+    w_final = Window.partitionBy("source").orderBy("okey", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w_final))
+        .where(F.col("rk") <= k)
+        .select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load
+
+    return stratified_sample(load(spark, sf_dir, "documents"))
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened source mixture (τ = 1/2, the Pile / XLM-R
     recipe): target weights proportional to sqrt of each source's count, so
@@ -623,8 +672,21 @@ def _temperature_oracle() -> str:
 
 ORACLES["mixture_resample"] = _mixture_oracle()
 ORACLES["temperature_mixture"] = _temperature_oracle()
+# The salted partial rank never changes the result (top-K distributes over
+# the salt union), so the oracle is the plain single-window form.
+ORACLES["stratified_sample"] = f"""
+        SELECT source, doc_id, rk FROM (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(doc_id::VARCHAR), doc_id
+                   )::BIGINT AS rk
+            FROM documents
+        ) WHERE rk <= {STRAT_K}
+"""
 
 QUERIES = {
+    "stratified_sample": q_stratified_sample,
     "temperature_mixture": q_temperature_mixture,
     "mixture_resample": q_mixture_resample,
     "holdout_split": q_holdout_split,
