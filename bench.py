@@ -60,6 +60,12 @@ BENCH_QUERIES = [
     "mixture_resample",
     "repetition_filters",
     "token_packing",
+    "temperature_mixture",
+    "stratified_sample",
+    "sequence_manifest",
+    "dedup_retention",
+    "lm_fluency",
+    "decontaminate_spans",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -310,6 +310,97 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _positional_shingles_col() -> F.Column:
+    """Word 3-shingles WITH their 0-based start positions implied by array
+    order (index i = shingle starting at word i) — the span-level sibling
+    of ``word_shingles_expr`` (which is distinct and position-less).
+    Shifted-zip form per the lambda-re-evaluation rule; the trailing
+    partial windows arrays_zip pads are sliced off so entry i is always a
+    full 3-word shingle."""
+    words = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    n = F.size(words)
+    z = F.arrays_zip(
+        words,
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        F.slice(words, 3, F.greatest(n - 2, F.lit(0))),
+    )
+    sh = F.transform(z, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]))
+    return F.slice(sh, 1, F.greatest(n - 2, F.lit(0)))
+
+
+def decontaminate_spans(corpus_sh: DataFrame, bench_sh: DataFrame, base: DataFrame) -> DataFrame:
+    """Span-level benchmark decontamination (the surgical variant of
+    ``contamination_check``'s doc-level counts): instead of dropping a
+    contaminated document, remove exactly the words covered by any
+    benchmark-overlapping 3-shingle and reassemble the rest in order —
+    PaLM / GPT-3 style eval-overlap scrubbing that keeps the clean 99% of
+    a long document.
+
+    ``corpus_sh``/``bench_sh`` are (doc_id, start, sh) / (sh) frames;
+    ``base`` is (doc_id, ws array<string>). Scale shape: the bench shingle
+    set is DISTINCT and bounded by the benchmark suite (not the corpus),
+    so the overlap join broadcasts it; covered word indices aggregate
+    per doc (rows only for contaminated docs — a shuffle bounded by the
+    contamination volume, not the corpus); the final join back to the
+    corpus is doc_id-keyed and AQE converts it to broadcast whenever the
+    contaminated-doc set is small (no unconditional corpus-sized
+    broadcast). Word removal itself is a pure per-row array filter.
+
+    Output: doc_id, n_words, n_removed, clean_text."""
+    cont = corpus_sh.join(F.broadcast(bench_sh), "sh").select("doc_id", "start")
+    cov = cont.groupBy("doc_id").agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(
+                    F.array(
+                        F.col("start"),
+                        F.col("start") + F.lit(1),
+                        F.col("start") + F.lit(2),
+                    )
+                )
+            )
+        ).alias("covered")
+    )
+    joined = base.join(cov, "doc_id", "left")
+    covered = F.coalesce(F.col("covered"), F.array().cast("array<int>"))
+    indexed = F.transform(
+        F.col("ws"), lambda w, i: F.struct(w.alias("w"), i.alias("i"))
+    )
+    kept = F.filter(indexed, lambda s: ~F.array_contains(covered, s["i"]))
+    return joined.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        (F.size("ws") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(F.transform(kept, lambda s: s["w"]), " ").alias(
+            "clean_text"
+        ),
+    )
+
+
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable span decontamination: the first BENCHMARK_DOCS
+    doc_ids play the held-out benchmark (as in contamination_check), the
+    rest are scrubbed. The bench side derives from the same table only for
+    self-containment — in production it is a separate small eval-suite
+    table, which is exactly why the broadcast in decontaminate_spans is
+    sound."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.posexplode(_positional_shingles_col()).alias("start", "sh")
+    )
+    bench_sh = (
+        sh.where(F.col("doc_id") < BENCHMARK_DOCS).select("sh").distinct()
+    )
+    corpus_sh = sh.where(F.col("doc_id") >= BENCHMARK_DOCS)
+    base = docs.where(F.col("doc_id") >= BENCHMARK_DOCS).select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("ws"),
+    ).where(F.size("ws") > 0)
+    return decontaminate_spans(corpus_sh, bench_sh, base)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str, observation=None) -> DataFrame:
     """Driver-checkable incremental dedup: the corpus's first 80% of doc_ids
     play the already-stored batch, the last 20% arrive as the new batch.
@@ -759,6 +850,39 @@ ORACLES = {
 # lives in md5-hex nibble 15 - b//4 (nibble 15 = first hex char), bit b%4
 # within it; votes are +1/-1 per word per the kernel (textstats.simhash64).
 # Docs with no words hash to 0 -> bucket 0 (left join + coalesce).
+ORACLES["decontaminate_spans"] = f"""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), psh AS (
+            SELECT doc_id, i - 1 AS start,
+                   array_to_string(list_slice(ws, i, i + 2), ' ') AS sh
+            FROM words,
+                 LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i)
+        ), bench AS (
+            SELECT DISTINCT sh FROM psh WHERE doc_id < {BENCHMARK_DOCS}
+        ), cov AS (
+            SELECT DISTINCT p.doc_id, p.start + o.o AS idx
+            FROM psh p JOIN bench b USING (sh),
+                 LATERAL (SELECT unnest([0, 1, 2]) AS o) o
+            WHERE p.doc_id >= {BENCHMARK_DOCS}
+        ), wp AS (
+            SELECT doc_id, ws[i] AS w, i - 1 AS idx
+            FROM words,
+                 LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)
+            WHERE doc_id >= {BENCHMARK_DOCS}
+        )
+        SELECT wp.doc_id,
+               count(*)::BIGINT AS n_words,
+               sum((c.idx IS NOT NULL)::INT)::BIGINT AS n_removed,
+               coalesce(string_agg(CASE WHEN c.idx IS NULL THEN wp.w END,
+                                   ' ' ORDER BY wp.idx), '') AS clean_text
+        FROM wp LEFT JOIN cov c ON wp.doc_id = c.doc_id AND wp.idx = c.idx
+        GROUP BY wp.doc_id
+"""
+
 ORACLES["paragraph_dedup"] = f"""
         WITH d AS (
             SELECT doc_id,
@@ -891,6 +1015,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_incremental": q_dedup_incremental,
     "contamination_check": q_contamination_check,
+    "decontaminate_spans": q_decontaminate_spans,
     "corpus_merge": q_corpus_merge,
     "paragraph_dedup": q_paragraph_dedup,
     "simhash_buckets": q_simhash_buckets,

@@ -562,7 +562,206 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Character-trigram LM fluency bins: a trigram's conditional probability
+# P(c3 | c2-prefix) = cnt(tri)/cnt(prefix) is bucketed by the thresholds
+# 1/256, 1/64, 1/16, 1/4 via integer cross-multiplication (cnt_tri * k >=
+# cnt_pre), so the score is exact in both engines — no cross-engine log()
+# (CCNet's perplexity needs floats whose last-ulp behavior differs between
+# JVM Math.log and libm; the bin form keeps the same ranking signal exact).
+_FLUENCY_BINS = (4, 16, 64, 256)
+
+
+def _char_trigrams(col: str = "text") -> F.Column:
+    """Every char trigram of ``col`` as array<string> (empty when the text
+    is shorter than 3 chars — Spark's sequence() would otherwise descend).
+    substr-per-index inside the transform is O(1) per element (a column
+    ref, not a recomputed parse), unlike the split-in-lambda trap."""
+    n = F.length(col)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.col(col).substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def lm_fluency(docs: DataFrame) -> DataFrame:
+    """Character-trigram language-model fluency scoring — the CCNet-style
+    "perplexity filter" slot in a curation pipeline (Wenzek et al. 2020
+    filter web text by LM perplexity; Brown et al. GPT-3 use an LM-based
+    quality score). The corpus itself is the LM training set: pass 1
+    counts every char trigram; pass 2 scores each document by how probable
+    its trigrams are under those counts, as exact integer probability bins
+    (see _FLUENCY_BINS). Low fluency = improbable character sequences =
+    mojibake / binary spill / wrong-language residue.
+
+    Scale shape: the model table is bounded by charset^3 (a few hundred K
+    rows at Unicode-subset worst case, ~20k here) regardless of corpus
+    size, so it is localCheckpointed once (c3 feeds both its own rows and
+    the prefix rollup — the self-join-recompute rule) and BROADCAST into
+    the scoring join; scoring is one corpus scan -> explode -> broadcast
+    hash join -> doc-keyed groupBy. No corpus-sized shuffle anywhere: the
+    trigram count shuffle carries one row per distinct trigram per mapper
+    (map-side combine into a bounded key space). In production the model
+    is fit once and persisted; inline here so the query is self-contained.
+
+    Output: doc_id, n_tri, fluency (sum of per-trigram bins 0..4),
+    n_rare (trigrams below every threshold)."""
+    tri = docs.select(
+        "doc_id", F.explode(_char_trigrams()).alias("tri")
+    )
+    c3 = (
+        tri.groupBy("tri")
+        .agg(F.count("*").alias("c3"))
+        .localCheckpoint(eager=True)
+    )
+    c2 = (
+        c3.groupBy(F.col("tri").substr(1, 2).alias("pre"))
+        .agg(F.sum("c3").alias("c2"))
+    )
+    model = c3.join(c2, c3["tri"].substr(1, 2) == c2["pre"]).select(
+        "tri", "c3", "c2"
+    )
+    bin_col = sum(
+        (F.col("c3") * k >= F.col("c2")).cast("int") for k in _FLUENCY_BINS
+    )
+    return (
+        tri.join(F.broadcast(model), "tri")
+        .select("doc_id", bin_col.alias("bin"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tri"),
+            F.sum("bin").alias("fluency"),
+            F.sum((F.col("bin") == 0).cast("int")).cast("long").alias("n_rare"),
+        )
+    )
+
+
+def q_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_fluency(_docs(spark, sf_dir))
+
+
+def _fluency_oracle() -> str:
+    bins = " + ".join(
+        f"(m.c3 * {k} >= m.c2)::INT" for k in _FLUENCY_BINS
+    )
+    return f"""
+        WITH tri AS (
+            SELECT doc_id, substring(text, i, 3) AS tri
+            FROM documents,
+                 LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i)
+            WHERE length(text) >= 3
+        ), c3 AS (
+            SELECT tri, count(*)::BIGINT AS c3 FROM tri GROUP BY tri
+        ), c2 AS (
+            SELECT substring(tri, 1, 2) AS pre, sum(c3)::BIGINT AS c2
+            FROM c3 GROUP BY pre
+        ), model AS (
+            SELECT c3.tri, c3.c3, c2.c2
+            FROM c3 JOIN c2 ON substring(c3.tri, 1, 2) = c2.pre
+        ), scored AS (
+            SELECT t.doc_id, ({bins}) AS bin
+            FROM tri t JOIN model m ON t.tri = m.tri
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_tri,
+               sum(bin)::BIGINT AS fluency,
+               sum((bin = 0)::INT)::BIGINT AS n_rare
+        FROM scored GROUP BY doc_id
+    """
+
+
+POSTINGS_K = 20  # doc_ids kept per posting list
+POSTINGS_SALT = 16  # salt width for the two-stage postings rank
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted index over the token stream — the corpus-search
+    primitive (duplicate-query lookup, contamination audits, "which docs
+    contain X" debugging all ride on it): per token, document frequency,
+    total occurrences, and the first POSTINGS_K doc_ids ascending as a
+    comma-joined posting list.
+
+    Scale shape: the (token, doc) rollup is ONE map-side-combined groupBy
+    whose key space is token×doc — a corpus-hot token is spread across its
+    documents, so no reducer sees a single hot key. That rollup is the
+    index-build intermediate a production job persists anyway; here it is
+    localCheckpointed once so the stats aggregate and the postings rank
+    share it instead of re-exploding the corpus per side (the self-join
+    recompute rule). Postings use the salted two-stage min-K (min-K
+    distributes over the salt-partition union, same argument as
+    vocab_top_ngrams' top-K): a token with a hundred-million-doc posting
+    list never sorts in one task — the per-(token, salt) window bounds
+    every sort, the final window sees ≤ SALT·K rows per token, and the
+    collect only ever sees the ≤ K survivors."""
+    from pyspark.sql import Window
+
+    td = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_tokens_expr()).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    stats = td.groupBy("tok").agg(
+        F.count("*").alias("df"), F.sum("c").alias("cnt")
+    )
+    w_salt = Window.partitionBy(
+        "tok", F.pmod(F.xxhash64("doc_id"), F.lit(POSTINGS_SALT))
+    ).orderBy("doc_id")
+    survivors = (
+        td.withColumn("rk", F.row_number().over(w_salt))
+        .where(F.col("rk") <= POSTINGS_K)
+        .drop("rk")
+    )
+    w_tok = Window.partitionBy("tok").orderBy("doc_id")
+    postings = (
+        survivors.withColumn("rk", F.row_number().over(w_tok))
+        .where(F.col("rk") <= POSTINGS_K)
+        .groupBy("tok")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return stats.join(postings, "tok")
+
+
+def _inverted_index_oracle() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(toks) AS tok FROM toks
+        ), td AS (
+            SELECT tok, doc_id, count(*)::BIGINT AS c
+            FROM tok GROUP BY tok, doc_id
+        ), stats AS (
+            SELECT tok, count(*)::BIGINT AS df, sum(c)::BIGINT AS cnt
+            FROM td GROUP BY tok
+        ), ranked AS (
+            SELECT tok, doc_id,
+                   row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rk
+            FROM td
+        ), post AS (
+            SELECT tok,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                       AS postings
+            FROM ranked WHERE rk <= {POSTINGS_K} GROUP BY tok
+        )
+        SELECT s.tok, s.df, s.cnt, p.postings
+        FROM stats s JOIN post p USING (tok)
+    """
+
+
 ORACLES = {
+    "inverted_index": _inverted_index_oracle(),
+    "lm_fluency": _fluency_oracle(),
     "language_id": _language_id_oracle(),
     "repetition_filters": _repetition_oracle(),
     "gopher_quality": """
@@ -681,6 +880,8 @@ ORACLES = {
 }
 
 QUERIES = {
+    "inverted_index": q_inverted_index,
+    "lm_fluency": q_lm_fluency,
     "token_count": q_token_count,
     "quality_features": q_quality_features,
     "fingerprint": q_fingerprint,
