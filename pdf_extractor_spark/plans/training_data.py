@@ -8,23 +8,30 @@ Composes the engine's stages the way a real data-curation job would:
       -> Gopher-style quality gate (exact integer rules)
       -> C4 line-level boilerplate removal (corpus-wide hot lines)
       -> Gopher repetition gate (top n-gram / dup 5-gram coverage)
+      -> span-level benchmark decontamination (optional eval-suite input)
       -> PII redaction (email / IPv4 / card placeholders)
       -> exact dedup (md5 of normalized text, keep min conv_id)
       -> deterministic holdout split (content-stable md5 buckets)
 
 Shuffle budget: the assembly regroup, the dedup groupBy, plus the
-boilerplate stage's digest-keyed frequency count + per-conv regroup and
-the repetition stage's conv-keyed gram rollup — every one keyed and
-AQE-managed; nothing quadratic or globally sorted. Each stage is
-individually oracle-checked via its `queries()` twin; this module pins
-that they compose (tests/test_training_data.py + the /verify drive)."""
+boilerplate stage's digest-keyed frequency count + per-conv regroup, the
+repetition stage's conv-keyed gram rollup, and (with a benchmark) the
+decontamination stage's broadcast shingle join + contaminated-rows-only
+regroup — every one keyed and AQE-managed; nothing quadratic or globally
+sorted. Each stage is individually oracle-checked via its `queries()`
+twin; this module pins that they compose (tests/test_training_data.py +
+the /verify drive)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.expressions import normalize_for_comparison_expr
-from ..operators.dedup import paragraph_dedup
+from ..operators.dedup import (
+    _positional_shingles_col,
+    decontaminate_spans,
+    paragraph_dedup,
+)
 from ..operators.text_analysis import repetition_filters, word_stats_exprs
 from ..operators.text_ops import holdout_split_expr, pii_redact_expr
 from .pipeline import assemble_conversations, extract_transcripts
@@ -39,10 +46,19 @@ MIN_WORDS = 20
 MAX_WORDS = 1_000_000
 
 
-def curate(transcripts: DataFrame) -> DataFrame:
+def curate(
+    transcripts: DataFrame, benchmark: DataFrame | None = None
+) -> DataFrame:
     """Transcripts -> one row per kept conversation:
     (conv_id, split, text, n_words, n_turns, total_pages,
-    n_boiler_lines)."""
+    n_boiler_lines, n_decon_words).
+
+    ``benchmark``, when given, is the held-out eval suite as a frame with
+    a ``text`` column; every word of a conversation covered by a
+    benchmark-overlapping 3-shingle is scrubbed (span-level — the clean
+    99% of a long conversation survives), with the removed-word count
+    reported per conversation. Without it the stage is skipped and
+    n_decon_words is 0."""
     assembled = assemble_conversations(extract_transcripts(transcripts))
 
     # the same word statistics the oracle-gated q_gopher_quality uses
@@ -98,6 +114,38 @@ def curate(transcripts: DataFrame) -> DataFrame:
     )
     gated = cleaned.join(rep_keep, "conv_id", "left_semi")
 
+    # span-level benchmark decontamination (eval-overlap scrubbing): only
+    # when an eval suite is supplied; n_words is recomputed on the
+    # scrubbed text so the shipped stats stay truthful.
+    if benchmark is not None:
+        corpus_sh = gated.select(
+            F.col("conv_id").alias("doc_id"),
+            F.posexplode(_positional_shingles_col()).alias("start", "sh"),
+        )
+        bench_sh = (
+            benchmark.select(
+                F.explode(_positional_shingles_col()).alias("sh")
+            ).distinct()
+        )
+        base = gated.select(
+            F.col("conv_id").alias("doc_id"),
+            F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("ws"),
+        )
+        scrubbed = decontaminate_spans(corpus_sh, bench_sh, base).select(
+            F.col("doc_id").alias("conv_id"),
+            F.col("clean_text"),
+            F.col("n_removed").alias("n_decon_words"),
+            (F.col("n_words") - F.col("n_removed")).alias("n_kept_words"),
+        )
+        gated = (
+            gated.drop("text", "n_words")
+            .join(scrubbed, "conv_id")
+            .withColumnRenamed("clean_text", "text")
+            .withColumnRenamed("n_kept_words", "n_words")
+        )
+    else:
+        gated = gated.withColumn("n_decon_words", F.lit(0).cast("long"))
+
     redacted = gated.withColumn("text", pii_redact_expr(F.col("text")))
 
     # exact dedup on normalized content: keep the lowest conv_id per key
@@ -115,5 +163,5 @@ def curate(transcripts: DataFrame) -> DataFrame:
     split = holdout_split_expr(F.col("conv_id"))
     return deduped.select(
         "conv_id", split.alias("split"), "text", "n_words", "n_turns",
-        "total_pages", "n_boiler_lines",
+        "total_pages", "n_boiler_lines", "n_decon_words",
     )

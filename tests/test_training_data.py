@@ -14,8 +14,9 @@ def curated(spark):
 def test_schema_and_rows(curated):
     assert set(curated.columns) == {
         "conv_id", "split", "text", "n_words", "n_turns", "total_pages",
-        "n_boiler_lines",
+        "n_boiler_lines", "n_decon_words",
     }
+    assert curated.where(F.col("n_decon_words") != 0).count() == 0
     n = curated.count()
     assert 0 < n <= 60
 
@@ -78,3 +79,30 @@ def test_boilerplate_and_repetition_stages(spark):
         assert r["n_boiler_lines"] >= 1
         assert f"uniq{k}" in r["text"]
     assert "zz_repeat" not in out
+
+
+def test_benchmark_decontamination_stage(spark):
+    """With an eval suite supplied, a conversation containing a benchmark
+    passage loses exactly that span; clean conversations are untouched."""
+    base = transcripts_df(spark, 5, seed=42)
+    # two DIFFERENT fillers: repeating one filler twice would legitimately
+    # trip the duplicated-5-gram repetition gate before decontamination
+    filler_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(30))
+    filler_b = " ".join(f"delta{i} eps{i} zeta{i}" for i in range(30))
+    leak = "the capital of france is paris"
+    extra = spark.createDataFrame(
+        [
+            ("zz_leak", 0, "user", f"{filler_a} {leak} {filler_b}", None, None),
+            ("zz_clean", 0, "user", filler_a + " somethingelse", None, None),
+        ],
+        base.schema,
+    )
+    bench = spark.createDataFrame([(leak,)], "text string")
+    out = {
+        r["conv_id"]: r
+        for r in curate(base.union(extra), benchmark=bench).collect()
+    }
+    assert out["zz_leak"]["n_decon_words"] >= 6
+    assert "capital of france" not in out["zz_leak"]["text"]
+    assert f"alpha0" in out["zz_leak"]["text"]  # clean spans survive
+    assert out["zz_clean"]["n_decon_words"] == 0
