@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "dedup_retention",
     "lm_fluency",
     "decontaminate_spans",
+    "cdc_chunk_dedup",
+    "inverted_index",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

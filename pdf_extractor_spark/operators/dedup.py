@@ -401,6 +401,95 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_spans(corpus_sh, bench_sh, base)
 
 
+# Content-defined chunking parameters: W-char rolling window, Horner-mod
+# polynomial hash (base B mod M), cut where hash % CDC_K == 0 -> expected
+# chunk length ~CDC_K chars. All-integer arithmetic, bit-identical across
+# engines (prototyped: Spark aggregate() and DuckDB list_reduce() agree).
+CDC_W = 8
+CDC_B = 257
+CDC_M = 1 << 20
+CDC_K = 64
+
+
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking partial-duplicate detection (the LBFS /
+    FastCDC idea applied to corpus curation): chunk boundaries are placed
+    where a W-char rolling hash hits 0 mod CDC_K, so boundaries RESYNC
+    after insertions — two documents sharing a shifted block still produce
+    identical chunks where whole-doc hashing and fixed word windows both
+    miss. Chunks are fingerprinted (md5), counted corpus-wide, and each
+    doc reports how many of its bytes sit in chunks that appear elsewhere.
+
+    Scale shape: hashing is a pure per-row map, O(W) per char with W a
+    constant 8 (a codegen rolling update would be O(1)/char; the direct
+    Horner form keeps it expressible as exact SQL in both engines — still
+    corpus-linear). The chunk frame (~1 row per CDC_K chars) is
+    localCheckpointed once — it is the index-build intermediate a
+    production job would persist — and both the fingerprint count and the
+    per-doc rollup read it; the count shuffle carries md5 digests with
+    map-side combine. No self-joins, nothing quadratic.
+
+    Output: doc_id, n_chunks, total_chars, dup_chars."""
+    from . import load
+
+    n = F.length("text")
+    codes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.ascii(F.col("text").substr(i, F.lit(1))).cast("long"),
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").withColumn(
+        "codes", codes
+    )
+    win_hash = lambda i: F.aggregate(  # noqa: E731
+        F.slice(F.col("codes"), i, CDC_W),
+        F.lit(0).cast("long"),
+        lambda a, c: (a * CDC_B + c) % CDC_M,
+    )
+    cutpos = F.transform(
+        F.filter(
+            F.when(n >= CDC_W, F.sequence(F.lit(1), n - CDC_W + 1)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda i: win_hash(i) % CDC_K == 0,
+        ),
+        lambda i: (i + CDC_W - 1).cast("int"),
+    )
+    d = d.withColumn(
+        "bounds",
+        F.concat(
+            F.array(F.lit(0).cast("int")), cutpos, F.array(n.cast("int"))
+        ),
+    )
+    chunks = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("bounds") - 1),
+            lambda j: F.col("text").substr(
+                F.element_at(F.col("bounds"), j) + 1,
+                F.element_at(F.col("bounds"), j + 1)
+                - F.element_at(F.col("bounds"), j),
+            ),
+        ),
+        lambda c: c != "",
+    )
+    chunk_rows = (
+        d.select("doc_id", F.explode(chunks).alias("chunk"))
+        .select("doc_id", F.md5("chunk").alias("fp"), F.length("chunk").alias("len"))
+        .localCheckpoint(eager=True)
+    )
+    counts = chunk_rows.groupBy("fp").agg(F.count("*").alias("cnt"))
+    return (
+        chunk_rows.join(counts, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("len").alias("total_chars"),
+            F.sum(F.when(F.col("cnt") >= 2, F.col("len")).otherwise(0)).alias(
+                "dup_chars"
+            ),
+        )
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str, observation=None) -> DataFrame:
     """Driver-checkable incremental dedup: the corpus's first 80% of doc_ids
     play the already-stored batch, the last 20% arrive as the new batch.
@@ -850,6 +939,55 @@ ORACLES = {
 # lives in md5-hex nibble 15 - b//4 (nibble 15 = first hex char), bit b%4
 # within it; votes are +1/-1 per word per the kernel (textstats.simhash64).
 # Docs with no words hash to 0 -> bucket 0 (left join + coalesce).
+ORACLES["cdc_chunk_dedup"] = f"""
+        WITH d AS (
+            SELECT doc_id, text, length(text) AS n,
+                   list_transform(range(1, length(text) + 1),
+                       j -> ord(substring(text, j, 1))::BIGINT) AS codes
+            FROM documents
+        ), cut AS (
+            SELECT doc_id, text, n,
+                   list_transform(
+                       list_filter(
+                           CASE WHEN n >= {CDC_W}
+                                THEN range(1, n - {CDC_W} + 2)
+                                ELSE [] END,
+                           i -> list_reduce(
+                                    list_prepend(0::BIGINT,
+                                        codes[i : i + {CDC_W} - 1]),
+                                    (a, c) -> (a * {CDC_B} + c) % {CDC_M}
+                                ) % {CDC_K} = 0),
+                       i -> i + {CDC_W} - 1) AS cutpos
+            FROM d
+        ), b AS (
+            SELECT doc_id, text,
+                   list_concat(list_concat([0], cutpos), [n]) AS bounds
+            FROM cut
+        ), ch AS (
+            SELECT doc_id, chunk FROM (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           list_transform(range(1, len(bounds)),
+                               j -> substring(text, bounds[j] + 1,
+                                              bounds[j + 1] - bounds[j])),
+                           c -> c <> '')) AS chunk
+                FROM b
+            )
+        ), rows_ AS (
+            SELECT doc_id, md5(chunk) AS fp, length(chunk)::BIGINT AS len
+            FROM ch
+        ), cnts AS (
+            SELECT fp, count(*) AS cnt FROM rows_ GROUP BY fp
+        )
+        SELECT r.doc_id,
+               count(*)::BIGINT AS n_chunks,
+               sum(r.len)::BIGINT AS total_chars,
+               sum(CASE WHEN c.cnt >= 2 THEN r.len ELSE 0 END)
+                   ::BIGINT AS dup_chars
+        FROM rows_ r JOIN cnts c USING (fp)
+        GROUP BY r.doc_id
+"""
+
 ORACLES["decontaminate_spans"] = f"""
         WITH words AS (
             SELECT doc_id,
@@ -1016,6 +1154,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "contamination_check": q_contamination_check,
     "decontaminate_spans": q_decontaminate_spans,
+    "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "corpus_merge": q_corpus_merge,
     "paragraph_dedup": q_paragraph_dedup,
     "simhash_buckets": q_simhash_buckets,
