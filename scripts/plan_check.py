@@ -48,7 +48,17 @@ RULES = {
     "token_packing": ([r"BroadcastHashJoin"], [r"SortMergeJoin"]),
     "sequence_manifest": ([r"BroadcastHashJoin"], [r"SortMergeJoin"]),
     "paragraph_dedup": ([], [r"ArrowEvalPython"]),
+    # the trigram model and the bench shingle set are bounded -> broadcast
+    "lm_fluency": ([r"BroadcastHashJoin"], [r"SortMergeJoin", r"ArrowEvalPython"]),
+    "decontaminate_spans": ([r"BroadcastHashJoin"], [r"ArrowEvalPython"]),
+    # CDC is a per-row map + digest-keyed aggregation: no windows, no Python
+    "cdc_chunk_dedup": ([], [r"\bWindow\b", r"ArrowEvalPython"]),
 }
+
+# Ops built on the salted two-stage top-K: exactly two Window nodes (the
+# salted partial rank + the small final rank) and a pmod salt in the plan —
+# one Window would be a single/few-task global sort at 100 TB.
+TWO_STAGE_RANK = ["vocab_top_ngrams", "inverted_index", "stratified_sample"]
 
 
 def plan_of(df) -> str:
@@ -88,21 +98,19 @@ def main() -> int:
                 failures.append(f"{name}: required pattern {pat!r} missing")
         print(f"checked {name}")
 
-    # Vocab top-K must be two-stage: a salted partial rank (pmod in the
-    # first window's partition keys) then the tiny final rank — a single
-    # Window.partitionBy("n") with n in {1,2} would be a 2-task global sort.
-    vocab_df = queries["vocab_top_ngrams"](spark, sf_dir)
-    n_windows = len(re.findall(r"\bWindow\b", plan_tree(vocab_df)))
-    if n_windows != 2:
-        failures.append(
-            f"vocab_top_ngrams: expected 2 Window nodes (salted partial "
-            f"rank + final rank), found {n_windows}"
-        )
-    if not re.search(r"pmod", plan_of(vocab_df)):
-        failures.append(
-            "vocab_top_ngrams: salted partial rank missing (no pmod in plan)"
-        )
-    print(f"checked vocab_top_ngrams (windows={n_windows}, salted)")
+    for name in TWO_STAGE_RANK:
+        df = queries[name](spark, sf_dir)
+        n_windows = len(re.findall(r"\bWindow\b", plan_tree(df)))
+        if n_windows != 2:
+            failures.append(
+                f"{name}: expected 2 Window nodes (salted partial rank + "
+                f"final rank), found {n_windows}"
+            )
+        if not re.search(r"pmod", plan_of(df)):
+            failures.append(
+                f"{name}: salted partial rank missing (no pmod in plan)"
+            )
+        print(f"checked {name} (windows={n_windows}, salted)")
 
     # Pipeline shape: exactly one Exchange (assembly regroup), one Arrow UDF
     # node (the kernel is evaluated once however many columns reference it),
