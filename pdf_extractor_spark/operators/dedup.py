@@ -421,13 +421,23 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc reports how many of its bytes sit in chunks that appear elsewhere.
 
     Scale shape: hashing is a pure per-row map, O(W) per char with W a
-    constant 8 (a codegen rolling update would be O(1)/char; the direct
-    Horner form keeps it expressible as exact SQL in both engines — still
-    corpus-linear). The chunk frame (~1 row per CDC_K chars) is
-    localCheckpointed once — it is the index-build intermediate a
-    production job would persist — and both the fingerprint count and the
-    per-doc rollup read it; the count shuffle carries md5 digests with
-    map-side combine. No self-joins, nothing quadratic.
+    constant 8 (a codegen rolling update would be O(1)/char; this form
+    keeps it expressible as exact SQL in both engines — still
+    corpus-linear). Two hard-won constants of that map: (1) the window
+    hash is a FLAT 8-term polynomial with pre-modded power constants —
+    mathematically identical to the Horner fold, but an
+    aggregate-over-slice lambda nest is interpreted per element and
+    measured ~100x slower than flat arithmetic in the same lambda; (2)
+    the frame is repartitioned before the map because this kernel costs
+    ~1000x CPU per input byte vs a normal scan, so byte-balanced scan
+    splits under-parallelize it at small inputs (one 5 MB file = one
+    task = minutes); the explicit numPartitions repartition survives AQE
+    coalescing, and the shuffled payload is only (doc_id, text). The
+    chunk frame (~1 row per CDC_K chars) is localCheckpointed once — it
+    is the index-build intermediate a production job would persist — and
+    both the fingerprint count and the per-doc rollup read it; the count
+    shuffle carries md5 digests with map-side combine. No self-joins,
+    nothing quadratic.
 
     Output: doc_id, n_chunks, total_chars, dup_chars."""
     from . import load
@@ -437,14 +447,22 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), n),
         lambda i: F.ascii(F.col("text").substr(i, F.lit(1))).cast("long"),
     )
-    d = load(spark, sf_dir, "documents").select("doc_id", "text").withColumn(
-        "codes", codes
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("codes", codes)
     )
-    win_hash = lambda i: F.aggregate(  # noqa: E731
-        F.slice(F.col("codes"), i, CDC_W),
-        F.lit(0).cast("long"),
-        lambda a, c: (a * CDC_B + c) % CDC_M,
-    )
+    # (sum_j c_{i+j} * (B^(W-1-j) % M)) % M == the Horner fold mod M; max
+    # intermediate 8 * 255 * M < 2^42, no overflow
+    pows = [pow(CDC_B, CDC_W - 1 - j, CDC_M) for j in range(CDC_W)]
+
+    def win_hash(i):
+        acc = F.lit(0).cast("long")
+        for j, p in enumerate(pows):
+            acc = acc + F.element_at(F.col("codes"), i + j) * F.lit(p)
+        return acc % CDC_M
+
     cutpos = F.transform(
         F.filter(
             F.when(n >= CDC_W, F.sequence(F.lit(1), n - CDC_W + 1)).otherwise(
