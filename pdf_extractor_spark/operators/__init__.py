@@ -26,3 +26,18 @@ from . import (  # noqa: F401
 
 def load(spark, sf_dir: str, name: str):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def spread_for_cpu_map(df):
+    """Repartition a frame feeding a compute-dominated per-row kernel, but
+    ONLY when the scan yields fewer splits than cores. Byte-balanced scan
+    splits assume scan-like cost per byte; a kernel costing orders of
+    magnitude more CPU per byte (interpreted higher-order-function maps:
+    CDC hashing, trigram explode) turns a single small file into one
+    multi-minute task. At corpus scale the scan's own splits parallelize
+    fine and this is a no-op — no shuffle paid. The explicit numPartitions
+    repartition survives AQE coalescing."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df

@@ -428,11 +428,13 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mathematically identical to the Horner fold, but an
     aggregate-over-slice lambda nest is interpreted per element and
     measured ~100x slower than flat arithmetic in the same lambda; (2)
-    the frame is repartitioned before the map because this kernel costs
-    ~1000x CPU per input byte vs a normal scan, so byte-balanced scan
-    splits under-parallelize it at small inputs (one 5 MB file = one
-    task = minutes); the explicit numPartitions repartition survives AQE
-    coalescing, and the shuffled payload is only (doc_id, text). The
+    the frame is repartitioned before the map ONLY when the scan yields
+    fewer splits than cores: this kernel costs ~1000x CPU per input byte
+    vs a normal scan, so byte-balanced splits under-parallelize it at
+    small inputs (one 5 MB file = one task = minutes), while at corpus
+    scale the scan's own splits already parallelize and no shuffle is
+    paid; the explicit numPartitions repartition survives AQE
+    coalescing. The
     chunk frame (~1 row per CDC_K chars) is localCheckpointed once — it
     is the index-build intermediate a production job would persist — and
     both the fingerprint count and the per-doc rollup read it; the count
@@ -447,12 +449,11 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), n),
         lambda i: F.ascii(F.col("text").substr(i, F.lit(1))).cast("long"),
     )
-    d = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("codes", codes)
-    )
+    from . import spread_for_cpu_map
+
+    d = spread_for_cpu_map(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).withColumn("codes", codes)
     # (sum_j c_{i+j} * (B^(W-1-j) % M)) % M == the Horner fold mod M; max
     # intermediate 8 * 255 * M < 2^42, no overflow
     pows = [pow(CDC_B, CDC_W - 1 - j, CDC_M) for j in range(CDC_W)]

@@ -608,7 +608,11 @@ def lm_fluency(docs: DataFrame) -> DataFrame:
 
     Output: doc_id, n_tri, fluency (sum of per-trigram bins 0..4),
     n_rare (trigrams below every threshold)."""
-    tri = docs.select(
+    # the trigram explode is an interpreted higher-order-function map —
+    # spread the scan across cores when it under-splits
+    from . import spread_for_cpu_map
+
+    tri = spread_for_cpu_map(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(_char_trigrams()).alias("tri")
     )
     c3 = (

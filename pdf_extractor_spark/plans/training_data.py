@@ -118,6 +118,10 @@ def curate(
     # when an eval suite is supplied; n_words is recomputed on the
     # scrubbed text so the shipped stats stay truthful.
     if benchmark is not None:
+        # three consumers below (shingle explode, word base, final join)
+        # would each re-evaluate the whole extract->assemble->gate subtree
+        # (self-join recompute rule) — materialize it once
+        gated = gated.localCheckpoint(eager=True)
         corpus_sh = gated.select(
             F.col("conv_id").alias("doc_id"),
             F.posexplode(_positional_shingles_col()).alias("start", "sh"),
