@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "decontaminate_spans",
     "cdc_chunk_dedup",
     "inverted_index",
+    "loss_mask_spans",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

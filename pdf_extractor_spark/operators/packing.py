@@ -156,9 +156,89 @@ def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_manifest(load(spark, sf_dir, "documents"))
 
 
+def loss_mask_spans(
+    docs: DataFrame, trainable: F.Column, seq_tokens: int = SEQ_TOKENS
+) -> DataFrame:
+    """Loss-mask spans for the packed corpus: per training sequence, the
+    merged [span_start, span_end) token ranges that are trainable vs
+    masked, where ``trainable`` is a boolean expression over the docs
+    frame (mask a license-restricted domain, a non-assistant role, a
+    synthetic-data source — the doc stays in context, its tokens just
+    don't take loss). This is the artifact a data loader consumes next to
+    sequence_manifest.
+
+    Scale shape: doc segments come from the same bounded explode as
+    sequence_manifest; the flag join is doc_id-equi-keyed; the
+    adjacent-same-flag merge is gaps-and-islands (lag + running sum) under
+    a window partitioned by seq_id — at most seq_tokens segments per
+    sequence, so every window is bounded and the key space is uniform by
+    construction.
+
+    Output: seq_id, span_start, span_end (exclusive, sequence-local),
+    trainable, n_docs (docs merged into the span)."""
+    flags = docs.select("doc_id", trainable.alias("trainable"))
+    packed = token_packing(docs, seq_tokens).where(F.col("n_tokens") > 0)
+    seg = packed.join(flags, "doc_id").select(
+        "doc_id",
+        "trainable",
+        "global_start",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.col("seq_id"), F.col("seq_id") + F.col("n_seqs") - 1
+            )
+        ).alias("seq"),
+    )
+    doc_end = F.col("global_start") + F.col("n_tokens")
+    seg = seg.select(
+        "seq",
+        "trainable",
+        (
+            F.greatest(F.col("seq") * seq_tokens, F.col("global_start"))
+            - F.col("seq") * seq_tokens
+        ).alias("span_start"),
+        (
+            F.least((F.col("seq") + 1) * seq_tokens, doc_end)
+            - F.col("seq") * seq_tokens
+        ).alias("span_end"),
+    )
+    w = Window.partitionBy("seq").orderBy("span_start")
+    chg = (
+        ~F.lag("trainable").over(w).eqNullSafe(F.col("trainable"))
+    ).cast("int")
+    runs = seg.withColumn("chg", chg).withColumn(
+        "run",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy(F.col("seq").alias("seq_id"), "run", "trainable")
+        .agg(
+            F.min("span_start").cast("long").alias("span_start"),
+            F.max("span_end").cast("long").alias("span_end"),
+            F.count("*").alias("n_docs"),
+        )
+        .select(
+            "seq_id", "span_start", "span_end", "trainable", "n_docs"
+        )
+    )
+
+
+def q_loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable form: documents from source 'src0' play the
+    masked domain (kept in context, no loss)."""
+    from . import load
+
+    return loss_mask_spans(
+        load(spark, sf_dir, "documents"), F.col("source") != F.lit("src0")
+    )
+
+
 QUERIES = {
     "token_packing": q_token_packing,
     "sequence_manifest": q_sequence_manifest,
+    "loss_mask_spans": q_loss_mask_spans,
 }
 
 # Oracle: the packing layout is order-defined, so a plain single-window
@@ -228,4 +308,61 @@ ORACLES["sequence_manifest"] = f"""
                sum(toks)::BIGINT AS n_tokens,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM seg GROUP BY 1
+"""
+
+
+# Mask-span oracle: same packing CTE, plus the flag and the
+# gaps-and-islands merge (lag + running sum) the Spark side performs.
+ORACLES["loss_mask_spans"] = f"""
+        WITH t AS (
+            SELECT doc_id, source <> 'src0' AS trainable,
+                   len(list_filter(
+                       string_split(regexp_replace(text,
+                           '([A-Za-z]+|\\d+|[^\\sA-Za-z\\d])', '\\1 ', 'g'),
+                           ' '),
+                       x -> trim(x) <> ''))::BIGINT AS n_tokens
+            FROM documents
+        ), s AS (
+            SELECT doc_id, trainable, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0)::BIGINT AS global_start
+            FROM t
+        ), seg AS (
+            SELECT trainable, q.seq,
+                   greatest(q.seq * {SEQ_TOKENS}, global_start)
+                       - q.seq * {SEQ_TOKENS} AS span_start,
+                   least((q.seq + 1) * {SEQ_TOKENS},
+                         global_start + n_tokens)
+                       - q.seq * {SEQ_TOKENS} AS span_end
+            FROM s, LATERAL (
+                SELECT unnest(range(
+                    global_start // {SEQ_TOKENS},
+                    (global_start + n_tokens - 1) // {SEQ_TOKENS} + 1
+                )) AS seq
+            ) q
+            WHERE n_tokens > 0
+        ), m AS (
+            SELECT seq, trainable, span_start, span_end,
+                   CASE WHEN lag(trainable) OVER (
+                            PARTITION BY seq ORDER BY span_start)
+                        IS DISTINCT FROM trainable THEN 1 ELSE 0 END AS chg
+            FROM seg
+        ), rr AS (
+            SELECT seq, trainable, span_start, span_end,
+                   sum(chg) OVER (PARTITION BY seq ORDER BY span_start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS run
+            FROM m
+        )
+        SELECT seq AS seq_id, span_start::BIGINT AS span_start,
+               span_end::BIGINT AS span_end, trainable, n_docs
+        FROM (
+            SELECT seq, run, trainable,
+                   min(span_start) AS span_start,
+                   max(span_end) AS span_end,
+                   count(*) AS n_docs
+            FROM rr GROUP BY seq, run, trainable
+        )
 """

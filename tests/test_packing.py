@@ -88,3 +88,47 @@ def test_sequence_manifest_slots(spark):
     # doc ranges tile without overlap beyond boundary docs
     for a, b in zip(seqs, seqs[1:]):
         assert a["last_doc"] <= b["first_doc"] <= a["last_doc"] + 1
+
+
+def test_loss_mask_spans_tile_and_alternate(spark):
+    from pdf_extractor_spark.operators.packing import (
+        loss_mask_spans,
+        sequence_manifest,
+    )
+
+    rows = [
+        (i, "w " * (17 + i % 13), "masked" if i % 3 == 0 else "kept")
+        for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    spans = {}
+    for r in loss_mask_spans(docs, F.col("source") != "masked").collect():
+        spans.setdefault(r["seq_id"], []).append(
+            (r["span_start"], r["span_end"], r["trainable"], r["n_docs"])
+        )
+    fill = {
+        r["seq_id"]: r["n_tokens"] for r in sequence_manifest(docs).collect()
+    }
+    assert set(spans) == set(fill)
+    for sid, ss in spans.items():
+        ss.sort()
+        # spans tile [0, fill) exactly, no gaps or overlap
+        assert ss[0][0] == 0 and ss[-1][1] == fill[sid]
+        for a, b in zip(ss, ss[1:]):
+            assert a[1] == b[0]
+        # adjacent spans alternate flags (same-flag runs were merged)
+        for a, b in zip(ss, ss[1:]):
+            assert a[2] != b[2]
+
+
+def test_loss_mask_all_trainable_single_span(spark):
+    from pdf_extractor_spark.operators.packing import loss_mask_spans
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 20, "s") for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    out = loss_mask_spans(docs, F.lit(True)).collect()
+    # one span per sequence, covering everything
+    assert all(r["span_start"] == 0 for r in out)
+    assert len({r["seq_id"] for r in out}) == len(out)
