@@ -80,3 +80,29 @@ def write_table(
         writer = writer.option("partitionOverwriteMode", "dynamic")
         writer = writer.partitionBy(*partition_by)
     writer.parquet(target)
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a frame bucketed + sorted by ``key`` — the Spark-native
+    twin of the Iceberg DDL's ``bucket(1024, conv_id)`` above. Both sides
+    of a later equi-join on ``key`` read co-located, pre-sorted buckets,
+    so the join plans with NO Exchange and no sort (verified by
+    tests/test_bucketed_join.py): the shuffle is paid once at write time
+    instead of on every downstream join — the storage-side answer to the
+    assembly/join shuffles at 10^12-turn scale.
+
+    ``n_buckets`` must match on both join sides; pick it from target
+    per-bucket size (≈ rows / n_buckets ≤ one task's memory)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
