@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from pdf_extractor_spark.operators import (
     aggregates,
+    bpe,
     chunking,
     dedup,
     graph,
@@ -31,7 +32,7 @@ from pdf_extractor_spark.operators import (
 
 _MODULES = [
     text_ops, windows, aggregates, dedup, graph, similarity_search,
-    text_analysis, multimodal, joins, tables_md, chunking, packing,
+    text_analysis, multimodal, joins, tables_md, chunking, packing, bpe,
 ]
 
 

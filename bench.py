@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "cdc_chunk_dedup",
     "inverted_index",
     "loss_mask_spans",
+    "bpe_fit",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -10,6 +10,7 @@ analysis, multimodal). Every oracle-checkable operator module exposes:
 
 from . import (  # noqa: F401
     aggregates,
+    bpe,
     chunking,
     dedup,
     graph,

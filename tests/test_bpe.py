@@ -1,0 +1,70 @@
+"""BPE merge learning: matches a pure-Python reference (greedy left-to-right
+pair semantics, deterministic tie-break) step for step."""
+from collections import Counter
+
+from pdf_extractor_spark.operators.bpe import END_MARK, bpe_fit
+
+
+def _py_bpe(texts, n_merges):
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            words[w] += 1
+    state = {w: list(w) + [END_MARK] for w in words}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, syms in state.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += words[w]
+        (l, r), pc = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, l, r, pc))
+        for w, syms in state.items():
+            out, pend = [], None
+            for s in syms:
+                if pend is None:
+                    pend = s
+                elif pend == l and s == r:
+                    out.append(l + r)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            state[w] = out
+    return merges
+
+
+def _run(spark, texts, n):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return [
+        (r["step"], r["lft"], r["rgt"], r["pair_count"])
+        for r in bpe_fit(docs, n).orderBy("step").collect()
+    ]
+
+
+def test_matches_python_reference(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest",
+    ] * 3
+    assert _run(spark, texts, 6) == _py_bpe(texts, 6)
+
+
+def test_overlapping_run_greedy(spark):
+    # 'aaaa' with best pair (a,a): adjacency counting sees 3 overlapping
+    # (a,a) per word; the greedy pass merges two non-overlapping 'aa'.
+    # Step 2 then ties (aa,aa)=3 with (aa,</w>)=3 and the (l,r)-ascending
+    # break picks ('aa','</w>') — whereas a broken merge ([aa,a,a]) would
+    # have picked ('a','</w>'). Both engines and the Python ref agree.
+    texts = ["aaaa aaaa aaaa"]
+    got = _run(spark, texts, 2)
+    assert got == _py_bpe(texts, 2)
+    assert got[0] == (1, "a", "a", 9)
+    assert got[1] == (2, "aa", "</w>", 3)
