@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "inverted_index",
     "loss_mask_spans",
     "bpe_fit",
+    "bpe_encode",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

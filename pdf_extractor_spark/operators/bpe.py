@@ -88,11 +88,10 @@ def _pair_counts(state: DataFrame) -> DataFrame:
     )
 
 
-def bpe_fit(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
-    """Learn ``n_merges`` BPE merges from the corpus; returns the merge
-    table (step, lft, rgt, pair_count). Raises if the vocabulary merges to
-    single symbols before ``n_merges`` steps (pick a smaller n)."""
-    spark = docs.sparkSession
+def _fit_state(docs: DataFrame, n_merges: int):
+    """Shared fit loop: returns (merge list, final per-word symbol state).
+    The state frame carries the word key so the encode side can use it as
+    the word -> tokens vocabulary directly."""
     words = (
         docs.select(
             F.explode(
@@ -109,7 +108,7 @@ def bpe_fit(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
         ),
         F.array(F.lit(END_MARK)),
     )
-    state = words.select("cnt", chars.alias("syms")).localCheckpoint(
+    state = words.select("word", "cnt", chars.alias("syms")).localCheckpoint(
         eager=True
     )
     merges = []
@@ -127,10 +126,63 @@ def bpe_fit(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
         l, r, pc = best[0]["l"], best[0]["r"], int(best[0]["pc"])
         merges.append((step_no, l, r, pc))
         state = state.select(
-            "cnt", _merge_pair(F.col("syms"), l, r).alias("syms")
+            "word", "cnt", _merge_pair(F.col("syms"), l, r).alias("syms")
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    return merges, state
+
+
+def bpe_fit(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the merge
+    table (step, lft, rgt, pair_count). Raises if the vocabulary merges to
+    single symbols before ``n_merges`` steps (pick a smaller n)."""
+    merges, _ = _fit_state(docs, n_merges)
+    return docs.sparkSession.createDataFrame(
         merges, "step long, lft string, rgt string, pair_count long"
+    )
+
+
+def bpe_encode(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """Encode the corpus with the learned tokenizer — the apply side of
+    ``bpe_fit``. The fit's final per-word state IS the encoding vocabulary
+    (word -> merged symbol array), so encoding never re-runs merges per
+    token occurrence: the corpus explodes into (doc_id, pos, word), each
+    occurrence resolves its tokens through a BROADCAST hash join on the
+    vocabulary-bounded word table, and one doc-keyed groupBy reassembles
+    tokens in word order.
+
+    Scale shape: the merge folds run over the word-frequency table (the
+    same one scan as the fit), the vocab broadcast is bounded by |vocab|
+    not the corpus, and the only corpus-sized shuffle is the doc-keyed
+    regroup (state bounded by document length). At open-vocabulary scale
+    the vocab is capped to the top-V words (salted top-K) and OOV words
+    fall back to applying the merge chain directly to their char split —
+    the standard fastBPE layout; uncapped here (driver vocabulary is
+    tiny, hence closed).
+
+    Output: doc_id, n_tokens, tokens (space-joined token string)."""
+    _, state = _fit_state(docs, n_merges)
+    vocab = state.select("word", "syms")
+    occ = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).alias("pos", "word"),
+    )
+    toks = F.flatten(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "syms"))),
+            lambda x: x["syms"],
+        )
+    )
+    return (
+        occ.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.array_join("toks", " ").alias("tokens"),
+        )
     )
 
 
@@ -138,6 +190,12 @@ def q_bpe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import load
 
     return bpe_fit(load(spark, sf_dir, "documents"))
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load
+
+    return bpe_encode(load(spark, sf_dir, "documents"))
 
 
 def _bpe_oracle(n_merges: int = N_MERGES) -> str:
@@ -193,5 +251,70 @@ def _bpe_oracle(n_merges: int = N_MERGES) -> str:
     return "".join(parts) + "\n        " + selects
 
 
-QUERIES = {"bpe_fit": q_bpe_fit}
-ORACLES = {"bpe_fit": _bpe_oracle()}
+def _encode_oracle(n_merges: int = N_MERGES) -> str:
+    """Encode replay: the fit's per-step leftmost-replace chain with the
+    word key carried through every state, then a (doc_id, pos, word)
+    explode joined against the final state — exactly the Spark layout
+    (vocabulary join, not per-occurrence re-merging)."""
+    parts = [
+        """
+        WITH RECURSIVE wc AS (
+            SELECT word, count(*) AS cnt FROM (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(text, '\\s+'), x -> x <> ''
+                )) AS word
+                FROM documents
+            ) GROUP BY word
+        ), st0 AS (
+            SELECT word, cnt,
+                   ' ' || array_to_string(list_transform(
+                       range(1, length(word) + 1),
+                       i -> substring(word, i, 1)), ' ')
+                   || ' </w> ' AS s
+            FROM wc
+        )"""
+    ]
+    for m in range(1, n_merges + 1):
+        parts.append(f"""
+        , p{m} AS (
+            SELECT l, r, sum(cnt)::BIGINT AS pc FROM (
+                SELECT cnt, syms[i] AS l, syms[i + 1] AS r
+                FROM (SELECT cnt, list_filter(string_split(s, ' '),
+                                              x -> x <> '') AS syms
+                      FROM st{m - 1}),
+                     LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+            ) GROUP BY l, r
+        ), b{m} AS (
+            SELECT l, r, pc FROM p{m} ORDER BY pc DESC, l, r LIMIT 1
+        ), rec{m} AS (
+            SELECT word, cnt, s FROM st{m - 1}
+            UNION ALL
+            SELECT word, cnt, regexp_replace(s,
+                       ' ' || b.l || ' ' || b.r || ' ',
+                       ' ' || b.l || b.r || ' ')
+            FROM rec{m}, b{m} b
+            WHERE position(' ' || b.l || ' ' || b.r || ' ' IN s) > 0
+        ), st{m} AS (
+            SELECT word, cnt, s FROM rec{m}, b{m} b
+            WHERE position(' ' || b.l || ' ' || b.r || ' ' IN s) = 0
+        )""")
+    parts.append(f"""
+        , dw AS (
+            SELECT doc_id, i AS pos, words[i] AS word
+            FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(text, '\\s+'),
+                                     x -> x <> '') AS words
+                  FROM documents),
+                 LATERAL (SELECT unnest(range(1, len(words) + 1)) AS i)
+        )
+        SELECT doc_id,
+               sum(len(list_filter(string_split(s, ' '),
+                                   x -> x <> '')))::BIGINT AS n_tokens,
+               string_agg(trim(s), ' ' ORDER BY pos) AS tokens
+        FROM dw JOIN st{n_merges} USING (word)
+        GROUP BY doc_id""")
+    return "".join(parts)
+
+
+QUERIES = {"bpe_fit": q_bpe_fit, "bpe_encode": q_bpe_encode}
+ORACLES = {"bpe_fit": _bpe_oracle(), "bpe_encode": _encode_oracle()}

@@ -2,7 +2,7 @@
 pair semantics, deterministic tie-break) step for step."""
 from collections import Counter
 
-from pdf_extractor_spark.operators.bpe import END_MARK, bpe_fit
+from pdf_extractor_spark.operators.bpe import END_MARK, bpe_encode, bpe_fit
 
 
 def _py_bpe(texts, n_merges):
@@ -68,3 +68,57 @@ def test_overlapping_run_greedy(spark):
     assert got == _py_bpe(texts, 2)
     assert got[0] == (1, "a", "a", 9)
     assert got[1] == (2, "aa", "</w>", 3)
+
+
+def _py_encode(texts, n_merges):
+    merges = _py_bpe(texts, n_merges)
+    words = {w for t in texts for w in t.split()}
+    state = {w: list(w) + [END_MARK] for w in words}
+    for _, l, r, _ in merges:
+        for w, syms in state.items():
+            out, pend = [], None
+            for s in syms:
+                if pend is None:
+                    pend = s
+                elif pend == l and s == r:
+                    out.append(l + r)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            state[w] = out
+    out = {}
+    for i, t in enumerate(texts):
+        toks = [s for w in t.split() for s in state[w]]
+        out[i] = (len(toks), " ".join(toks))
+    return out
+
+
+def test_encode_matches_python_reference(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tokens"])
+        for r in bpe_encode(docs, 4).collect()
+    }
+    assert got == _py_encode(texts, 4)
+
+
+def test_encode_preserves_word_order(spark):
+    # Two docs sharing vocabulary but in different orders must encode to
+    # different token streams (the regroup sorts by position, not word).
+    texts = ["ab ba", "ba ab"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["tokens"] for r in bpe_encode(docs, 1).collect()}
+    assert got[0] != got[1]
+    assert sorted(got[0].split()) == sorted(got[1].split())
