@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "loss_mask_spans",
     "bpe_fit",
     "bpe_encode",
+    "sequence_shuffle",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -225,6 +225,66 @@ def loss_mask_spans(
     )
 
 
+SHUF_BUCKET_HEX = 2  # 16^2 = 256 rank buckets from the key's own prefix
+
+
+def sequence_shuffle(seqs: DataFrame, epoch: int = 0) -> DataFrame:
+    """Deterministic epoch shuffle: the position of every training sequence
+    in the given epoch's read order. The shuffle key is content-stable
+    (md5 of seq_id:epoch — no RNG, survives repartitioning and reruns),
+    and each epoch is an independent permutation, which is exactly what a
+    data loader needs to replay any step of any epoch byte-identically.
+
+    Scale shape: a global rank is the same single-task trap as a global
+    sort, so the rank is TWO-LEVEL like token_packing's prefix sum — the
+    bucket is the KEY'S OWN HEX PREFIX (so bucket order == key order by
+    construction), each bucket ranks its own rows in a bounded window
+    (uniform ~n/256 rows: md5 prefixes are uniform regardless of data
+    skew), bucket counts roll up into exclusive offsets in one tiny
+    cumulative pass (256 rows), and pos = bucket offset + local rank.
+
+    Output: seq_id, epoch, pos (0-based position in the epoch's order)."""
+    keyed = seqs.select(
+        "seq_id",
+        F.md5(F.concat_ws(":", F.col("seq_id"), F.lit(epoch))).alias("k"),
+    ).withColumn("bucket", F.substring("k", 1, SHUF_BUCKET_HEX))
+    w_local = Window.partitionBy("bucket").orderBy("k", "seq_id")
+    local = keyed.withColumn(
+        "local_pos", F.row_number().over(w_local) - F.lit(1)
+    )
+    w_bucket = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        local.groupBy("bucket")
+        .agg((F.max("local_pos") + 1).alias("bucket_rows"))
+        .withColumn(
+            "bucket_start",
+            F.coalesce(F.sum("bucket_rows").over(w_bucket), F.lit(0)),
+        )
+        .select("bucket", "bucket_start")
+    )
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "seq_id",
+            F.lit(epoch).cast("long").alias("epoch"),
+            (F.col("bucket_start") + F.col("local_pos"))
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+
+
+def q_sequence_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load
+
+    seqs = sequence_manifest(load(spark, sf_dir, "documents")).select(
+        "seq_id"
+    )
+    return sequence_shuffle(seqs, epoch=1)
+
+
 def q_loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable form: documents from source 'src0' play the
     masked domain (kept in context, no loss)."""
@@ -239,6 +299,7 @@ QUERIES = {
     "token_packing": q_token_packing,
     "sequence_manifest": q_sequence_manifest,
     "loss_mask_spans": q_loss_mask_spans,
+    "sequence_shuffle": q_sequence_shuffle,
 }
 
 # Oracle: the packing layout is order-defined, so a plain single-window
@@ -310,6 +371,42 @@ ORACLES["sequence_manifest"] = f"""
         FROM seg GROUP BY 1
 """
 
+
+# Shuffle oracle: the two-level rank is order-defined, so a plain global
+# ROW_NUMBER over the same content-stable key replays it exactly (the
+# bucket prefix only changes WHERE the rank is computed, not the order).
+ORACLES["sequence_shuffle"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(list_filter(
+                       string_split(regexp_replace(text,
+                           '([A-Za-z]+|\\d+|[^\\sA-Za-z\\d])', '\\1 ', 'g'),
+                           ' '),
+                       x -> trim(x) <> ''))::BIGINT AS n_tokens
+            FROM documents
+        ), s AS (
+            SELECT doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0)::BIGINT AS global_start
+            FROM t
+        ), seqs AS (
+            SELECT DISTINCT q.seq AS seq_id
+            FROM s, LATERAL (
+                SELECT unnest(range(
+                    global_start // {SEQ_TOKENS},
+                    (global_start + n_tokens - 1) // {SEQ_TOKENS} + 1
+                )) AS seq
+            ) q
+            WHERE n_tokens > 0
+        )
+        SELECT seq_id, 1::BIGINT AS epoch,
+               (ROW_NUMBER() OVER (
+                   ORDER BY md5(seq_id::VARCHAR || ':1'), seq_id
+               ) - 1)::BIGINT AS pos
+        FROM seqs
+"""
 
 # Mask-span oracle: same packing CTE, plus the flag and the
 # gaps-and-islands merge (lag + running sum) the Spark side performs.

@@ -47,6 +47,9 @@ RULES = {
     "repetition_filters": ([], [r"\bWindow\b", r"ArrowEvalPython"]),
     "token_packing": ([r"BroadcastHashJoin"], [r"SortMergeJoin"]),
     "sequence_manifest": ([r"BroadcastHashJoin"], [r"SortMergeJoin"]),
+    # epoch shuffle: bucket offsets ride a broadcast join; the per-bucket
+    # rank must never fall back to a sort-merge join or a Python stage
+    "sequence_shuffle": ([r"BroadcastHashJoin"], [r"SortMergeJoin", r"ArrowEvalPython"]),
     "paragraph_dedup": ([], [r"ArrowEvalPython"]),
     # the trigram model and the bench shingle set are bounded -> broadcast
     "lm_fluency": ([r"BroadcastHashJoin"], [r"SortMergeJoin", r"ArrowEvalPython"]),
