@@ -27,12 +27,14 @@ from pdf_extractor_spark.operators import (
     tables_md,
     text_analysis,
     text_ops,
+    web,
     windows,
 )
 
 _MODULES = [
     text_ops, windows, aggregates, dedup, graph, similarity_search,
     text_analysis, multimodal, joins, tables_md, chunking, packing, bpe,
+    web,
 ]
 
 

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "bpe_fit",
     "bpe_encode",
     "sequence_shuffle",
+    "url_host_filter",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

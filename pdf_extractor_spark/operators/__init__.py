@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     tables_md,
     text_analysis,
     text_ops,
+    web,
     windows,
 )
 

@@ -56,6 +56,9 @@ RULES = {
     "decontaminate_spans": ([r"BroadcastHashJoin"], [r"ArrowEvalPython"]),
     # CDC is a per-row map + digest-keyed aggregation: no windows, no Python
     "cdc_chunk_dedup": ([], [r"\bWindow\b", r"ArrowEvalPython"]),
+    # host stats are bounded by distinct hosts -> broadcast back; the keep
+    # decision is a pure integer map (no windows, no Python)
+    "url_host_filter": ([r"BroadcastHashJoin"], [r"SortMergeJoin", r"\bWindow\b", r"ArrowEvalPython"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the
