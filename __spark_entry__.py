@@ -23,6 +23,7 @@ from pdf_extractor_spark.operators import (
     joins,
     multimodal,
     packing,
+    pq,
     similarity_search,
     tables_md,
     text_analysis,
@@ -34,7 +35,7 @@ from pdf_extractor_spark.operators import (
 _MODULES = [
     text_ops, windows, aggregates, dedup, graph, similarity_search,
     text_analysis, multimodal, joins, tables_md, chunking, packing, bpe,
-    web,
+    web, pq,
 ]
 
 

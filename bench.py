@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "bpe_encode",
     "sequence_shuffle",
     "url_host_filter",
+    "pq_codes",
+    "pq_adc_recall",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

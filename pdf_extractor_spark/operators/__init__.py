@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     joins,
     multimodal,
     packing,
+    pq,
     similarity_search,
     tables_md,
     text_analysis,

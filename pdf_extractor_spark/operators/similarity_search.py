@@ -288,15 +288,16 @@ def _nearest_centroid(cents) -> F.Column:
     return F.array_min(_centroid_dist_structs(cents))
 
 
-def _centroid_dist_structs(cents) -> F.Column:
+def _centroid_dist_structs(cents, col: F.Column | None = None) -> F.Column:
     """array<struct(dist, cid)> of exact integer distances to every
-    centroid (lexicographic struct ordering = dist asc, cid asc)."""
+    centroid (lexicographic struct ordering = dist asc, cid asc); ``col``
+    defaults to the vq column (PQ passes a subspace slice)."""
     options = []
     for i, c in enumerate(cents):
         carr = F.array(*[F.lit(int(v)) for v in c])
         dist = F.aggregate(
             F.zip_with(
-                F.col("vq"),
+                col if col is not None else F.col("vq"),
                 carr,
                 lambda a, b: (a * _C_SCALE - b) * (a * _C_SCALE - b),
             ),
@@ -355,27 +356,34 @@ def assign_broadcast(ev: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _fit_centroids(ev: DataFrame):
-    """The Lloyd loop: seed from vec_ids 0..K-1, KMEANS_ITERS assign+update
+def _fit_centroids(
+    ev: DataFrame,
+    dim: int = KMEANS_DIM,
+    k: int = N_CENTROIDS,
+    iters: int = KMEANS_ITERS,
+):
+    """The Lloyd loop: seed from vec_ids 0..k-1, ``iters`` assign+update
     rounds (empty clusters keep their previous centroid). Returns the
-    trained centroid lists (ints at _VQ_SCALE * _C_SCALE units)."""
+    trained centroid lists (ints at _VQ_SCALE * _C_SCALE units). The dim/k
+    parameters let the PQ trainer (operators/pq.py) run the same loop per
+    subspace slice."""
     init = (
-        ev.where(F.col("vec_id") < N_CENTROIDS)
+        ev.where(F.col("vec_id") < k)
         .orderBy("vec_id")
         .select("vec_id", "vq")
         .collect()
     )
     # seed contract (mirrored by the oracle's `cid = vec_id`): vec_ids
-    # 0..N_CENTROIDS-1 must exist with the expected dimension — fail loudly
+    # 0..k-1 must exist with the expected dimension — fail loudly
     # rather than silently shifting cluster ids by position
-    if [r["vec_id"] for r in init] != list(range(N_CENTROIDS)):
+    if [r["vec_id"] for r in init] != list(range(k)):
         raise ValueError(
-            f"kmeans_fit seeds require vec_ids 0..{N_CENTROIDS - 1} with "
-            f"{KMEANS_DIM}-dim embeddings; got {[r['vec_id'] for r in init]}"
+            f"kmeans_fit seeds require vec_ids 0..{k - 1} with "
+            f"{dim}-dim embeddings; got {[r['vec_id'] for r in init]}"
         )
     cents = [[v * _C_SCALE for v in r["vq"]] for r in init]
 
-    for _ in range(KMEANS_ITERS):
+    for _ in range(iters):
         assigned = ev.withColumn("a", _nearest_centroid(cents)).select(
             "vq", F.col("a.cid").alias("cid")
         )
@@ -391,8 +399,8 @@ def _fit_centroids(ev: DataFrame):
         )
         upd = {(r["cid"], r["d"]): r["c"] for r in stats}
         cents = [
-            [upd.get((i, d), cents[i][d]) for d in range(KMEANS_DIM)]
-            for i in range(N_CENTROIDS)
+            [upd.get((i, d), cents[i][d]) for d in range(dim)]
+            for i in range(k)
         ]
     return cents
 

@@ -59,6 +59,10 @@ RULES = {
     # host stats are bounded by distinct hosts -> broadcast back; the keep
     # decision is a pure integer map (no windows, no Python)
     "url_host_filter": ([r"BroadcastHashJoin"], [r"SortMergeJoin", r"\bWindow\b", r"ArrowEvalPython"]),
+    # PQ encode is a pure map after the fit (1-row broadcast codebook);
+    # ADC recall must keep the salted two-stage shortlist + broadcast LUTs
+    "pq_codes": ([], [r"SortMergeJoin", r"\bWindow\b", r"ArrowEvalPython"]),
+    "pq_adc_recall": ([r"BroadcastHashJoin", r"pmod"], [r"SortMergeJoin", r"ArrowEvalPython"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the
