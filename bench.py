@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "url_host_filter",
     "pq_codes",
     "pq_adc_recall",
+    "ann_ivfpq_recall",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -30,9 +30,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from .similarity_search import (
     _C_SCALE,
     _VQ_SCALE,
+    IVF_NPROBE,
     KMEANS_DIM,
+    KMEANS_ITERS,
+    N_CENTROIDS,
     N_QUERIES,
+    _centroid_dist_structs,
     _emb,
+    _fit_centroids,
+    _nearest_centroid,
     _quantized_vecs,
 )
 
@@ -218,6 +224,26 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[F.col(f"a{m}.cid").alias(f"code{m}") for m in range(PQ_M)],
     )
+    q_ids = ev.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id")
+    )
+    cand = codes.crossJoin(F.broadcast(q_ids)).where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    return _recall_from_candidates(ev, fits, cand)
+
+
+def _recall_from_candidates(
+    ev: DataFrame, fits: list, cand: DataFrame
+) -> DataFrame:
+    """Shared retrieval-quality core: ``cand`` holds (q_id, vec_id,
+    code0..code{M-1}) candidate pairs (self-matches already excluded) —
+    the full cross product for flat PQ, only the probed cells' members
+    for IVF-PQ. ADC-scores them via broadcast LUT equi-joins, takes the
+    salted two-stage top-R shortlist, re-ranks the shortlist with exact
+    distances, and reports integer recall vs the exact full-corpus
+    top-K."""
+    spark = ev.sparkSession
 
     # Per-query, per-subspace distance LUT: M frames of N_QUERIES x KSUB
     # rows — the tiny query side against the broadcast codebook rows.
@@ -225,7 +251,7 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "vq"
     )
     cb = _cb_flat(spark, fits).localCheckpoint(eager=True)
-    adc = codes
+    adc = cand
     for m in range(PQ_M):
         sl = F.slice("vq", m * PQ_DS + 1, PQ_DS)
         lut = queries.join(F.broadcast(cb.where(F.col("m") == m))).select(
@@ -233,15 +259,12 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cid").alias(f"code{m}"),
             _l2(sl, F.col("cvec")).alias(f"d{m}"),
         )
-        on = ["q_id", f"code{m}"] if m else [f"code{m}"]
-        adc = adc.join(F.broadcast(lut), on)
+        adc = adc.join(F.broadcast(lut), ["q_id", f"code{m}"])
     adist = None
     for m in range(PQ_M):
         d = F.col(f"d{m}")
         adist = d if adist is None else adist + d
-    scored = adc.where(F.col("vec_id") != F.col("q_id")).select(
-        "q_id", "vec_id", adist.alias("adist")
-    )
+    scored = adc.select("q_id", "vec_id", adist.alias("adist"))
     # two-stage top-R shortlist: a query's candidate list never sorts in
     # one task (top-R distributes over the salt-partition union)
     w_salt = Window.partitionBy("q_id", "salt").orderBy("adist", "vec_id")
@@ -299,9 +322,63 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FAISS-style index: the trained coarse quantizer
+    (kmeans_fit's exact-integer Lloyd, K=8) restricts each query's
+    candidates to its IVF_NPROBE nearest cells, ADC scores only those
+    cells' members from the compressed codes, and the exact re-rank
+    refines the shortlist. Measured at sf0.01: recall@3 = 0.93 while
+    ADC-scoring ~37% of the corpus (vs flat PQ's 0.90 over 100%) — the
+    cells concentrate true neighbors, which is the entire IVF bet.
+
+    Scale shape: cell membership and probes come from broadcast-centroid
+    assignment (no shuffle), candidates from a broadcast equi-join on the
+    cell id, and everything downstream is the shared bounded machinery.
+
+    Output: q_id, k, n_hits."""
+    ev = _quantized_vecs(_emb(spark, sf_dir)).localCheckpoint(eager=True)
+    coarse = _fit_centroids(ev)
+    fits = _subspace_fits(ev)
+    codes = (
+        _encoded(ev, fits)
+        .withColumn("cell", _nearest_centroid(coarse)["cid"])
+        .select(
+            "vec_id",
+            "cell",
+            *[F.col(f"a{m}.cid").alias(f"code{m}") for m in range(PQ_M)],
+        )
+    )
+    probes = (
+        ev.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(
+                F.slice(
+                    F.sort_array(_centroid_dist_structs(coarse)),
+                    1,
+                    IVF_NPROBE,
+                )
+            ).alias("p"),
+        )
+        .select("q_id", F.col("p.cid").alias("cell"))
+    )
+    cand = (
+        codes.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            *[f"code{m}" for m in range(PQ_M)],
+        )
+    )
+    return _recall_from_candidates(ev, fits, cand)
+
+
 # ---------------------------------------------------------------------------
 # Oracles: per-subspace replay of every Lloyd step (the kmeans_fit CTE form,
-# parameterized by the subspace's dim offset), then encode / ADC in SQL.
+# parameterized by the subspace's dim offset), then encode / ADC in SQL. The
+# IVF-PQ oracle adds the coarse quantizer's own Lloyd replay and restricts
+# candidates to the probed cells.
 # ---------------------------------------------------------------------------
 
 
@@ -388,9 +465,9 @@ def _pq_codes_oracle() -> str:
     )
 
 
-def _pq_adc_recall_oracle() -> str:
-    chains = "".join(_subspace_chain(m) for m in range(PQ_M))
-    luts = "".join(
+def _luts_sql() -> str:
+    """Per-query, per-subspace LUTs against the trained codebooks."""
+    return "".join(
         f"""
         , lut{m} AS (
             SELECT e.vec_id AS q_id, c.cid,
@@ -402,27 +479,25 @@ def _pq_adc_recall_oracle() -> str:
         )"""
         for m in range(PQ_M)
     )
+
+
+def _codes_cte() -> str:
     code_joins = "".join(
         f" JOIN s{m}enc e{m} ON e{m}.vec_id = e0.vec_id"
         for m in range(1, PQ_M)
     )
-    lut_joins = "".join(
-        f" JOIN lut{m} l{m} ON l{m}.cid = co.code{m}"
-        + (" AND l%d.q_id = l0.q_id" % m if m else "")
-        for m in range(PQ_M)
-    )
     codes_cols = ", ".join(f"e{m}.cid AS code{m}" for m in range(PQ_M))
-    adist = " + ".join(f"l{m}.dm" for m in range(PQ_M))
-    return (
-        _EVALL + chains + luts
-        + f"""
+    return f"""
         , codes AS (
             SELECT e0.vec_id, {codes_cols} FROM s0enc e0{code_joins}
-        ), adc AS (
-            SELECT l0.q_id, co.vec_id, ({adist})::BIGINT AS adist
-            FROM codes co{lut_joins}
-            WHERE co.vec_id <> l0.q_id
-        ), short AS (
+        )"""
+
+
+def _recall_tail() -> str:
+    """short -> rerank -> atop -> exact truth -> per-query recall; expects
+    an ``adc`` CTE of (q_id, vec_id, adist)."""
+    return f"""
+        , short AS (
             SELECT q_id, vec_id FROM (
                 SELECT q_id, vec_id,
                        row_number() OVER (PARTITION BY q_id
@@ -464,11 +539,110 @@ def _pq_adc_recall_oracle() -> str:
         LEFT JOIN atop a ON a.q_id = t.q_id AND a.vec_id = t.vec_id
         GROUP BY t.q_id
     """
+
+
+_ADIST = " + ".join(f"l{m}.dm" for m in range(PQ_M))
+_LUT_JOINS = "".join(
+    f" JOIN lut{m} l{m} ON l{m}.cid = co.code{m}"
+    + (f" AND l{m}.q_id = l0.q_id" if m else "")
+    for m in range(PQ_M)
+)
+
+
+def _pq_adc_recall_oracle() -> str:
+    chains = "".join(_subspace_chain(m) for m in range(PQ_M))
+    return (
+        _EVALL + chains + _luts_sql() + _codes_cte()
+        + f"""
+        , adc AS (
+            SELECT l0.q_id, co.vec_id, ({_ADIST})::BIGINT AS adist
+            FROM codes co{_LUT_JOINS}
+            WHERE co.vec_id <> l0.q_id
+        )"""
+        + _recall_tail()
     )
 
 
-QUERIES = {"pq_codes": q_pq_codes, "pq_adc_recall": q_pq_adc_recall}
+def _coarse_chain() -> str:
+    """The coarse quantizer's Lloyd replay over the FULL dimension (the
+    kmeans_fit recipe: seeds = vec_ids 0..N_CENTROIDS-1, KMEANS_ITERS
+    rounds), ending in per-vector cell assignment and per-query probes."""
+    parts = [f"""
+        , gc0 AS (
+            SELECT vec_id::INT AS cid, d, x * {_C_SCALE} AS c
+            FROM evall WHERE vec_id < {N_CENTROIDS}
+        )"""]
+    for it in range(1, KMEANS_ITERS + 1):
+        parts.append(f"""
+        , gdist{it} AS (
+            SELECT e.vec_id, c.cid,
+                   sum((e.x * {_C_SCALE} - c.c) * (e.x * {_C_SCALE} - c.c))
+                       ::BIGINT AS dist
+            FROM evall e JOIN gc{it - 1} c ON e.d = c.d
+            GROUP BY 1, 2
+        ), gasg{it} AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rk
+            FROM gdist{it}
+        ), gstats{it} AS (
+            SELECT a.cid, e.d,
+                   round(sum(e.x) * {_C_SCALE}.0 / count(*))::BIGINT AS c
+            FROM gasg{it} a JOIN evall e ON a.vec_id = e.vec_id
+            WHERE a.rk = 1
+            GROUP BY 1, 2
+        ), gc{it} AS (
+            SELECT p.cid, p.d, coalesce(s.c, p.c) AS c
+            FROM gc{it - 1} p
+            LEFT JOIN gstats{it} s ON s.cid = p.cid AND s.d = p.d
+        )""")
+    parts.append(f"""
+        , gdistF AS (
+            SELECT e.vec_id, c.cid,
+                   sum((e.x * {_C_SCALE} - c.c) * (e.x * {_C_SCALE} - c.c))
+                       ::BIGINT AS dist
+            FROM evall e JOIN gc{KMEANS_ITERS} c ON e.d = c.d
+            GROUP BY 1, 2
+        ), grk AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rk
+            FROM gdistF
+        ), cellasg AS (
+            SELECT vec_id, cid FROM grk WHERE rk = 1
+        ), qprobe AS (
+            SELECT vec_id AS q_id, cid FROM grk
+            WHERE vec_id < {N_QUERIES} AND rk <= {IVF_NPROBE}
+        ), cand AS (
+            SELECT p.q_id, a.vec_id
+            FROM cellasg a JOIN qprobe p ON p.cid = a.cid
+            WHERE a.vec_id <> p.q_id
+        )""")
+    return "".join(parts)
+
+
+def _ivfpq_recall_oracle() -> str:
+    chains = "".join(_subspace_chain(m) for m in range(PQ_M))
+    return (
+        _EVALL + chains + _luts_sql() + _codes_cte() + _coarse_chain()
+        + f"""
+        , adc AS (
+            SELECT ca.q_id, ca.vec_id, ({_ADIST})::BIGINT AS adist
+            FROM cand ca
+            JOIN codes co ON co.vec_id = ca.vec_id{_LUT_JOINS}
+            WHERE l0.q_id = ca.q_id
+        )"""
+        + _recall_tail()
+    )
+
+
+QUERIES = {
+    "pq_codes": q_pq_codes,
+    "pq_adc_recall": q_pq_adc_recall,
+    "ann_ivfpq_recall": q_ann_ivfpq_recall,
+}
 ORACLES = {
     "pq_codes": _pq_codes_oracle(),
     "pq_adc_recall": _pq_adc_recall_oracle(),
+    "ann_ivfpq_recall": _ivfpq_recall_oracle(),
 }

@@ -63,6 +63,7 @@ RULES = {
     # ADC recall must keep the salted two-stage shortlist + broadcast LUTs
     "pq_codes": ([], [r"SortMergeJoin", r"\bWindow\b", r"ArrowEvalPython"]),
     "pq_adc_recall": ([r"BroadcastHashJoin", r"pmod"], [r"SortMergeJoin", r"ArrowEvalPython"]),
+    "ann_ivfpq_recall": ([r"BroadcastHashJoin", r"pmod"], [r"SortMergeJoin", r"ArrowEvalPython"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the
