@@ -169,3 +169,48 @@ def curate(
         "conv_id", split.alias("split"), "text", "n_words", "n_turns",
         "total_pages", "n_boiler_lines", "n_decon_words",
     )
+
+
+def curate_packed(
+    transcripts: DataFrame,
+    benchmark: DataFrame | None = None,
+    seq_tokens: int | None = None,
+    epoch: int = 0,
+) -> DataFrame:
+    """The last mile: transcripts -> curated TRAIN split -> fixed-length
+    packed training sequences -> deterministic epoch read order. This is
+    the artifact a data loader consumes; everything upstream (extraction,
+    gates, dedup, split) is the oracle-gated ``curate``.
+
+    Scale notes: packing rides the two-level distributed prefix sum and
+    the epoch order rides the hex-prefix two-level rank — no stage sorts
+    or ranks globally in one task; the curate output is materialized once
+    (localCheckpoint) because the manifest and the shuffle would otherwise
+    each re-evaluate the whole extract->gate subtree.
+
+    Output per sequence: seq_id, n_docs, n_tokens, first_doc, last_doc,
+    pos (0-based position in the epoch's read order)."""
+    from ..operators.packing import (
+        SEQ_TOKENS,
+        sequence_manifest,
+        sequence_shuffle,
+    )
+
+    st = seq_tokens or SEQ_TOKENS
+    # packing needs a numeric, totally ordered doc axis; conv ids are the
+    # generator's 'conv_%08d' strings, so the digit suffix is exact and
+    # collision-free (an arbitrary-id corpus would ship its own int key)
+    train = (
+        curate(transcripts, benchmark)
+        .where(F.col("split") == "train")
+        .select(
+            F.regexp_extract("conv_id", r"(\d+)", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "text",
+        )
+        .localCheckpoint(eager=True)
+    )
+    manifest = sequence_manifest(train, st)
+    order = sequence_shuffle(manifest.select("seq_id"), epoch)
+    return manifest.join(order.select("seq_id", "pos"), "seq_id")

@@ -106,3 +106,29 @@ def test_benchmark_decontamination_stage(spark):
     assert "capital of france" not in out["zz_leak"]["text"]
     assert f"alpha0" in out["zz_leak"]["text"]  # clean spans survive
     assert out["zz_clean"]["n_decon_words"] == 0
+
+
+def test_curate_packed_end_to_end(spark, curated):
+    from pdf_extractor_spark.functions.expressions import token_count_expr
+    from pdf_extractor_spark.plans.training_data import curate_packed
+
+    st = 128
+    packed = curate_packed(
+        transcripts_df(spark, 60, seed=42), seq_tokens=st
+    ).cache()
+    rows = packed.orderBy("seq_id").collect()
+    assert rows, "train split should pack into at least one sequence"
+    # token conservation: the manifest accounts for every train token
+    train_tokens = (
+        curated.where(F.col("split") == "train")
+        .select(token_count_expr(F.col("text")).alias("t"))
+        .agg(F.sum("t"))
+        .first()[0]
+    )
+    assert sum(r["n_tokens"] for r in rows) == train_tokens
+    # every sequence but the last is exactly full
+    for r in rows[:-1]:
+        assert r["n_tokens"] == st
+    assert 0 < rows[-1]["n_tokens"] <= st
+    # the epoch order is an exact permutation of the sequences
+    assert sorted(r["pos"] for r in rows) == list(range(len(rows)))
