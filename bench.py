@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "bpe_fit",
     "bpe_encode",
     "sequence_shuffle",
+    "token_packing_incremental",
     "url_host_filter",
     "pq_codes",
     "pq_adc_recall",

@@ -225,6 +225,74 @@ def loss_mask_spans(
     )
 
 
+def token_packing_incremental(
+    new_docs: DataFrame,
+    base_tokens: int,
+    seq_tokens: int = SEQ_TOKENS,
+) -> DataFrame:
+    """The production daily-append form of packing: a new batch's global
+    offsets CONTINUE from the already-packed corpus's token high-water
+    mark (``base_tokens``) instead of repacking history — O(new batch)
+    compute per increment, the dedup_incremental pattern. The first batch
+    is base_tokens=0; each run's new high-water mark is
+    max(global_start + n_tokens), stored alongside the output (a 1-row
+    artifact, the packing twin of the dedup signature store).
+
+    Same output schema and layout guarantees as token_packing; the last
+    sequence of the existing corpus keeps filling if it was partial
+    (seq_id/seq_offset land inside it), which is exactly what append-only
+    packing must do."""
+    packed = token_packing(new_docs, seq_tokens)
+    start = F.col("global_start") + F.lit(int(base_tokens))
+    return (
+        packed.withColumn("global_start", start.cast("long"))
+        .withColumn(
+            "seq_id", F.expr(f"global_start DIV {seq_tokens}").cast("long")
+        )
+        .withColumn(
+            "seq_offset", (F.col("global_start") % seq_tokens).cast("long")
+        )
+        .withColumn(
+            "n_seqs",
+            F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr(
+                    f"(global_start + n_tokens - 1) DIV {seq_tokens}"
+                ).cast("long")
+                - F.col("seq_id")
+                + 1
+            ),
+        )
+    )
+
+
+# The registered query replays the daily-batch shape in one plan: docs
+# below the split are "yesterday's corpus" (their token total is the
+# stored high-water mark — a 1-row aggregate), docs at/after it are the
+# new batch packed incrementally against it.
+INCR_SPLIT_DOC = 400
+
+
+def q_token_packing_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from . import load
+    from ..functions.expressions import token_count_expr
+
+    docs = load(spark, sf_dir, "documents")
+    base = (
+        docs.where(F.col("doc_id") < INCR_SPLIT_DOC)
+        .agg(
+            F.coalesce(
+                F.sum(token_count_expr(F.col("text")).cast("long")),
+                F.lit(0),
+            ).alias("hwm")
+        )
+        .first()["hwm"]
+    )
+    new_batch = docs.where(F.col("doc_id") >= INCR_SPLIT_DOC)
+    return token_packing_incremental(new_batch, int(base))
+
+
 SHUF_BUCKET_HEX = 2  # 16^2 = 256 rank buckets from the key's own prefix
 
 
@@ -300,6 +368,7 @@ QUERIES = {
     "sequence_manifest": q_sequence_manifest,
     "loss_mask_spans": q_loss_mask_spans,
     "sequence_shuffle": q_sequence_shuffle,
+    "token_packing_incremental": q_token_packing_incremental,
 }
 
 # Oracle: the packing layout is order-defined, so a plain single-window
@@ -371,6 +440,36 @@ ORACLES["sequence_manifest"] = f"""
         FROM seg GROUP BY 1
 """
 
+
+# Incremental oracle: pack the FULL corpus in one window, then keep only
+# the new batch's rows — append-continuation must be indistinguishable
+# from having packed everything at once (the defining invariant).
+ORACLES["token_packing_incremental"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(list_filter(
+                       string_split(regexp_replace(text,
+                           '([A-Za-z]+|\\d+|[^\\sA-Za-z\\d])', '\\1 ', 'g'),
+                           ' '),
+                       x -> trim(x) <> ''))::BIGINT AS n_tokens
+            FROM documents
+        ), s AS (
+            SELECT doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0)::BIGINT AS global_start
+            FROM t
+        )
+        SELECT doc_id, n_tokens, global_start,
+               global_start // {SEQ_TOKENS} AS seq_id,
+               (global_start % {SEQ_TOKENS})::BIGINT AS seq_offset,
+               CASE WHEN n_tokens = 0 THEN 0
+                    ELSE (global_start + n_tokens - 1) // {SEQ_TOKENS}
+                         - global_start // {SEQ_TOKENS} + 1
+               END::BIGINT AS n_seqs
+        FROM s WHERE doc_id >= {INCR_SPLIT_DOC}
+"""
 
 # Shuffle oracle: the two-level rank is order-defined, so a plain global
 # ROW_NUMBER over the same content-stable key replays it exactly (the

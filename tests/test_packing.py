@@ -169,3 +169,28 @@ def test_sequence_shuffle_epochs_differ(spark):
     # rerun of the same epoch is byte-identical (content-stable, no RNG)
     again = {r["seq_id"]: r["pos"] for r in sequence_shuffle(seqs, 0).collect()}
     assert again == e0
+
+
+def test_incremental_packing_equals_one_shot(spark):
+    from pdf_extractor_spark.operators.packing import (
+        token_packing_incremental,
+    )
+
+    rows = [(i, f"tok {'x ' * (i % 9)}") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    one_shot = {
+        r["doc_id"]: r for r in token_packing(docs, 16).collect()
+    }
+    # batch 1: docs < 30; high-water mark = its total token count
+    b1 = docs.where("doc_id < 30")
+    hwm = sum(
+        one_shot[i]["n_tokens"] for i in range(50) if i < 30
+    )
+    b2 = docs.where("doc_id >= 30")
+    incr = {
+        r["doc_id"]: r
+        for r in token_packing_incremental(b2, hwm, 16).collect()
+    }
+    for i in range(30, 50):
+        for f in ("n_tokens", "global_start", "seq_id", "seq_offset", "n_seqs"):
+            assert incr[i][f] == one_shot[i][f], (i, f)
