@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "bpe_encode",
     "sequence_shuffle",
     "token_packing_incremental",
+    "cohort_retention",
+    "funnel_conversion",
     "url_host_filter",
     "pq_codes",
     "pq_adc_recall",

@@ -260,6 +260,119 @@ ORACLES = {
     """,
 }
 
+_WK = (
+    "datediff(to_date(cast(ts as timestamp_ntz)), date'2024-01-01') div 7"
+)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the event stream: users are cohorted
+    by their first active week, and each (cohort, week-offset) cell counts
+    how many of them were active that week — the standard growth-analytics
+    triangle.
+
+    Scale shape: one (user, week) distinct (keyed shuffle with map-side
+    partial), one user-keyed min aggregate for the cohort, one user-keyed
+    equi-join (AQE broadcasts the cohort side when small), and a final
+    groupBy over the tiny (cohort, offset) key space. No windows, no
+    skew-prone keys (a hot user still contributes one row per week).
+    Week indexing is pure calendar arithmetic on the naive timestamp
+    (timestamp_ntz, the tumbling_window convention) so both engines agree
+    exactly."""
+    ev = _events(spark, sf_dir)
+    activity = ev.select(
+        "user_id", F.expr(_WK).cast("long").alias("wk")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(
+        F.min("wk").alias("cohort_wk")
+    )
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup -> purchase conversion within 7 days, by signup cohort week:
+    per user the first signup, then the first purchase AT OR AFTER it
+    (the order constraint is a post-join filter on a user-keyed equi-join
+    — never a range join), converted = purchase within 7 calendar days.
+
+    Output: cohort_wk, n_signups, n_converted_7d."""
+    ev = _events(spark, sf_dir)
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("timestamp_ntz")).alias("s_ts"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").cast("timestamp_ntz").alias("p_ts"))
+        .join(signups, "user_id")
+        .where(F.col("p_ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("p_ts"))
+    )
+    conv = F.when(
+        F.col("p_ts").isNotNull()
+        & (F.datediff(F.to_date("p_ts"), F.to_date("s_ts")) <= 7),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        signups.join(purchases, "user_id", "left")
+        .groupBy(
+            F.expr(
+                "datediff(to_date(s_ts), date'2024-01-01') div 7"
+            ).cast("long").alias("cohort_wk")
+        )
+        .agg(
+            F.count("*").alias("n_signups"),
+            F.sum(conv).cast("long").alias("n_converted_7d"),
+        )
+    )
+
+
+ORACLES["cohort_retention"] = """
+        WITH a AS (
+            SELECT DISTINCT user_id,
+                   (date_diff('day', DATE '2024-01-01', ts::DATE) // 7)
+                       ::BIGINT AS wk
+            FROM events
+        ), c AS (
+            SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY 1
+        )
+        SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset,
+               count(*) AS n_users
+        FROM a JOIN c USING (user_id)
+        GROUP BY 1, 2
+"""
+
+ORACLES["funnel_conversion"] = """
+        WITH s AS (
+            SELECT user_id, min(ts) AS s_ts FROM events
+            WHERE event_type = 'signup' GROUP BY 1
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS p_ts
+            FROM events e JOIN s ON s.user_id = e.user_id
+                                AND e.ts >= s.s_ts
+            WHERE e.event_type = 'purchase'
+            GROUP BY 1
+        )
+        SELECT (date_diff('day', DATE '2024-01-01', s.s_ts::DATE) // 7)
+                   ::BIGINT AS cohort_wk,
+               count(*) AS n_signups,
+               sum(CASE WHEN p.p_ts IS NOT NULL
+                         AND date_diff('day', s.s_ts::DATE, p.p_ts::DATE)
+                             <= 7
+                        THEN 1 ELSE 0 END)::BIGINT AS n_converted_7d
+        FROM s LEFT JOIN p USING (user_id)
+        GROUP BY 1
+"""
+
 QUERIES = {
     "sessionize": q_sessionize,
     "balance_classify": q_balance_classify,
@@ -267,4 +380,6 @@ QUERIES = {
     "asof_prev_signup": q_asof_prev_signup,
     "tumbling_window": q_tumbling_window,
     "column_inference": q_column_inference,
+    "cohort_retention": q_cohort_retention,
+    "funnel_conversion": q_funnel_conversion,
 }
