@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "token_packing_incremental",
     "cohort_retention",
     "funnel_conversion",
+    "corpus_report",
     "url_host_filter",
     "pq_codes",
     "pq_adc_recall",

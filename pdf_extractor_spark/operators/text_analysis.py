@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from ..functions.expressions import normalize_for_comparison_expr, token_count_expr
 from ..functions.udfs import detect_language_udf, quality_score_udf
+from .text_ops import SPLIT_TEST_PCT, SPLIT_VAL_PCT
 
 
 def _docs(spark, sf_dir):
@@ -763,7 +764,72 @@ def _inverted_index_oracle() -> str:
     """
 
 
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus dashboard in one pass: per (source, lang) the doc count,
+    exact token/char totals, token min/max, distinct-content count (md5 of
+    normalized text — the exact-dedup key, so `n_docs - n_distinct` IS the
+    intra-cell duplicate count), and the train-split share under the
+    deterministic holdout buckets. One hash-groupBy over a pure map —
+    map-side combined, no windows, no joins; the report any curation run
+    prints before and after its gates.
+
+    All-integer outputs (exact across engines)."""
+    from .text_ops import holdout_split_expr
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "source",
+            "lang",
+            token_count_expr(F.col("text")).cast("long").alias("t"),
+            F.length("text").cast("long").alias("c"),
+            F.md5(normalize_for_comparison_expr(F.col("text"))).alias("k"),
+            (holdout_split_expr(F.col("doc_id")) == "train")
+            .cast("long")
+            .alias("is_train"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("t").alias("n_tokens"),
+            F.min("t").alias("min_tokens"),
+            F.max("t").alias("max_tokens"),
+            F.sum("c").alias("n_chars"),
+            F.countDistinct("k").alias("n_distinct"),
+            F.sum("is_train").alias("n_train"),
+        )
+    )
+
+
 ORACLES = {
+    "corpus_report": f"""
+        WITH s AS (
+            SELECT source, lang,
+                   len(list_filter(
+                       string_split(regexp_replace(text,
+                           '([A-Za-z]+|\\d+|[^\\sA-Za-z\\d])', '\\1 ', 'g'),
+                           ' '),
+                       x -> trim(x) <> ''))::BIGINT AS t,
+                   length(text)::BIGINT AS c,
+                   md5(lower(regexp_replace(text,
+                       '[^\\p{{L}}\\p{{N}}]+', '', 'g'))) AS k,
+                   CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))
+                             ::BIGINT % 100
+                             >= {SPLIT_VAL_PCT + SPLIT_TEST_PCT}
+                        THEN 1 ELSE 0 END AS is_train
+            FROM documents
+        )
+        SELECT source, lang, count(*) AS n_docs,
+               sum(t)::BIGINT AS n_tokens,
+               min(t) AS min_tokens, max(t) AS max_tokens,
+               sum(c)::BIGINT AS n_chars,
+               count(DISTINCT k) AS n_distinct,
+               sum(is_train)::BIGINT AS n_train
+        FROM s GROUP BY 1, 2
+    """,
+
     "inverted_index": _inverted_index_oracle(),
     "lm_fluency": _fluency_oracle(),
     "language_id": _language_id_oracle(),
@@ -887,6 +953,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "lm_fluency": q_lm_fluency,
     "token_count": q_token_count,
+    "corpus_report": q_corpus_report,
     "quality_features": q_quality_features,
     "fingerprint": q_fingerprint,
     "language_id": q_language_id,
