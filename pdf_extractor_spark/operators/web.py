@@ -54,7 +54,14 @@ def url_host_filter(docs_with_url: DataFrame) -> DataFrame:
     the corpus), or 'ok'.
 
     Expects a frame with (doc_id, url); host parsing uses the JVM
-    ``parse_url`` expression."""
+    ``parse_url`` expression.
+
+    The host-stats broadcast hint is valid while distinct hosts stay
+    orders below the corpus (the usual web shape: ~10^7-10^8 hosts at
+    16 bytes/row against 10^10+ docs). Past broadcastable size, drop the
+    hint — the join is already host-equi-keyed, so AQE falls back to a
+    shuffle hash join with identical semantics; only the hint, not the
+    shape, is scale-bound."""
     parsed = docs_with_url.select(
         "doc_id",
         F.expr("parse_url(url, 'HOST')").alias("host"),

@@ -18,8 +18,6 @@ dedup_incremental two-phase lesson applied to packing).
 """
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -28,8 +26,13 @@ from ..operators.packing import token_packing_incremental
 
 
 def _read_hwm(spark: SparkSession, path: str):
-    """(hwm, last_batch_id) from the artifact, (0, -1) on first start."""
-    if not os.path.exists(path):
+    """(hwm, last_batch_id) from the artifact, (0, -1) on first start.
+    Existence goes through the Hadoop FileSystem API (HDFS/S3/local),
+    never a driver-local os.path check — the dedup store lesson."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
         return 0, -1
     r = spark.read.parquet(path).first()
     return int(r["hwm"]), int(r["batch_id"])
