@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "funnel_conversion",
     "corpus_report",
+    "salted_join_skew",
     "url_host_filter",
     "pq_codes",
     "pq_adc_recall",

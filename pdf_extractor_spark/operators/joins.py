@@ -255,7 +255,81 @@ def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+SKEW_SALT = 8
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = SKEW_SALT,
+    row_key: str | None = None,
+) -> DataFrame:
+    """Explicit skew-salted equi-join: the big side adds a deterministic
+    salt from its own row identity (``row_key``, never RNG — replays and
+    retries land identically), the small side replicates ``salt`` ways,
+    and the join runs on (key, salt) — a single hot key's rows spread
+    across ``salt`` reduce partitions instead of one straggler task.
+    Result-equality with the plain join is the oracle's claim.
+
+    This is the MANUAL form for engines/paths without AQE skew handling
+    (or for the build side of a shuffle join AQE won't split, e.g. under
+    a required output partitioning); with AQE's skew-join active the
+    plain join is usually preferable — this operator documents and tests
+    the mechanism itself. Cost: small side x salt replication (bounded:
+    it is the SMALL side by contract)."""
+    big_s = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(row_key or key)), F.lit(salt)).cast("int"),
+    )
+    small_s = small.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("int"), F.lit(salt - 1).cast("int"))
+        ),
+    )
+    return big_s.join(small_s, [key, "_salt"]).drop("_salt")
+
+
+def q_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events joined to a per-user dimension (first signup week) through
+    the salted join; the oracle is the PLAIN join — proving salting
+    changes the physical distribution, never the result."""
+    from . import load
+
+    ev = load(spark, sf_dir, "events")
+    dim = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.expr(
+                    "datediff(to_date(cast(ts as timestamp_ntz)),"
+                    " date'2024-01-01') div 7"
+                ).cast("long")
+            ).alias("signup_wk")
+        )
+    )
+    out = salted_join(
+        ev.select("event_id", "user_id", "event_type"),
+        dim,
+        key="user_id",
+        row_key="event_id",
+    )
+    return out.select("event_id", "user_id", "event_type", "signup_wk")
+
 ORACLES = {
+    "salted_join_skew": """
+        WITH dim AS (
+            SELECT user_id,
+                   min(date_diff('day', DATE '2024-01-01', ts::DATE) // 7)
+                       ::BIGINT AS signup_wk
+            FROM events WHERE event_type = 'signup' GROUP BY 1
+        )
+        SELECT e.event_id, e.user_id, e.event_type, d.signup_wk
+        FROM events e JOIN dim d USING (user_id)
+    """,
     "range_join_binned": f"""
         SELECT e.event_id,
                count(c.user_id) AS n_recent_clicks
@@ -393,6 +467,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "salted_join_skew": q_salted_join_skew,
     "spatial_join": q_spatial_join,
     "table_merge_sessions": q_table_merge_sessions,
     "table_merge_fold": q_table_merge_fold,
