@@ -9,11 +9,19 @@ only the missing slices and output writes stay idempotent
 """
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence through the Hadoop FileSystem API (HDFS/S3/local) — a
+    driver-local os.path check silently returns False on any remote
+    filesystem and would restart completed work from scratch."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(sc._jsc.hadoopConfiguration()).exists(hpath)
 
 BUCKET_COL = "bucket"
 DEFAULT_N_BUCKETS = 256
@@ -29,7 +37,7 @@ def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
 
 def completed_buckets(spark: SparkSession, manifest_path: str) -> DataFrame:
     """Buckets already recorded as done (empty frame when no manifest yet)."""
-    if not os.path.exists(manifest_path):
+    if not _fs_exists(spark, manifest_path):
         return spark.createDataFrame([], f"{BUCKET_COL} int")
     return (
         spark.read.parquet(manifest_path)
