@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "funnel_conversion",
     "corpus_report",
     "salted_join_skew",
+    "cluster_top_terms",
     "url_host_filter",
     "pq_codes",
     "pq_adc_recall",

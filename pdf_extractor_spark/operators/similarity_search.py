@@ -607,6 +607,83 @@ ORACLES["ann_recall"] = f"""
         GROUP BY 1
 """
 
+
+TOP_TERMS = 5
+TERMS_SALT = 8
+
+
+def q_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling — the corpus-exploration step after clustering:
+    documents join their trained k-means cluster (doc_id == vec_id in the
+    driver tables), unigram counts roll up per (cluster, gram) with
+    map-side combine, and each cluster reports its TOP_TERMS most frequent
+    terms via the salted two-stage rank (a big cluster's gram list never
+    sorts in one task). Output: cluster, rk, gram, cnt — the human-readable
+    signature of each embedding cluster.
+
+    Scale shape: one doc-keyed equi-join (labels onto the corpus scan, the
+    dedup_retention pattern), one (cluster, gram)-keyed count, two bounded
+    windows."""
+    from . import load
+
+    ev = _quantized_vecs(_emb(spark, sf_dir)).localCheckpoint(eager=True)
+    cents = _fit_centroids(ev)
+    labels = ev.withColumn("a", _nearest_centroid(cents)).select(
+        F.col("vec_id").alias("doc_id"), F.col("a.cid").alias("cluster")
+    )
+    words = (
+        load(spark, sf_dir, "documents")
+        .join(labels, "doc_id")
+        .select(
+            "cluster",
+            F.explode(
+                F.filter(F.split("text", r"\s+"), lambda x: x != "")
+            ).alias("gram"),
+        )
+    )
+    counts = words.groupBy("cluster", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    w_salt = Window.partitionBy("cluster", "salt").orderBy(
+        F.desc("cnt"), F.asc("gram")
+    )
+    w_final = Window.partitionBy("cluster").orderBy(
+        F.desc("cnt"), F.asc("gram")
+    )
+    return (
+        counts.withColumn(
+            "salt", F.pmod(F.xxhash64("gram"), F.lit(TERMS_SALT))
+        )
+        .withColumn("rk", F.row_number().over(w_salt))
+        .where(F.col("rk") <= TOP_TERMS)
+        .withColumn("rk", F.row_number().over(w_final))
+        .where(F.col("rk") <= TOP_TERMS)
+        .select("cluster", F.col("rk").cast("long").alias("rk"), "gram", "cnt")
+    )
+
+
+def _cluster_top_terms_oracle() -> str:
+    prefix, _last = _kmeans_cte_chain()
+    return prefix + f"""
+        , asg AS (
+            SELECT vec_id AS doc_id, cid AS cluster
+            FROM asgF WHERE rk = 1
+        ), g AS (
+            SELECT a.cluster, unnest(list_filter(
+                       regexp_split_to_array(d.text, '\\s+'),
+                       x -> x <> '')) AS gram
+            FROM documents d JOIN asg a USING (doc_id)
+        ), cnts AS (
+            SELECT cluster, gram, count(*) AS cnt FROM g GROUP BY 1, 2
+        )
+        SELECT cluster, rk, gram, cnt FROM (
+            SELECT cluster, gram, cnt,
+                   row_number() OVER (PARTITION BY cluster
+                                      ORDER BY cnt DESC, gram) AS rk
+            FROM cnts
+        ) WHERE rk <= {TOP_TERMS}
+    """
+
 QUERIES = {
     "knn_cosine": q_knn_cosine,
     "ann_ivf_cosine": q_ann_ivf_cosine,
@@ -615,3 +692,6 @@ QUERIES = {
     "ann_recall": q_ann_recall,
     "ann_ivf_trained": q_ann_ivf_trained,
 }
+
+QUERIES["cluster_top_terms"] = q_cluster_top_terms
+ORACLES["cluster_top_terms"] = _cluster_top_terms_oracle()

@@ -69,7 +69,8 @@ RULES = {
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the
 # salted partial rank + the small final rank) and a pmod salt in the plan —
 # one Window would be a single/few-task global sort at 100 TB.
-TWO_STAGE_RANK = ["vocab_top_ngrams", "inverted_index", "stratified_sample"]
+TWO_STAGE_RANK = ["vocab_top_ngrams", "inverted_index", "stratified_sample",
+                  "cluster_top_terms"]
 
 
 def plan_of(df) -> str:
