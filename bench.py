@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "corpus_report",
     "salted_join_skew",
     "cluster_top_terms",
+    "hashed_tf_vectors",
     "url_host_filter",
     "pq_codes",
     "pq_adc_recall",

@@ -803,7 +803,64 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+HASH_DIM = 64  # hashed-feature dimensionality (matches the ANN suite's D)
+
+
+def q_hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (the hashing trick, Weinberger et al. ICML'09):
+    text becomes a fixed-dim sparse vector with NO vocabulary artifact —
+    each word hashes to a dimension (first 4 md5 hex chars mod HASH_DIM)
+    and contributes a hashed sign (+-1 from the next hex char), so
+    collisions cancel in expectation. This is the engine's text->vector
+    bridge: the output feeds the ANN/k-means/PQ suite without a trained
+    embedding model, and the md5-derived hash is engine-portable (the
+    holdout-split recipe), unlike xxhash64 which DuckDB cannot replay.
+
+    Pure map + one (doc_id, dim)-keyed sum — map-side combined, no
+    windows, integer outputs. Sparse rows (doc_id, dim, val); densify
+    downstream only where an operator needs arrays.
+
+    Output: doc_id, dim, val (signed integer count)."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).alias("w"),
+    )
+    h = F.md5(F.col("w"))
+    dim = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % HASH_DIM
+    sign = F.when(
+        F.conv(F.substring(h, 5, 1), 16, 10).cast("long") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        words.select("doc_id", dim.alias("dim"), sign.alias("s"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").cast("long").alias("val"))
+        .where(F.col("val") != 0)
+    )
+
 ORACLES = {
+    "hashed_tf_vectors": f"""
+        WITH w AS (
+            SELECT doc_id, unnest(list_filter(
+                       regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '')) AS w
+            FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(w), 1, 4))::BIGINT % {HASH_DIM}
+                       AS dim,
+                   CASE WHEN ('0x' || substring(md5(w), 5, 1))::BIGINT % 2
+                             = 0
+                        THEN 1 ELSE -1 END AS s
+            FROM w
+        )
+        SELECT doc_id, dim, sum(s)::BIGINT AS val
+        FROM h GROUP BY 1, 2 HAVING sum(s) <> 0
+    """,
     "corpus_report": f"""
         WITH s AS (
             SELECT source, lang,
@@ -954,6 +1011,7 @@ QUERIES = {
     "lm_fluency": q_lm_fluency,
     "token_count": q_token_count,
     "corpus_report": q_corpus_report,
+    "hashed_tf_vectors": q_hashed_tf_vectors,
     "quality_features": q_quality_features,
     "fingerprint": q_fingerprint,
     "language_id": q_language_id,
