@@ -25,6 +25,7 @@ from pdf_extractor_spark.operators import (
     packing,
     pq,
     similarity_search,
+    sketches,
     tables_md,
     text_analysis,
     text_ops,
@@ -35,7 +36,7 @@ from pdf_extractor_spark.operators import (
 _MODULES = [
     text_ops, windows, aggregates, dedup, graph, similarity_search,
     text_analysis, multimodal, joins, tables_md, chunking, packing, bpe,
-    web, pq,
+    web, pq, sketches,
 ]
 
 

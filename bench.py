@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "pq_codes",
     "pq_adc_recall",
     "ann_ivfpq_recall",
+    "hll_distinct",
+    "bloom_semi_join",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -19,6 +19,7 @@ from . import (  # noqa: F401
     packing,
     pq,
     similarity_search,
+    sketches,
     tables_md,
     text_analysis,
     text_ops,

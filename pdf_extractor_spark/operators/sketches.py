@@ -1,0 +1,305 @@
+"""Distributed sketches: HyperLogLog distinct-count and Bloom-filter
+semi-join pruning — engine-portable (md5-derived hashing, pure integer
+arithmetic) so the driver's DuckDB oracle replays them bit-for-bit.
+
+Why sketches at 100 TB: an exact ``count(DISTINCT ...)`` shuffles every
+distinct key; the HLL register frame shuffles AT MOST ``m`` rows per group
+after map-side partial max — constant, not data-sized. A Bloom filter built
+from a small build side and broadcast lets the fact scan drop non-matching
+rows BEFORE the join shuffle (Spark's own runtime row-level filters /
+``bloom_filter_agg`` are the JVM twins; this one is cross-engine replayable
+so its false-positive rate is *measured*, not assumed — the same
+honest-metrics pattern as ``ann_recall``).
+
+Determinism: hashes come from md5 hex prefixes (the repo-wide idiom, see
+operators/text_ops.py holdout buckets); estimates use only integer
+shifts/divides — the HLL alpha constant is carried as an exact rational
+(7213·m / (10·(1000·m + 1079))) and applied by cross-multiplied integer
+floor division, so Spark and DuckDB produce identical estimates. The
+small-range (linear-counting) correction needs ln(); production applies it
+driver-side on the returned register stats — the raw estimate plus the
+measured error against the exact count is what this query reports.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+# ---- HyperLogLog ----------------------------------------------------------
+HLL_M = 32  # registers (p=5); std err ~ 1.04/sqrt(m) ~ 18%
+_MAXR = 33  # rho of a zero 32-bit suffix (all bits zero -> 32 zeros + 1)
+# floor(alpha_m * m^2 * 2^MAXR / denom) via integer cross-multiply:
+# alpha_m = 0.7213/(1 + 1.079/m) = 7213*m / (10*(1000*m + 1079))
+HLL_NUM = 7213 * HLL_M**3 * (1 << _MAXR)  # 2.03e18 — fits BIGINT
+HLL_DEN = 10 * (1000 * HLL_M + 1079)
+
+# ---- Bloom filter ---------------------------------------------------------
+BLOOM_BITS = 2048
+BLOOM_WORD = 32  # bits per word -> shifts never touch the sign bit
+BLOOM_K = 3  # hash functions
+BLOOM_VALUE_MIN = 200  # build set: purchasers with value > this
+
+
+def _hex_long(col: F.Column, start: int, length: int) -> F.Column:
+    """First ``length`` hex chars of md5(col) from ``start`` (1-based) as a
+    non-negative bigint — identical to DuckDB ('0x'||substr(md5))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), start, length), 16, 10).cast("long")
+
+
+def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Per ``group_col``: HLL registers -> raw estimate, beside the exact
+    distinct count and the integer-permille error.
+
+    Scale shape: the register frame is a (group, idx) max — map-side
+    combined, <= m rows per group cross the shuffle regardless of input
+    size. The exact count (error measurement only) is the expensive
+    operator the sketch replaces at 100 TB.
+    """
+    h = F.col(key_col).cast("string")
+    hashed = df.select(
+        F.col(group_col),
+        F.pmod(_hex_long(h, 1, 2), F.lit(HLL_M)).alias("idx"),
+        _hex_long(h, 3, 8).alias("w"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(_MAXR)).otherwise(
+            F.lit(_MAXR) - F.length(F.bin(F.col("w")))
+        ),
+    )
+    regs = hashed.groupBy(group_col, "idx").agg(F.max("rho").alias("r"))
+    per_group = regs.groupBy(group_col).agg(
+        F.count("*").alias("n_registers"),
+        F.sum(F.expr(f"shiftleft(1L, {_MAXR} - r)")).alias("denom_present"),
+    )
+    denom = F.col("denom_present") + (
+        (F.lit(HLL_M) - F.col("n_registers"))
+        * F.lit(1 << _MAXR).cast("long")
+    )
+    est = F.expr(f"div({HLL_NUM}, {HLL_DEN} * __denom)")
+    exact = df.groupBy(group_col).agg(
+        F.countDistinct(key_col).alias("n_exact")
+    )
+    return (
+        per_group.withColumn("__denom", denom)
+        .withColumn("hll_estimate", est)
+        .join(exact, group_col)
+        .select(
+            group_col,
+            "n_exact",
+            "n_registers",
+            "hll_estimate",
+            F.expr(
+                "div(abs(hll_estimate - n_exact) * 1000, n_exact)"
+            ).alias("err_permille"),
+        )
+    )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type, sketched vs exact."""
+    from . import load
+
+    return hll_distinct(
+        load(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+def _bloom_pos(key: F.Column, seed: int) -> F.Column:
+    return F.pmod(
+        _hex_long(F.concat(F.lit(f"{seed}:"), key.cast("string")), 1, 8),
+        F.lit(BLOOM_BITS),
+    )
+
+
+def bloom_words(build_keys: DataFrame, key_col: str) -> DataFrame:
+    """(word_idx, word) bit-array of the build keys — <= BITS/WORD rows,
+    always broadcastable; the collect-free relational form of a broadcast
+    Bloom variable."""
+    pos = build_keys.select(
+        F.explode(
+            F.array(
+                *[_bloom_pos(F.col(key_col), s) for s in range(BLOOM_K)]
+            )
+        ).alias("pos")
+    )
+    return pos.select(
+        F.shiftright(F.col("pos"), 5).alias("word_idx"),
+        F.expr(f"shiftleft(1L, pmod(pos, {BLOOM_WORD}))").alias("mask"),
+    ).groupBy("word_idx").agg(F.bit_or("mask").alias("word"))
+
+
+def bloom_probe(
+    probe_keys: DataFrame, words: DataFrame, key_col: str
+) -> DataFrame:
+    """Per probe key: does the Bloom filter claim membership? All k
+    positions must be set. The words side is broadcast (bounded by
+    BITS/WORD); a probe key's k rows regroup on the key itself."""
+    probed = probe_keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[_bloom_pos(F.col(key_col), s) for s in range(BLOOM_K)]
+            )
+        ).alias("pos"),
+    ).select(
+        key_col,
+        F.shiftright(F.col("pos"), 5).alias("word_idx"),
+        F.expr(f"shiftleft(1L, pmod(pos, {BLOOM_WORD}))").alias("mask"),
+    )
+    hit = (
+        F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask"))
+        == F.col("mask")
+    )
+    return (
+        probed.join(F.broadcast(words), "word_idx", "left")
+        .withColumn("bit_set", hit)
+        .groupBy(key_col)
+        .agg(F.bool_and("bit_set").alias("bloom_hit"))
+    )
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join pruning with a measured false-positive rate.
+
+    Build side: high-value purchasers (small dim). Probe side: distinct
+    clicking users (the fact side's key column). In production the probe
+    runs inside the fact scan as a pre-shuffle filter — rows whose key the
+    Bloom rejects never enter the join exchange; the reported
+    ``fpr_permille`` is the measured fraction of non-members that survive
+    anyway (wasted shuffle bound). One summary row, all integers.
+    """
+    from . import load
+
+    ev = load(spark, sf_dir, "events")
+    build = (
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") > BLOOM_VALUE_MIN)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    probe = (
+        ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    )
+    words = bloom_words(build, "user_id")
+    hits = bloom_probe(probe, words, "user_id")
+    flagged = hits.join(
+        build.withColumn("is_member", F.lit(True)), "user_id", "left"
+    ).select(
+        "user_id",
+        "bloom_hit",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+    )
+    return flagged.agg(
+        F.count("*").alias("n_probe_users"),
+        F.sum(F.col("is_member").cast("long")).alias("n_members"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+        F.sum(
+            (F.col("bloom_hit") & ~F.col("is_member")).cast("long")
+        ).alias("n_false_pos"),
+        F.sum(
+            (~F.col("bloom_hit") & F.col("is_member")).cast("long")
+        ).alias("n_missed"),
+    ).select(
+        "n_probe_users",
+        "n_members",
+        "n_bloom_hits",
+        "n_false_pos",
+        "n_missed",
+        F.expr(
+            "CASE WHEN n_probe_users > n_members THEN "
+            "div(n_false_pos * 1000, n_probe_users - n_members) "
+            "ELSE 0 END"
+        ).alias("fpr_permille"),
+    )
+
+
+QUERIES = {
+    "hll_distinct": q_hll_distinct,
+    "bloom_semi_join": q_bloom_semi_join,
+}
+
+_HLL_HASH = (
+    "('0x' || substring(md5(user_id::VARCHAR), {s}, {n}))::BIGINT"
+)
+
+ORACLES = {
+    "hll_distinct": f"""
+        WITH h AS (
+            SELECT event_type,
+                   {_HLL_HASH.format(s=1, n=2)} % {HLL_M} AS idx,
+                   {_HLL_HASH.format(s=3, n=8)} AS w
+            FROM events
+        ), r AS (
+            SELECT event_type, idx,
+                   max(CASE WHEN w = 0 THEN {_MAXR}
+                            ELSE {_MAXR} - length(bin(w)) END) AS r
+            FROM h GROUP BY event_type, idx
+        ), g AS (
+            SELECT event_type,
+                   count(*) AS n_registers,
+                   sum(1::BIGINT << ({_MAXR} - r))::BIGINT
+                       + ({HLL_M} - count(*)) * {1 << _MAXR}::BIGINT
+                       AS denom
+            FROM r GROUP BY event_type
+        ), e AS (
+            SELECT event_type, count(DISTINCT user_id) AS n_exact
+            FROM events GROUP BY event_type
+        )
+        SELECT g.event_type, e.n_exact, g.n_registers,
+               {HLL_NUM}::BIGINT // ({HLL_DEN}::BIGINT * denom)
+                   AS hll_estimate,
+               abs({HLL_NUM}::BIGINT // ({HLL_DEN}::BIGINT * denom)
+                   - e.n_exact) * 1000 // e.n_exact AS err_permille
+        FROM g JOIN e USING (event_type)
+    """,
+    "bloom_semi_join": f"""
+        WITH build AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value > {BLOOM_VALUE_MIN}
+        ), probe AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        ), seeds AS (SELECT unnest(range({BLOOM_K})) AS s),
+        bpos AS (
+            SELECT ('0x' || substring(
+                       md5(s::VARCHAR || ':' || user_id::VARCHAR), 1, 8
+                   ))::BIGINT % {BLOOM_BITS} AS pos
+            FROM build, seeds
+        ), words AS (
+            SELECT pos >> 5 AS word_idx,
+                   bit_or(1::BIGINT << (pos % {BLOOM_WORD})) AS word
+            FROM bpos GROUP BY pos >> 5
+        ), ppos AS (
+            SELECT user_id,
+                   ('0x' || substring(
+                       md5(s::VARCHAR || ':' || user_id::VARCHAR), 1, 8
+                   ))::BIGINT % {BLOOM_BITS} AS pos
+            FROM probe, seeds
+        ), checked AS (
+            SELECT user_id,
+                   bool_and(
+                       (coalesce(word, 0) & (1::BIGINT << (pos % {BLOOM_WORD})))
+                       = (1::BIGINT << (pos % {BLOOM_WORD}))
+                   ) AS bloom_hit
+            FROM ppos LEFT JOIN words ON ppos.pos >> 5 = words.word_idx
+            GROUP BY user_id
+        ), flagged AS (
+            SELECT c.user_id, c.bloom_hit,
+                   (b.user_id IS NOT NULL) AS is_member
+            FROM checked c LEFT JOIN build b USING (user_id)
+        )
+        SELECT count(*) AS n_probe_users,
+               sum(is_member::BIGINT)::BIGINT AS n_members,
+               sum(bloom_hit::BIGINT)::BIGINT AS n_bloom_hits,
+               sum((bloom_hit AND NOT is_member)::BIGINT)::BIGINT
+                   AS n_false_pos,
+               sum((NOT bloom_hit AND is_member)::BIGINT)::BIGINT
+                   AS n_missed,
+               (CASE WHEN count(*) > sum(is_member::BIGINT) THEN
+                   sum((bloom_hit AND NOT is_member)::BIGINT) * 1000
+                   // (count(*) - sum(is_member::BIGINT))
+               ELSE 0 END)::BIGINT AS fpr_permille
+        FROM flagged
+    """,
+}

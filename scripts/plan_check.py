@@ -64,6 +64,11 @@ RULES = {
     "pq_codes": ([], [r"SortMergeJoin", r"\bWindow\b", r"ArrowEvalPython"]),
     "pq_adc_recall": ([r"BroadcastHashJoin", r"pmod"], [r"SortMergeJoin", r"ArrowEvalPython"]),
     "ann_ivfpq_recall": ([r"BroadcastHashJoin", r"pmod"], [r"SortMergeJoin", r"ArrowEvalPython"]),
+    # sketches: the HLL register frame is a pure two-level hash aggregate
+    # (no windows, no Python); the Bloom word table (<= 64 rows) must ride
+    # a broadcast join on the probe side
+    "hll_distinct": ([r"HashAggregate"], [r"\bWindow\b", r"ArrowEvalPython", r"SortMergeJoin"]),
+    "bloom_semi_join": ([r"BroadcastHashJoin"], [r"\bWindow\b", r"ArrowEvalPython", r"BroadcastNestedLoopJoin"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the
