@@ -24,6 +24,7 @@ from pdf_extractor_spark.operators import (
     multimodal,
     packing,
     pq,
+    retrieval,
     similarity_search,
     sketches,
     tables_md,
@@ -36,7 +37,7 @@ from pdf_extractor_spark.operators import (
 _MODULES = [
     text_ops, windows, aggregates, dedup, graph, similarity_search,
     text_analysis, multimodal, joins, tables_md, chunking, packing, bpe,
-    web, pq, sketches,
+    web, pq, sketches, retrieval,
 ]
 
 

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "ann_ivfpq_recall",
     "hll_distinct",
     "bloom_semi_join",
+    "bm25_top_k",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     multimodal,
     packing,
     pq,
+    retrieval,
     similarity_search,
     sketches,
     tables_md,

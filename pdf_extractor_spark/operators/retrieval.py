@@ -1,0 +1,149 @@
+"""Full-text retrieval: exact-rational BM25 top-K document ranking.
+
+The search-side consumer of the corpus statistics the curation suite already
+builds (token counts, document frequencies, the capped inverted index): given
+query terms, rank documents by BM25 and return the global top-K.
+
+Engine-exact scoring: classic BM25 needs ln() for idf and float division —
+neither replays bit-for-bit across engines. This operator fixes a RATIONAL
+scoring spec that preserves BM25's shape and is exact in both engines:
+
+- idf_r(t)  = (2N - 2df + 1) / (2df + 1)        (the Robertson idf with the
+  +-0.5 smoothing, log dropped — monotone in df, exact in integers)
+- tf-part   = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),  k1=6/5, b=3/4
+
+Clearing denominators (avgdl = T/N with T = corpus tokens, N = docs):
+
+    term_score = (2N-2df+1) * 44*tf*T * SCALE
+                 // ((2df+1) * (20*tf*T + 6*T + 18*dl*N))
+
+one fixed-point floor division per (doc, term), summed per doc — every
+operand an integer, DECIMAL(38,0) on the Spark side / HUGEINT in DuckDB
+(numerator ~ 1e26 at sf1; overflow margin to 1e38 documented). Production
+at 100 TB would use float BM25 (ranking tolerates it); the rational form is
+what makes the top-K *oracle-checkable*.
+
+Scale shape: tf is one (doc, term) hash-groupBy on the query-filtered
+explode (the filter cuts the corpus to rows containing query terms BEFORE
+any shuffle); df/T/N are term-keyed/1-row broadcasts; dl rides a doc-keyed
+join; the final rank is the salted two-stage top-K (plan-pinned — never a
+single-task global sort).
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .text_analysis import _DUCK_TOKS, _tokens_expr
+
+QUERY_TERMS = ["dup", "query", "window"]  # rare + common: exercises idf
+BM25_TOP_K = 10
+BM25_SCALE = 10**12
+BM25_SALT = 16
+
+_D38 = "DECIMAL(38,0)"
+
+
+def bm25_top_k(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """Global top-k (rk, doc_id, score, n_terms) by rational BM25."""
+    toks = docs.select("doc_id", _tokens_expr().alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    corpus = dl.agg(
+        F.sum("dl").alias("t_tokens"), F.count("*").alias("n_docs")
+    )
+    hits = toks.select(
+        "doc_id", F.explode("toks").alias("term")
+    ).where(F.col("term").isin(terms))
+    tf = hits.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    score = F.expr(
+        f"div(CAST(2*n_docs - 2*df + 1 AS {_D38})"
+        f"    * CAST(44 * tf AS {_D38})"
+        f"    * CAST(t_tokens AS {_D38})"
+        f"    * CAST({BM25_SCALE} AS {_D38}),"
+        f"  CAST(2*df + 1 AS {_D38})"
+        f"    * (CAST(20 * tf AS {_D38}) * CAST(t_tokens AS {_D38})"
+        f"       + CAST(6 AS {_D38}) * CAST(t_tokens AS {_D38})"
+        f"       + CAST(18 * dl AS {_D38}) * CAST(n_docs AS {_D38})))"
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("term_score", score)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("term_score").alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+    order = (F.desc("score"), F.asc("doc_id"))
+    w_salt = Window.partitionBy("salt").orderBy(*order)
+    survivors = (
+        scored.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(BM25_SALT))
+        )
+        .withColumn("rk", F.row_number().over(w_salt))
+        .where(F.col("rk") <= k)
+        .drop("rk", "salt")
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(F.col("rk").cast("long").alias("rk"), "doc_id", "score",
+                "n_terms")
+    )
+
+
+def q_bm25_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load
+
+    return bm25_top_k(load(spark, sf_dir, "documents"), QUERY_TERMS)
+
+
+QUERIES = {"bm25_top_k": q_bm25_top_k}
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+ORACLES = {
+    "bm25_top_k": f"""
+        WITH toks AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ), dl AS (
+            SELECT doc_id, len(toks) AS dl FROM toks
+        ), corpus AS (
+            SELECT sum(dl)::BIGINT AS t_tokens, count(*) AS n_docs FROM dl
+        ), hits AS (
+            SELECT doc_id, unnest(toks) AS term FROM toks
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM hits
+            WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id, term
+        ), dft AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), scored AS (
+            SELECT doc_id,
+                   sum(
+                     ((2*n_docs - 2*df + 1)::HUGEINT
+                      * (44 * tf)::HUGEINT * t_tokens::HUGEINT
+                      * {BM25_SCALE}::HUGEINT)
+                     // ((2*df + 1)::HUGEINT
+                         * ((20 * tf)::HUGEINT * t_tokens::HUGEINT
+                            + 6::HUGEINT * t_tokens::HUGEINT
+                            + (18 * dl)::HUGEINT * n_docs::HUGEINT))
+                   )::BIGINT AS score,
+                   count(*) AS n_terms
+            FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), corpus
+            GROUP BY doc_id
+        )
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk,
+               doc_id, score, n_terms
+        FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT {BM25_TOP_K}
+    """,
+}

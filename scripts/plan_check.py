@@ -75,7 +75,7 @@ RULES = {
 # salted partial rank + the small final rank) and a pmod salt in the plan —
 # one Window would be a single/few-task global sort at 100 TB.
 TWO_STAGE_RANK = ["vocab_top_ngrams", "inverted_index", "stratified_sample",
-                  "cluster_top_terms"]
+                  "cluster_top_terms", "bm25_top_k"]
 
 
 def plan_of(df) -> str:
