@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "hll_distinct",
     "bloom_semi_join",
     "bm25_top_k",
+    "pagerank",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -248,3 +248,143 @@ ORACLES["dedup_retention"] = f"""
         FROM documents d
         LEFT JOIN ({ORACLES["dedup_components"]}) t USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# PageRank — the second iterative graph operator (beside the dedup
+# components): link-authority scoring of the kind a web-scale corpus uses
+# for provenance weighting (seed-quality propagation over the crawl graph).
+#
+# Exact fixed-point spec so the DuckDB oracle replays every iteration
+# bit-for-bit (floats would drift across engines in accumulation order):
+# ranks carry integer mass at PR_SCALE; with d(u) = out-degree,
+#
+#   r_0(v)     = PR_SCALE div n
+#   contrib(u) = r_t(u) div d(u)
+#   r_{t+1}(v) = (15 * (PR_SCALE div n)) div 100
+#                + (85 * sum_{u->v} contrib(u)) div 100
+#
+# (damping 0.85 as the exact rational 85/100; floor-division mass loss is
+# part of the spec, bounded by 1 unit per term at scale 1e12). Production
+# would run float ranks with a convergence test; the integer form is what
+# makes an iterative distributed computation oracle-checkable.
+#
+# The driver corpus has no link column, so a deterministic circulant-style
+# graph is synthesized from doc_id arithmetic (the web.py / multimodal.py
+# fixture pattern): node u links to (u+1) % n, plus (u+7) % n when
+# u % 3 >= 1, plus (u+42) % n when u % 3 = 2 — varying out- AND in-degrees
+# so the stationary distribution is genuinely non-uniform.
+#
+# Scale shape: each iteration is one src-keyed equi-join (ranks are
+# joined to edges on src — both sides hash-partitioned), one dst-keyed
+# sum with map-side partial aggregation, and a node-keyed left join; the
+# rank frame is localCheckpoint-ed eagerly per round so lineage stays
+# O(1) (the connected_components discipline). Per-round shuffle is
+# O(|E|); no windows, no Python, no driver-side collect of rank state.
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 10**12
+PR_ITERS = 5
+
+
+def _link_edges(docs_n: DataFrame) -> DataFrame:
+    """Deterministic synthetic link graph: (src, dst, outdeg)."""
+    base = docs_n.select(
+        F.col("doc_id").alias("src"),
+        (F.lit(1) + F.col("doc_id") % 3).cast("long").alias("outdeg"),
+        F.col("n"),
+    )
+    e1 = base.select(
+        "src", ((F.col("src") + 1) % F.col("n")).alias("dst"), "outdeg"
+    )
+    e2 = base.where(F.col("src") % 3 >= 1).select(
+        "src", ((F.col("src") + 7) % F.col("n")).alias("dst"), "outdeg"
+    )
+    e3 = base.where(F.col("src") % 3 == 2).select(
+        "src", ((F.col("src") + 42) % F.col("n")).alias("dst"), "outdeg"
+    )
+    return e1.union(e2).union(e3)
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame,
+             iters: int = PR_ITERS) -> DataFrame:
+    """(node, pr) after ``iters`` exact fixed-point iterations. ``nodes``
+    must carry (doc_id, n); ``edges`` (src, dst, outdeg)."""
+    edges = edges.localCheckpoint(eager=True)
+    ranks = nodes.select(
+        F.col("doc_id").alias("node"),
+        F.expr(f"div({PR_SCALE}, n)").alias("r"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.expr("div(r, outdeg)")).alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.doc_id == contribs.dst, "left")
+            .select(
+                F.col("doc_id").alias("node"),
+                F.expr(
+                    f"div(15 * div({PR_SCALE}, n), 100)"
+                    " + div(85 * coalesce(s, 0L), 100)"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("pr"))
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n_row = docs.agg(F.count("*").alias("n"))
+    docs_n = docs.crossJoin(F.broadcast(n_row))
+    return pagerank(docs_n, _link_edges(docs_n)).select(
+        F.col("node").alias("doc_id"), "pr"
+    )
+
+
+QUERIES["pagerank"] = q_pagerank
+
+
+def _pr_oracle() -> str:
+    """Replay every iteration as a CTE chain (the kmeans_fit pattern)."""
+    stages = [f"""
+        nn AS (SELECT count(*) AS n FROM documents),
+        edges AS (
+            SELECT doc_id AS src, (doc_id + 1) % n AS dst,
+                   1 + doc_id % 3 AS outdeg
+            FROM documents CROSS JOIN nn
+            UNION ALL
+            SELECT doc_id, (doc_id + 7) % n, 1 + doc_id % 3
+            FROM documents CROSS JOIN nn WHERE doc_id % 3 >= 1
+            UNION ALL
+            SELECT doc_id, (doc_id + 42) % n, 1 + doc_id % 3
+            FROM documents CROSS JOIN nn WHERE doc_id % 3 = 2
+        ),
+        r0 AS (
+            SELECT doc_id AS node, {PR_SCALE} // n AS r
+            FROM documents CROSS JOIN nn
+        )"""]
+    for i in range(PR_ITERS):
+        stages.append(f"""
+        r{i + 1} AS (
+            SELECT d.doc_id AS node,
+                   (15 * ({PR_SCALE} // n)) // 100
+                   + (85 * coalesce(t.s, 0)) // 100 AS r
+            FROM documents d CROSS JOIN nn
+            LEFT JOIN (
+                SELECT dst, sum(r // outdeg)::BIGINT AS s
+                FROM edges JOIN r{i} ON edges.src = r{i}.node
+                GROUP BY dst
+            ) t ON d.doc_id = t.dst
+        )""")
+    return (
+        "WITH " + ",".join(stages)
+        + f" SELECT node AS doc_id, r AS pr FROM r{PR_ITERS}"
+    )
+
+
+ORACLES["pagerank"] = _pr_oracle()

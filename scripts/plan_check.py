@@ -68,6 +68,9 @@ RULES = {
     # (no windows, no Python); the Bloom word table (<= 64 rows) must ride
     # a broadcast join on the probe side
     "hll_distinct": ([r"HashAggregate"], [r"\bWindow\b", r"ArrowEvalPython", r"SortMergeJoin"]),
+    # pagerank: every iteration is equi-keyed joins + hash aggregation;
+    # a window or NLJ in the plan means the rank update lost its keys
+    "pagerank": ([], [r"\bWindow\b", r"ArrowEvalPython", r"BroadcastNestedLoopJoin"]),
     "bloom_semi_join": ([r"BroadcastHashJoin"], [r"\bWindow\b", r"ArrowEvalPython", r"BroadcastNestedLoopJoin"]),
 }
 
