@@ -18,6 +18,7 @@ from pdf_extractor_spark.operators import (
     aggregates,
     bpe,
     chunking,
+    classifier,
     dedup,
     graph,
     joins,
@@ -37,7 +38,7 @@ from pdf_extractor_spark.operators import (
 _MODULES = [
     text_ops, windows, aggregates, dedup, graph, similarity_search,
     text_analysis, multimodal, joins, tables_md, chunking, packing, bpe,
-    web, pq, sketches, retrieval,
+    web, pq, sketches, retrieval, classifier,
 ]
 
 

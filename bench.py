@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "bm25_top_k",
     "pagerank",
     "image_ahash_dedup",
+    "logreg_quality",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     aggregates,
     bpe,
     chunking,
+    classifier,
     dedup,
     graph,
     joins,

@@ -71,6 +71,10 @@ RULES = {
     # pagerank: every iteration is equi-keyed joins + hash aggregation;
     # a window or NLJ in the plan means the rank update lost its keys
     "pagerank": ([], [r"\bWindow\b", r"ArrowEvalPython", r"BroadcastNestedLoopJoin"]),
+    # logreg: the 65-row weight frame must broadcast onto the features;
+    # the gradient/logit path is pure keyed aggregation. (The intentional
+    # 1-row metrics crossJoin IS a broadcast NLJ, so no NLJ ban here.)
+    "logreg_quality": ([r"BroadcastHashJoin"], [r"\bWindow\b", r"ArrowEvalPython"]),
     "bloom_semi_join": ([r"BroadcastHashJoin"], [r"\bWindow\b", r"ArrowEvalPython", r"BroadcastNestedLoopJoin"]),
 }
 
