@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "pagerank",
     "image_ahash_dedup",
     "logreg_quality",
+    "asof_join_events",
+    "rollup_two_level",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

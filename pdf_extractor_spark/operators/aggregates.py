@@ -295,3 +295,81 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
 }
+
+
+def q_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: DAILY stats computed FROM
+    HOURLY PARTIALS, never from raw rows — the TimescaleDB/Druid rollup
+    pattern. At 100 TB the hourly partial table is the only thing the
+    daily (and weekly, monthly) jobs read: ~3-4 orders of magnitude fewer
+    rows than the raw stream, and one partial table serves every coarser
+    resolution.
+
+    Correctness burden is that the per-bucket state MERGES: counts and
+    cent-sums add, min/max fold, hours-active is the partial-row count.
+    The oracle aggregates the raw events STRAIGHT to daily (hours-active
+    via a distinct count) — a different aggregation path that must land on
+    identical rows, which is exactly the mergeability claim.
+
+    Money doubles ride the exact cents idiom (2-decimal source values,
+    round(x*100) is lossless; see q_pricing_summary). Day/hour buckets are
+    integer epoch divisions — timezone-free. Per-event cents peak ~49k so
+    bigint day-sums hold to ~10^14 events/day; decimal(38,0) is the
+    documented widening past that."""
+    from . import load
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ep",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', cast(ts as timestamp_ntz))"
+        ),
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("div(ep, 3600000000)").alias("hour_b"),
+            cents.alias("c"),
+        )
+        .groupBy("event_type", "hour_b")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("s"),
+            F.min("c").alias("mn"),
+            F.max("c").alias("mx"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            "event_type", F.expr("div(hour_b, 24)").alias("day_b")
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").alias("sum_cents"),
+            F.min("mn").alias("min_cents"),
+            F.max("mx").alias("max_cents"),
+            F.count("*").alias("n_hours_active"),
+        )
+        .select(
+            "event_type", "day_b", "n_events", "sum_cents",
+            "min_cents", "max_cents", "n_hours_active",
+        )
+    )
+
+
+QUERIES["rollup_two_level"] = q_rollup_two_level
+
+# Direct raw->daily aggregation: the independent path the partial-merge
+# must match.
+ORACLES["rollup_two_level"] = """
+    SELECT event_type,
+           epoch_us(ts) // 3600000000 // 24 AS day_b,
+           count(*) AS n_events,
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
+           min(round(value * 100)::BIGINT) AS min_cents,
+           max(round(value * 100)::BIGINT) AS max_cents,
+           count(DISTINCT epoch_us(ts) // 3600000000) AS n_hours_active
+    FROM events
+    GROUP BY 1, 2
+"""

@@ -383,3 +383,77 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "funnel_conversion": q_funnel_conversion,
 }
+
+
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table AS-OF JOIN: for each ``error`` event, the same user's most
+    recent ``purchase`` value at-or-before it, plus the microsecond gap.
+
+    Spark has no asof operator; the scale-correct construction is a tagged
+    UNION + one per-key ordered window pass (``last(..., ignorenulls)``
+    over rows-unbounded-preceding): build rows sort before probe rows at
+    equal timestamps (inclusive semantics), each probe row picks up the
+    running last build value — O(per-user events) per task, one shuffle,
+    no per-row backward search and no range join. Ties among build rows at
+    one instant are pre-reduced (max value per (user, ts)) so the result
+    is deterministic.
+
+    The oracle is DuckDB's NATIVE ``ASOF LEFT JOIN`` — an independent
+    implementation of the operator, not a replay of this plan: two
+    different algorithms must produce identical rows."""
+    ev = _events(spark, sf_dir)
+    probe = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ep",
+        F.lit(1).alias("is_probe"),
+        F.lit(None).cast("double").alias("pval"),
+    )
+    build = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ep")
+        .agg(F.max("value").alias("pval"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id", "ep", F.lit(0).alias("is_probe"), "pval",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lastv = F.last("pval", ignorenulls=True).over(w)
+    last_ep = F.last(
+        F.when(F.col("is_probe") == 0, F.col("ep")), ignorenulls=True
+    ).over(w)
+    return (
+        probe.unionByName(build)
+        .select(
+            "event_id", "user_id", "is_probe", "ep",
+            lastv.alias("lv"), last_ep.alias("le"),
+        )
+        .where(F.col("is_probe") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("lv", F.lit(-1.0)).alias("prev_purchase_val"),
+            F.coalesce(F.col("ep") - F.col("le"), F.lit(-1)).alias("gap_us"),
+        )
+    )
+
+
+QUERIES["asof_join_events"] = q_asof_join_events
+
+ORACLES["asof_join_events"] = """
+    WITH probe AS (
+        SELECT event_id, user_id, epoch_us(ts) AS e
+        FROM events WHERE event_type = 'error'
+    ), build AS (
+        SELECT user_id, epoch_us(ts) AS e, max(value) AS pval
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT p.event_id, p.user_id,
+           coalesce(b.pval, -1.0) AS prev_purchase_val,
+           coalesce(p.e - b.e, -1) AS gap_us
+    FROM probe p ASOF LEFT JOIN build b
+      ON p.user_id = b.user_id AND p.e >= b.e
+"""

@@ -71,6 +71,11 @@ RULES = {
     # pagerank: every iteration is equi-keyed joins + hash aggregation;
     # a window or NLJ in the plan means the rank update lost its keys
     "pagerank": ([], [r"\bWindow\b", r"ArrowEvalPython", r"BroadcastNestedLoopJoin"]),
+    # asof: one tagged union + one per-key window pass — a second Window
+    # or any join means the construction degraded to a range search
+    "asof_join_events": ([r"\bWindow\b"], [r"Join", r"ArrowEvalPython"]),
+    # rollup: two pure hash aggregations (partial -> merge), nothing else
+    "rollup_two_level": ([r"HashAggregate"], [r"\bWindow\b", r"Join", r"ArrowEvalPython"]),
     # logreg: the 65-row weight frame must broadcast onto the features;
     # the gradient/logit path is pure keyed aggregation. (The intentional
     # 1-row metrics crossJoin IS a broadcast NLJ, so no NLJ ban here.)
