@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "logreg_quality",
     "asof_join_events",
     "rollup_two_level",
+    "cm_sketch_words",
+    "hll_merge",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -303,3 +303,209 @@ ORACLES = {
         FROM flagged
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: frequency estimation in sublinear state — the third
+# sketch beside HLL (cardinality) and Bloom (membership). d hash rows of w
+# counters; a key's estimate is the MIN over its d counters, so collisions
+# only ever OVER-estimate. The honest metric here is that overestimate,
+# measured per key against the exact count.
+# ---------------------------------------------------------------------------
+CM_D = 3   # hash rows
+CM_W = 16  # counters per row — deliberately tight so collisions happen
+           # at test scale and the min-of-rows mechanism has real work
+
+
+def _cm_pos(key: F.Column, row: int) -> F.Column:
+    return F.pmod(
+        _hex_long(F.concat(F.lit(f"cm{row}:"), key.cast("string")), 1, 8),
+        F.lit(CM_W),
+    )
+
+
+def cm_counters(items: DataFrame, key_col: str) -> DataFrame:
+    """(row, pos, cnt): the d x w counter matrix as rows — built by ONE
+    explode + hash-groupBy with map-side combine; the matrix is bounded by
+    d*w regardless of input size, so it always broadcasts back."""
+    return (
+        items.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("row"),
+                            _cm_pos(F.col(key_col), r).alias("pos"),
+                        )
+                        for r in range(CM_D)
+                    ]
+                )
+            ).alias("rp")
+        )
+        .select("rp.row", "rp.pos")
+        .groupBy("row", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_cm_sketch_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-frequency estimates from a 3x16 count-min sketch vs exact
+    counts: per distinct word, the true count, the CM estimate (provably
+    >= true), and the integer-permille overestimate.
+
+    Scale shape: sketch build is one map-side-combined groupBy onto d*w
+    cells (constant state — the reason to sketch at 100 TB instead of
+    counting 10^9 distinct grams); the probe joins each key's d cells
+    against the broadcast counter matrix and takes the min."""
+    from . import load
+
+    words = load(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).alias("w")
+    )
+    counters = cm_counters(words, "w")
+    exact = words.groupBy("w").agg(F.count("*").alias("true_cnt"))
+    probes = exact.select(
+        "w",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cm_pos(F.col("w"), r).alias("pos"),
+                    )
+                    for r in range(CM_D)
+                ]
+            )
+        ).alias("rp"),
+    ).select("w", "true_cnt", "rp.row", "rp.pos")
+    est = (
+        probes.join(F.broadcast(counters), ["row", "pos"])
+        .groupBy("w", "true_cnt")
+        .agg(F.min("cnt").alias("cm_cnt"))
+    )
+    return est.select(
+        "w",
+        "true_cnt",
+        "cm_cnt",
+        F.expr(
+            "div((cm_cnt - true_cnt) * 1000, true_cnt)"
+        ).alias("over_permille"),
+    )
+
+
+def hll_merge(per_group: DataFrame, group_col: str, key_col: str):
+    """Not an operator by itself — see q_hll_merge: merging HLL sketches
+    is max() over aligned registers, which is why the register frame (not
+    the estimate) is the thing a 100 TB pipeline persists per partition/
+    day: any union of groups collapses to one more tiny max-aggregate."""
+    raise NotImplementedError("merge happens in-plan; see q_hll_merge")
+
+
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL MERGEABILITY property, measured: per-event-type register
+    frames are merged (max per register index) into one global sketch,
+    whose estimate is compared against the exact global distinct count.
+    Identical to sketching the union directly — the algebraic fact that
+    makes HLL the standard per-partition/per-day persisted artifact."""
+    from . import load
+
+    ev = load(spark, sf_dir, "events")
+    h = F.col("user_id").cast("string")
+    hashed = ev.select(
+        F.col("event_type"),
+        F.pmod(_hex_long(h, 1, 2), F.lit(HLL_M)).alias("idx"),
+        _hex_long(h, 3, 8).alias("w"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(_MAXR)).otherwise(
+            F.lit(_MAXR) - F.length(F.bin(F.col("w")))
+        ),
+    )
+    per_type = hashed.groupBy("event_type", "idx").agg(
+        F.max("rho").alias("r")
+    )
+    merged = per_type.groupBy("idx").agg(F.max("r").alias("r"))
+    g = merged.agg(
+        F.count("*").alias("n_registers"),
+        F.sum(F.expr(f"shiftleft(1L, {_MAXR} - r)")).alias("denom_present"),
+    )
+    denom = F.col("denom_present") + (
+        (F.lit(HLL_M) - F.col("n_registers"))
+        * F.lit(1 << _MAXR).cast("long")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        g.withColumn("__denom", denom)
+        .withColumn(
+            "hll_estimate", F.expr(f"div({HLL_NUM}, {HLL_DEN} * __denom)")
+        )
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_exact",
+            "n_registers",
+            "hll_estimate",
+            F.expr(
+                "div(abs(hll_estimate - n_exact) * 1000, n_exact)"
+            ).alias("err_permille"),
+        )
+    )
+
+
+QUERIES["cm_sketch_words"] = q_cm_sketch_words
+QUERIES["hll_merge"] = q_hll_merge
+
+ORACLES["cm_sketch_words"] = f"""
+    WITH words AS (
+        SELECT unnest(list_filter(
+                   regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+        FROM documents
+    ), rows_ AS (SELECT unnest(range({CM_D})) AS row),
+    cells AS (
+        SELECT row,
+               ('0x' || substring(md5('cm' || row::VARCHAR || ':' || w),
+                                  1, 8))::BIGINT % {CM_W} AS pos
+        FROM words, rows_
+    ), counters AS (
+        SELECT row, pos, count(*) AS cnt FROM cells GROUP BY row, pos
+    ), exact AS (
+        SELECT w, count(*) AS true_cnt FROM words GROUP BY w
+    ), probes AS (
+        SELECT w, true_cnt, row,
+               ('0x' || substring(md5('cm' || row::VARCHAR || ':' || w),
+                                  1, 8))::BIGINT % {CM_W} AS pos
+        FROM exact, rows_
+    )
+    SELECT w, true_cnt, min(cnt) AS cm_cnt,
+           (min(cnt) - true_cnt) * 1000 // true_cnt AS over_permille
+    FROM probes JOIN counters USING (row, pos)
+    GROUP BY w, true_cnt
+"""
+
+ORACLES["hll_merge"] = f"""
+    WITH h AS (
+        SELECT event_type,
+               {_HLL_HASH.format(s=1, n=2)} % {HLL_M} AS idx,
+               {_HLL_HASH.format(s=3, n=8)} AS w
+        FROM events
+    ), per_type AS (
+        SELECT event_type, idx,
+               max(CASE WHEN w = 0 THEN {_MAXR}
+                        ELSE {_MAXR} - length(bin(w)) END) AS r
+        FROM h GROUP BY event_type, idx
+    ), merged AS (
+        SELECT idx, max(r) AS r FROM per_type GROUP BY idx
+    ), g AS (
+        SELECT count(*) AS n_registers,
+               sum(1::BIGINT << ({_MAXR} - r))::BIGINT
+                   + ({HLL_M} - count(*)) * {1 << _MAXR}::BIGINT AS denom
+        FROM merged
+    ), e AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+    SELECT e.n_exact, g.n_registers,
+           {HLL_NUM}::BIGINT // ({HLL_DEN}::BIGINT * denom) AS hll_estimate,
+           abs({HLL_NUM}::BIGINT // ({HLL_DEN}::BIGINT * denom) - e.n_exact)
+               * 1000 // e.n_exact AS err_permille
+    FROM g, e
+"""

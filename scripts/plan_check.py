@@ -81,6 +81,9 @@ RULES = {
     # 1-row metrics crossJoin IS a broadcast NLJ, so no NLJ ban here.)
     "logreg_quality": ([r"BroadcastHashJoin"], [r"\bWindow\b", r"ArrowEvalPython"]),
     "bloom_semi_join": ([r"BroadcastHashJoin"], [r"\bWindow\b", r"ArrowEvalPython", r"BroadcastNestedLoopJoin"]),
+    # count-min: the d*w counter matrix is constant-size -> broadcast probe
+    "cm_sketch_words": ([r"BroadcastHashJoin"], [r"\bWindow\b", r"ArrowEvalPython", r"SortMergeJoin"]),
+    "hll_merge": ([r"HashAggregate"], [r"\bWindow\b", r"ArrowEvalPython", r"SortMergeJoin"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the
