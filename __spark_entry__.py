@@ -33,12 +33,13 @@ from pdf_extractor_spark.operators import (
     text_ops,
     web,
     windows,
+    zorder,
 )
 
 _MODULES = [
     text_ops, windows, aggregates, dedup, graph, similarity_search,
     text_analysis, multimodal, joins, tables_md, chunking, packing, bpe,
-    web, pq, sketches, retrieval, classifier,
+    web, pq, sketches, retrieval, classifier, zorder,
 ]
 
 

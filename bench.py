@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "rollup_two_level",
     "cm_sketch_words",
     "hll_merge",
+    "zorder_skipping",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

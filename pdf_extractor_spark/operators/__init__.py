@@ -27,6 +27,7 @@ from . import (  # noqa: F401
     text_ops,
     web,
     windows,
+    zorder,
 )
 
 

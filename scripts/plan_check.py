@@ -84,6 +84,9 @@ RULES = {
     # count-min: the d*w counter matrix is constant-size -> broadcast probe
     "cm_sketch_words": ([r"BroadcastHashJoin"], [r"\bWindow\b", r"ArrowEvalPython", r"SortMergeJoin"]),
     "hll_merge": ([r"HashAggregate"], [r"\bWindow\b", r"ArrowEvalPython", r"SortMergeJoin"]),
+    # zorder: pure map (the Morton code) + per-file hash aggregates; the
+    # verdicts combine via bounded broadcast cross joins
+    "zorder_skipping": ([r"HashAggregate"], [r"\bWindow\b", r"ArrowEvalPython", r"SortMergeJoin"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the
