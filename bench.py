@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "cm_sketch_words",
     "hll_merge",
     "zorder_skipping",
+    "triangle_count",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -388,3 +388,117 @@ def _pr_oracle() -> str:
 
 
 ORACLES["pagerank"] = _pr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — the classic distributed graph-analytics kernel
+# (clustering-coefficient / community-structure primitive). Scale technique:
+# DEGREE ORIENTATION (Suri & Vassilvitskii, WWW'11, public literature):
+# orient every undirected edge from its (degree, id)-smaller endpoint to the
+# larger one; every triangle then has exactly ONE wedge vertex (both edges
+# outgoing), and max oriented out-degree is O(sqrt(|E|)) — the wedge join's
+# fan-out is bounded no matter how skewed the raw degree distribution is.
+# The oracle counts the same triangles by a canonical a<b<c triple join —
+# a different formulation that must agree exactly.
+# ---------------------------------------------------------------------------
+
+
+def _tri_edges(docs_n: DataFrame) -> DataFrame:
+    """Triangle fixture: short strides (1, 2, 3) with the same per-node
+    degree variation as _link_edges. The pagerank strides (1, 7, 42) close
+    no 3-cycles mod 500 (no signed combination sums to 0), so this op gets
+    its own graph where u/u+1/u+2 and u/u+2/u+3 triangles provably exist."""
+    base = docs_n.select(F.col("doc_id").alias("src"), F.col("n"))
+    e1 = base.select("src", ((F.col("src") + 1) % F.col("n")).alias("dst"))
+    e2 = base.where(F.col("src") % 3 >= 1).select(
+        "src", ((F.col("src") + 2) % F.col("n")).alias("dst")
+    )
+    e3 = base.where(F.col("src") % 3 == 2).select(
+        "src", ((F.col("src") + 3) % F.col("n")).alias("dst")
+    )
+    return e1.union(e2).union(e3)
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_nodes, n_edges, n_triangles) over the undirected form
+    of the synthesized short-stride link graph."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n_row = docs.agg(F.count("*").alias("n"))
+    docs_n = docs.crossJoin(F.broadcast(n_row))
+    raw = _tri_edges(docs_n).select("src", "dst")
+    # canonical undirected edges (dedup both directions, drop self-loops)
+    canon = (
+        raw.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .union(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient small -> large by (degree, id)
+    with_deg = (
+        canon.join(deg.withColumnRenamed("v", "a"), "a")
+        .withColumnRenamed("d", "da")
+        .join(
+            deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"),
+            "b",
+        )
+    )
+    lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint(eager=True)
+    # wedges at the (degree,id)-smallest vertex; closure against the
+    # canonical edge set
+    o2 = oriented.select(F.col("u"), F.col("v").alias("w"))
+    wedges = oriented.join(o2, "u").where(F.col("v") < F.col("w"))
+    tri = wedges.join(
+        canon,
+        (F.col("v") == F.col("a")) & (F.col("w") == F.col("b")),
+    )
+    return (
+        docs.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(F.broadcast(canon.agg(F.count("*").alias("n_edges"))))
+        .crossJoin(
+            F.broadcast(tri.agg(F.count("*").alias("n_triangles")))
+        )
+    )
+
+
+QUERIES["triangle_count"] = q_triangle_count
+
+ORACLES["triangle_count"] = f"""
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    raw AS (
+        SELECT doc_id AS src, (doc_id + 1) % n AS dst
+        FROM documents CROSS JOIN nn
+        UNION ALL
+        SELECT doc_id, (doc_id + 2) % n
+        FROM documents CROSS JOIN nn WHERE doc_id % 3 >= 1
+        UNION ALL
+        SELECT doc_id, (doc_id + 3) % n
+        FROM documents CROSS JOIN nn WHERE doc_id % 3 = 2
+    ),
+    canon AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw WHERE src <> dst
+    )
+    SELECT (SELECT count(*) FROM documents) AS n_nodes,
+           (SELECT count(*) FROM canon) AS n_edges,
+           (SELECT count(*)
+            FROM canon e1
+            JOIN canon e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN canon e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles
+"""

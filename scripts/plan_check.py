@@ -87,6 +87,8 @@ RULES = {
     # zorder: pure map (the Morton code) + per-file hash aggregates; the
     # verdicts combine via bounded broadcast cross joins
     "zorder_skipping": ([r"HashAggregate"], [r"\bWindow\b", r"ArrowEvalPython", r"SortMergeJoin"]),
+    # triangles: degree-oriented wedge join — equi-keyed throughout
+    "triangle_count": ([], [r"\bWindow\b", r"ArrowEvalPython"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the

@@ -53,3 +53,33 @@ def test_rank_properties(spark):
     # varying degrees -> genuinely non-uniform stationary mass
     assert len({r.pr for r in out}) > n // 10
     assert min(r.pr for r in out) > 0
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from itertools import combinations
+
+    out = graph.q_triangle_count(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    n = out.n_nodes
+    edges = set()
+    for u in range(n):
+        edges.add((min(u, (u + 1) % n), max(u, (u + 1) % n)))
+        if u % 3 >= 1:
+            edges.add((min(u, (u + 2) % n), max(u, (u + 2) % n)))
+        if u % 3 == 2:
+            edges.add((min(u, (u + 3) % n), max(u, (u + 3) % n)))
+    edges = {(a, b) for a, b in edges if a != b}
+    assert out.n_edges == len(edges)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1
+        for a in adj
+        for b, c in combinations(sorted(x for x in adj[a] if x > a), 2)
+        if c in adj.get(b, ())
+    )
+    assert out.n_triangles == tri
+    assert tri > 0  # the +1/+7/+42 circulant closes real triangles
