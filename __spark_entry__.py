@@ -26,6 +26,7 @@ from pdf_extractor_spark.operators import (
     packing,
     pq,
     retrieval,
+    setjoin,
     similarity_search,
     sketches,
     tables_md,
@@ -39,7 +40,7 @@ from pdf_extractor_spark.operators import (
 _MODULES = [
     text_ops, windows, aggregates, dedup, graph, similarity_search,
     text_analysis, multimodal, joins, tables_md, chunking, packing, bpe,
-    web, pq, sketches, retrieval, classifier, zorder,
+    web, pq, sketches, retrieval, classifier, zorder, setjoin,
 ]
 
 

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "hll_merge",
     "zorder_skipping",
     "triangle_count",
+    "ppjoin_similar",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

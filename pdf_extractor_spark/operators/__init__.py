@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     packing,
     pq,
     retrieval,
+    setjoin,
     similarity_search,
     sketches,
     tables_md,

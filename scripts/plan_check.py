@@ -89,6 +89,9 @@ RULES = {
     "zorder_skipping": ([r"HashAggregate"], [r"\bWindow\b", r"ArrowEvalPython", r"SortMergeJoin"]),
     # triangles: degree-oriented wedge join — equi-keyed throughout
     "triangle_count": ([], [r"\bWindow\b", r"ArrowEvalPython"]),
+    # ppjoin: candidate join is keyed on PREFIX tokens; the only window is
+    # the doc-keyed prefix rank (bounded by doc length) — never an NLJ
+    "ppjoin_similar": ([r"\bWindow\b"], [r"ArrowEvalPython", r"BroadcastNestedLoopJoin"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the
