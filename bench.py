@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "zorder_skipping",
     "triangle_count",
     "ppjoin_similar",
+    "rollup_incremental",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

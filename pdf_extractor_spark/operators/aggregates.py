@@ -297,6 +297,37 @@ QUERIES = {
 }
 
 
+
+
+def _with_ep(ev: DataFrame) -> DataFrame:
+    return ev.withColumn(
+        "ep",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', cast(ts as timestamp_ntz))"
+        ),
+    )
+
+
+def _hourly_partials(ev: DataFrame) -> DataFrame:
+    """The mergeable hourly state: (event_type, hour_b) -> n/s/mn/mx."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select(
+            "event_type",
+            F.expr("div(ep, 3600000000)").alias("hour_b"),
+            cents.alias("c"),
+        )
+        .groupBy("event_type", "hour_b")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("s"),
+            F.min("c").alias("mn"),
+            F.max("c").alias("mx"),
+        )
+    )
+
+
 def q_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: DAILY stats computed FROM
     HOURLY PARTIALS, never from raw rows — the TimescaleDB/Druid rollup
@@ -318,30 +349,9 @@ def q_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented widening past that."""
     from . import load
 
-    ev = load(spark, sf_dir, "events").withColumn(
-        "ep",
-        F.expr(
-            "timestampdiff(MICROSECOND, "
-            "TIMESTAMP_NTZ '1970-01-01 00:00:00', cast(ts as timestamp_ntz))"
-        ),
-    )
-    cents = F.round(F.col("value") * 100).cast("long")
-    hourly = (
-        ev.select(
-            "event_type",
-            F.expr("div(ep, 3600000000)").alias("hour_b"),
-            cents.alias("c"),
-        )
-        .groupBy("event_type", "hour_b")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("c").alias("s"),
-            F.min("c").alias("mn"),
-            F.max("c").alias("mx"),
-        )
-    )
+    ev = _with_ep(load(spark, sf_dir, "events"))
     return (
-        hourly.groupBy(
+        _hourly_partials(ev).groupBy(
             "event_type", F.expr("div(hour_b, 24)").alias("day_b")
         )
         .agg(
@@ -373,3 +383,78 @@ ORACLES["rollup_two_level"] = """
     FROM events
     GROUP BY 1, 2
 """
+
+
+ROLLUP_BATCH_MOD = 10  # event_id % MOD >= SPLIT -> the "new batch"
+ROLLUP_BATCH_SPLIT = 7
+
+
+def merge_partials(stored: DataFrame, batch: DataFrame) -> DataFrame:
+    """MERGE-upsert of a new batch's hourly partials into the stored
+    partial table: counts and sums add, min/max fold — touching only the
+    (event_type, hour_b) cells the batch actually hits. This is the
+    maintenance half of the continuous aggregate: the daily job reads
+    partials (q_rollup_two_level); THIS is how those partials absorb a
+    late-arriving batch without recomputing history (in production: a
+    MERGE INTO keyed on the cell id; here the full-outer join IS that
+    merge, and the oracle's full recompute proves it equivalent)."""
+    s = stored.select(
+        "event_type", "hour_b",
+        F.col("n").alias("sn"), F.col("s").alias("ss"),
+        F.col("mn").alias("smn"), F.col("mx").alias("smx"),
+    )
+    b = batch.select(
+        "event_type", "hour_b",
+        F.col("n").alias("bn"), F.col("s").alias("bs"),
+        F.col("mn").alias("bmn"), F.col("mx").alias("bmx"),
+    )
+    return s.join(b, ["event_type", "hour_b"], "full_outer").select(
+        "event_type",
+        "hour_b",
+        (F.coalesce("sn", F.lit(0)) + F.coalesce("bn", F.lit(0))).alias("n"),
+        (F.coalesce("ss", F.lit(0)) + F.coalesce("bs", F.lit(0))).alias("s"),
+        F.least(
+            F.coalesce("smn", F.col("bmn")), F.coalesce("bmn", F.col("smn"))
+        ).alias("mn"),
+        F.greatest(
+            F.coalesce("smx", F.col("bmx")), F.coalesce("bmx", F.col("smx"))
+        ).alias("mx"),
+    )
+
+
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous-aggregate maintenance: the corpus is split
+    into a 'stored' 70% and a 'new batch' 30% (by event_id bucket, so
+    batch rows land INSIDE already-materialized cells — the hard upsert
+    case, not a clean append); the batch's partials merge into the stored
+    partials, and the daily rollup reads the merged state. The oracle is
+    the one-shot daily aggregate over everything: increment == full
+    recompute, cell for cell."""
+    from . import load
+
+    ev = _with_ep(load(spark, sf_dir, "events"))
+    bucket = F.col("event_id") % ROLLUP_BATCH_MOD
+    stored = _hourly_partials(ev.where(bucket < ROLLUP_BATCH_SPLIT))
+    batch = _hourly_partials(ev.where(bucket >= ROLLUP_BATCH_SPLIT))
+    merged = merge_partials(stored, batch)
+    return (
+        merged.groupBy(
+            "event_type", F.expr("div(hour_b, 24)").alias("day_b")
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").alias("sum_cents"),
+            F.min("mn").alias("min_cents"),
+            F.max("mx").alias("max_cents"),
+            F.count("*").alias("n_hours_active"),
+        )
+        .select(
+            "event_type", "day_b", "n_events", "sum_cents",
+            "min_cents", "max_cents", "n_hours_active",
+        )
+    )
+
+
+QUERIES["rollup_incremental"] = q_rollup_incremental
+# increment == full recompute: same ground truth as the two-level rollup
+ORACLES["rollup_incremental"] = ORACLES["rollup_two_level"]

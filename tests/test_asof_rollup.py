@@ -74,3 +74,34 @@ def test_rollup_merges_to_direct(spark):
         map(tuple, direct.select(*two_level.columns).collect())
     )
     assert two_level.count() > 0
+
+
+def test_incremental_merge_equals_two_level(spark):
+    from pdf_extractor_spark.operators.aggregates import (
+        q_rollup_incremental,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    inc = sorted(map(tuple, q_rollup_incremental(spark, sf).collect()))
+    full = sorted(map(tuple, q_rollup_two_level(spark, sf).collect()))
+    assert inc == full
+
+
+def test_merge_partials_disjoint_and_overlapping(spark):
+    from pdf_extractor_spark.operators.aggregates import merge_partials
+
+    stored = spark.createDataFrame(
+        [("a", 1, 2, 100, 10, 90), ("a", 2, 1, 50, 50, 50)],
+        "event_type string, hour_b long, n long, s long, mn long, mx long",
+    )
+    batch = spark.createDataFrame(
+        [("a", 2, 3, 60, 5, 55), ("b", 9, 1, 7, 7, 7)],
+        "event_type string, hour_b long, n long, s long, mn long, mx long",
+    )
+    got = {
+        (r.event_type, r.hour_b): (r.n, r.s, r.mn, r.mx)
+        for r in merge_partials(stored, batch).collect()
+    }
+    assert got[("a", 1)] == (2, 100, 10, 90)    # untouched stored cell
+    assert got[("a", 2)] == (4, 110, 5, 55)     # true upsert merge
+    assert got[("b", 9)] == (1, 7, 7, 7)        # batch-only cell
