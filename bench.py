@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "triangle_count",
     "ppjoin_similar",
     "rollup_incremental",
+    "hist_percentiles",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -509,3 +509,136 @@ ORACLES["hll_merge"] = f"""
                * 1000 // e.n_exact AS err_permille
     FROM g, e
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram + percentile estimation: the fourth sketch.
+# An exact per-group percentile needs a per-group SORT of every value; the
+# histogram needs one hash-groupBy onto (group, bin) — bounded state, and
+# two histograms merge by adding bin counts (the same algebra as the
+# hourly-partial rollup). The estimate is the covering bin's UPPER edge, so
+# the error is one-sided and bounded by the bin width — measured here per
+# percentile against the exact nearest-rank value (honest metrics).
+# ---------------------------------------------------------------------------
+HIST_BINS = 64
+HIST_WIDTH = 800          # cents per bin; 64*800 covers value <= 512.00
+HIST_PCTS = [50, 90, 99]
+
+
+def q_hist_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, percentile): the histogram estimate vs the exact
+    nearest-rank value, with the one-sided error in cents."""
+    from pyspark.sql import Window
+    from . import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    binned = ev.select(
+        "event_type",
+        F.least(
+            F.expr(f"div(c, {HIST_WIDTH})"), F.lit(HIST_BINS - 1)
+        ).alias("bin"),
+    ).groupBy("event_type", "bin").agg(F.count("*").alias("cnt"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = binned.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wtot)
+    )
+    # estimate per percentile: upper edge of the first bin whose cumulative
+    # count reaches rank = ceil(p*n/100)
+    est_rows = []
+    for p in HIST_PCTS:
+        est_rows.append(
+            cum.where(
+                F.col("cum") >= F.expr(f"(n * {p} + 99) div 100")
+            )
+            .groupBy("event_type")
+            .agg(
+                F.lit(p).alias("pct"),
+                ((F.min("bin") + 1) * HIST_WIDTH - 1).alias("est_cents"),
+                F.max("n").alias("n_events"),
+            )
+        )
+    est = est_rows[0]
+    for e in est_rows[1:]:
+        est = est.unionByName(e)
+    # exact nearest-rank (the expensive per-group sort the sketch replaces)
+    wrk = Window.partitionBy("event_type").orderBy("c", "event_id")
+    d = ev.withColumn("rn", F.row_number().over(wrk)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    exact_aggs = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n * {p} + 99) div 100"),
+                F.col("c"),
+            )
+        ).alias(f"x{p}")
+        for p in HIST_PCTS
+    ]
+    exact_wide = d.groupBy("event_type").agg(*exact_aggs)
+    exact = None
+    for p in HIST_PCTS:
+        part = exact_wide.select(
+            "event_type", F.lit(p).alias("pct"),
+            F.col(f"x{p}").alias("exact_cents"),
+        )
+        exact = part if exact is None else exact.unionByName(part)
+    return est.join(exact, ["event_type", "pct"]).select(
+        "event_type",
+        "pct",
+        "n_events",
+        "est_cents",
+        "exact_cents",
+        (F.col("est_cents") - F.col("exact_cents")).alias("err_cents"),
+    )
+
+
+QUERIES["hist_percentiles"] = q_hist_percentiles
+
+ORACLES["hist_percentiles"] = f"""
+    WITH ev AS (
+        SELECT event_type, event_id, round(value * 100)::BIGINT AS c
+        FROM events
+    ), binned AS (
+        SELECT event_type,
+               least(c // {HIST_WIDTH}, {HIST_BINS - 1}) AS bin,
+               count(*) AS cnt
+        FROM ev GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, bin, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM binned
+    ), pcts AS (SELECT unnest([{", ".join(map(str, HIST_PCTS))}]) AS pct),
+    est AS (
+        SELECT event_type, pct,
+               (min(bin) + 1) * {HIST_WIDTH} - 1 AS est_cents,
+               max(n)::BIGINT AS n_events
+        FROM cum, pcts
+        WHERE cum >= (n * pct + 99) // 100
+        GROUP BY event_type, pct
+    ), ranked AS (
+        SELECT event_type, c,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY c, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM ev
+    ), exact AS (
+        SELECT event_type, pct, max(c) AS exact_cents
+        FROM ranked, pcts
+        WHERE rn = (n * pct + 99) // 100
+        GROUP BY event_type, pct
+    )
+    SELECT event_type, pct, n_events, est_cents, exact_cents,
+           est_cents - exact_cents AS err_cents
+    FROM est JOIN exact USING (event_type, pct)
+"""

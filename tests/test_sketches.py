@@ -140,3 +140,14 @@ def test_hll_merge_equals_direct_union(spark):
     union_est, _ = _py_hll({k for _, k in rows})
     assert direct.hll_estimate == union_est
     assert direct.n_exact == 140
+
+
+def test_hist_percentiles_error_bounded(spark):
+    out = sketches.q_hist_percentiles(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 15  # 5 event types x 3 percentiles
+    for r in out:
+        # the estimate is the covering bin's upper edge: one-sided error,
+        # bounded by the bin width
+        assert 0 <= r.err_cents < sketches.HIST_WIDTH
