@@ -32,6 +32,7 @@ from pdf_extractor_spark.operators import (
     tables_md,
     text_analysis,
     text_ops,
+    warehouse,
     web,
     windows,
     zorder,
@@ -40,7 +41,7 @@ from pdf_extractor_spark.operators import (
 _MODULES = [
     text_ops, windows, aggregates, dedup, graph, similarity_search,
     text_analysis, multimodal, joins, tables_md, chunking, packing, bpe,
-    web, pq, sketches, retrieval, classifier, zorder, setjoin,
+    web, pq, sketches, retrieval, classifier, zorder, setjoin, warehouse,
 ]
 
 

@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "ppjoin_similar",
     "rollup_incremental",
     "hist_percentiles",
+    "scd2_user_tiers",
+    "purge_users",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -26,6 +26,7 @@ from . import (  # noqa: F401
     tables_md,
     text_analysis,
     text_ops,
+    warehouse,
     web,
     windows,
     zorder,

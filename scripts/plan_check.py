@@ -92,6 +92,11 @@ RULES = {
     # ppjoin: candidate join is keyed on PREFIX tokens; the only window is
     # the doc-keyed prefix rank (bounded by doc length) — never an NLJ
     "ppjoin_similar": ([r"\bWindow\b"], [r"ArrowEvalPython", r"BroadcastNestedLoopJoin"]),
+    # scd2: per-user windows only, no joins at all
+    "scd2_user_tiers": ([r"\bWindow\b"], [r"Join", r"ArrowEvalPython"]),
+    # purge: the deletion list must broadcast (anti/semi) — the big side
+    # never shuffles
+    "purge_users": ([r"BroadcastHashJoin"], [r"SortMergeJoin", r"ArrowEvalPython", r"\bWindow\b"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the
