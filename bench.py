@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "hist_percentiles",
     "scd2_user_tiers",
     "purge_users",
+    "shipping_priority",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

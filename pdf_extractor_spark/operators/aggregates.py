@@ -458,3 +458,87 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["rollup_incremental"] = q_rollup_incremental
 # increment == full recompute: same ground truth as the two-level rollup
 ORACLES["rollup_incremental"] = ORACLES["rollup_two_level"]
+
+
+Q3_SEGMENT_DATE = "1995-03-15"
+Q3_TOP_K = 10
+Q3_SALT = 16
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-K open orders by revenue at a cutoff date —
+    customer |X| orders |X| lineitem with date predicates on BOTH fact
+    sides (pushed to the scans), the small filtered customer side
+    broadcast, revenue in exact integer micro-units (cents x basis-point
+    discount, the pricing_summary idiom), and the final top-K via the
+    salted two-stage rank (the per-orderkey group count is order-of-orders
+    — a single-partition ORDER BY would be the 100 TB bottleneck).
+    Deterministic total order: revenue desc, orderkey asc."""
+    from pyspark.sql import Window
+    from . import load
+
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < Q3_SEGMENT_DATE
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > Q3_SEGMENT_DATE
+    )
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 5 == 0  # the "market segment" twin
+    )
+    rev_u4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    grouped = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev_u4).alias("revenue_u4"))
+    )
+    order = (F.desc("revenue_u4"), F.asc("l_orderkey"))
+    w_salt = Window.partitionBy("salt").orderBy(*order)
+    survivors = (
+        grouped.withColumn(
+            "salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(Q3_SALT))
+        )
+        .withColumn("rk", F.row_number().over(w_salt))
+        .where(F.col("rk") <= Q3_TOP_K)
+        .drop("rk", "salt")
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= Q3_TOP_K)
+        .select(
+            F.col("rk").cast("long").alias("rk"),
+            "l_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue_u4",
+        )
+    )
+
+
+QUERIES["shipping_priority"] = q_shipping_priority
+
+ORACLES["shipping_priority"] = f"""
+    WITH g AS (
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               sum(round(l_extendedprice * 100)::BIGINT
+                   * (100 - round(l_discount * 100)::BIGINT))::BIGINT
+                   AS revenue_u4
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate < TIMESTAMP '{Q3_SEGMENT_DATE} 00:00:00'
+          AND l_shipdate > TIMESTAMP '{Q3_SEGMENT_DATE} 00:00:00'
+          AND c_custkey % 5 = 0
+        GROUP BY 1, 2, 3
+    )
+    SELECT row_number() OVER (ORDER BY revenue_u4 DESC, l_orderkey) AS rk,
+           l_orderkey, o_orderdate::VARCHAR AS o_orderdate,
+           o_orderpriority, revenue_u4
+    FROM g ORDER BY revenue_u4 DESC, l_orderkey
+    LIMIT {Q3_TOP_K}
+"""

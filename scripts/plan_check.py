@@ -25,6 +25,11 @@ RULES = {
     "pricing_summary": ([r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate",
                          r"ReadSchema: [^\n]*l_returnflag"], []),
     "revenue_by_nation": ([r"BroadcastHashJoin"], []),
+    # Q3 shape: both fact-side date predicates must reach the scans and
+    # the filtered customer side must broadcast
+    "shipping_priority": ([r"BroadcastHashJoin",
+                           r"PushedFilters: \[.*o_orderdate",
+                           r"PushedFilters: \[.*l_shipdate"], []),
     # knn brute force is intentionally a broadcast nested-loop: the query
     # side is 10 rows, and every candidate must be scored against each.
     "knn_cosine": ([r"BroadcastNestedLoopJoin"], []),
@@ -103,7 +108,7 @@ RULES = {
 # salted partial rank + the small final rank) and a pmod salt in the plan —
 # one Window would be a single/few-task global sort at 100 TB.
 TWO_STAGE_RANK = ["vocab_top_ngrams", "inverted_index", "stratified_sample",
-                  "cluster_top_terms", "bm25_top_k"]
+                  "cluster_top_terms", "bm25_top_k", "shipping_priority"]
 
 
 def plan_of(df) -> str:

@@ -105,3 +105,16 @@ def test_merge_partials_disjoint_and_overlapping(spark):
     assert got[("a", 1)] == (2, 100, 10, 90)    # untouched stored cell
     assert got[("a", 2)] == (4, 110, 5, 55)     # true upsert merge
     assert got[("b", 9)] == (1, 7, 7, 7)        # batch-only cell
+
+
+def test_shipping_priority_shape(spark):
+    from pdf_extractor_spark.operators.aggregates import (
+        Q3_TOP_K,
+        q_shipping_priority,
+    )
+
+    rows = q_shipping_priority(spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(rows) <= Q3_TOP_K
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    revs = [r.revenue_u4 for r in rows]
+    assert revs == sorted(revs, reverse=True)
