@@ -212,15 +212,17 @@ def incremental_lsh_pairs(
     emitted again. Two modes:
 
     * ``pairs_output`` given (the production form): the pairs are written
-      to ``pairs_output`` FIRST with mode=error — a retry that finds the
-      output already committed skips the write instead of clobbering it —
-      and only then is the store extended. Every crash window replays
-      correctly: die before the pairs commit → full recompute; die between
-      pairs commit and store append → recompute finds the same batch new,
-      the existing output satisfies the write, the append completes; die
-      after both → the anti-join yields nothing and the committed output
-      is returned as-is. ``pairs_output`` must be unique per batch (e.g. a
-      dated batch directory).
+      to ``pairs_output`` FIRST — a retry that finds the output already
+      COMMITTED (``_SUCCESS`` present, not merely "directory exists": a
+      crashed attempt leaves debris without the marker) skips the write
+      instead of clobbering it; an uncommitted leftover is overwritten in
+      place. Only then is the store extended. Every crash window replays
+      correctly: die before/during the pairs commit → full recompute over
+      the debris; die between pairs commit and store append → recompute
+      finds the same batch new, the committed output is kept, the append
+      completes; die after both → the anti-join yields nothing and the
+      committed output is returned as-is. ``pairs_output`` must be unique
+      per batch (e.g. a dated batch directory).
     * ``pairs_output`` None (library/composition mode): the pair frame is
       eagerly materialized before the store append, so evaluating the
       returned frame cannot fail after the append within this driver; a
@@ -231,7 +233,7 @@ def incremental_lsh_pairs(
     Retry-safety of the store itself: docs already present are anti-joined
     away, so a re-submitted batch cannot duplicate store rows, emit
     self-pairs, or inflate bucket counts past the DF-cut."""
-    from pyspark.errors import AnalysisException
+    from ..plans import fsio
 
     spark = new_docs.sparkSession
     files = _store_snapshot_files(spark, signature_store)
@@ -242,10 +244,11 @@ def incremental_lsh_pairs(
         stored = _minhash_frame(new_docs.limit(0))
     new_sigs, out = _incremental_pair_plan(new_docs, stored, observation)
     if pairs_output is not None:
-        try:
-            out.write.mode("error").parquet(pairs_output)
-        except AnalysisException:
-            pass  # a prior attempt already committed this batch's pairs
+        if not fsio.committed(spark, pairs_output):
+            # nothing durable here yet — either a fresh batch or the
+            # half-written debris of a crashed attempt; (re)write it.
+            # mode=error would misread that debris as a commit.
+            out.write.mode("overwrite").parquet(pairs_output)
         new_sigs.write.mode("append").parquet(signature_store)
         return spark.read.parquet(pairs_output)
     out = out.localCheckpoint(eager=True)

@@ -15,13 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _fs_exists(spark: SparkSession, path: str) -> bool:
-    """Existence through the Hadoop FileSystem API (HDFS/S3/local) — a
-    driver-local os.path check silently returns False on any remote
-    filesystem and would restart completed work from scratch."""
-    sc = spark.sparkContext
-    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(sc._jsc.hadoopConfiguration()).exists(hpath)
+from .fsio import exists as _fs_exists  # Hadoop FS, never driver-local
+
 
 BUCKET_COL = "bucket"
 DEFAULT_N_BUCKETS = 256

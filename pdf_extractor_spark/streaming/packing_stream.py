@@ -23,25 +23,36 @@ from pyspark.sql import functions as F
 
 from ..functions.expressions import token_count_expr
 from ..operators.packing import token_packing_incremental
+from ..plans import fsio
 
 
 def _read_hwm(spark: SparkSession, path: str):
-    """(hwm, last_batch_id) from the artifact, (0, -1) on first start.
-    Existence goes through the Hadoop FileSystem API (HDFS/S3/local),
-    never a driver-local os.path check — the dedup store lesson."""
-    sc = spark.sparkContext
-    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
-    if not fs.exists(hpath):
+    """(hwm, last_batch_id) from the highest COMMITTED ``b=<id>`` mark,
+    (0, -1) on first start. Marks are batch-versioned subdirectories —
+    never an in-place rewrite of the only copy — so the debris of a
+    crashed mark write is invisible (no ``_SUCCESS``) and the previous
+    mark keeps serving. Listing goes through the Hadoop FileSystem API
+    (HDFS/S3/local), never a driver-local os.path check."""
+    vs = fsio.committed_versions(spark, path, "b=")
+    if not vs:
         return 0, -1
-    r = spark.read.parquet(path).first()
-    return int(r["hwm"]), int(r["batch_id"])
+    b = vs[-1]
+    r = spark.read.parquet(f"{path}/b={b}").first()
+    return int(r["hwm"]), b
 
 
 def _write_hwm(spark: SparkSession, path: str, hwm: int, batch_id: int):
+    """Publish the mark as a NEW ``b=<batch_id>`` snapshot, then prune
+    superseded marks. Crash anywhere: before the snapshot commits, the
+    previous mark still serves (the batch replays against it and
+    overwrites its own output partition byte-identically); mid-prune,
+    extra old marks remain but the max-committed read rule ignores them.
+    Overwrite within the batch's OWN subdir makes a replay of a crashed
+    attempt self-cleaning."""
     spark.createDataFrame(
         [(hwm, batch_id)], "hwm long, batch_id long"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/b={batch_id}")
+    fsio.prune_versions_below(spark, path, "b=", batch_id)
 
 
 def pack_batch(

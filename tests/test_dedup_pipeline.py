@@ -254,3 +254,44 @@ def test_incremental_crash_between_pairs_commit_and_store_append(spark, tmp_path
     assert got == committed
     assert spark.read.parquet(store).count() == 500
     assert spark.read.parquet(store).select("doc_id").distinct().count() == 500
+
+
+def test_incremental_crash_mid_pairs_write_is_recovered(spark, tmp_path):
+    """The round-3 review window: attempt 1 died DURING the pairs write, so
+    the output directory exists but carries no _SUCCESS marker. A retry must
+    treat that debris as uncommitted — rewrite the pairs, then append the
+    store — instead of mistaking 'directory exists' for 'committed' and
+    permanently losing the batch's pairs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.dedup import (
+        _minhash_frame,
+        incremental_lsh_pairs,
+        minhash_lsh_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    old = docs.where(F.col("doc_id") < 400)
+    new = docs.where(F.col("doc_id") >= 400)
+    store = str(tmp_path / "store_midcrash")
+    out = str(tmp_path / "pairs_midcrash")
+    _minhash_frame(old).write.parquet(store)
+
+    # debris of a crashed attempt: directory exists, no _SUCCESS, a stray
+    # in-flight temp dir — exactly what FileOutputCommitter leaves behind
+    os.makedirs(os.path.join(out, "_temporary", "0"))
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_lsh_pairs(new, store, pairs_output=out).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    expected = {(a, b) for a, b in full if a >= 400 or b >= 400}
+    assert got == expected  # the batch's pairs were NOT lost
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert spark.read.parquet(store).count() == 500

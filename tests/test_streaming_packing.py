@@ -71,16 +71,20 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert after == before
-    # a crash BETWEEN the output write and the mark write replays the same
-    # batch against the same mark: simulate by re-running batch 1 with the
-    # mark manually rolled back to batch 0's value
+    # a crash BETWEEN the output write and the mark write leaves batch 0's
+    # mark as the latest committed one: simulate by deleting batch 1's mark
+    # snapshot, then replaying batch 1 — it must repack against batch 0's
+    # mark into the identical layout and re-publish its mark
+    from pdf_extractor_spark.plans import fsio
     from pdf_extractor_spark.streaming.packing_stream import (
         _read_hwm,
         _write_hwm,
     )
     from pdf_extractor_spark.streaming.packing_stream import token_count_of
 
-    _write_hwm(spark, hwm, token_count_of(b0), 0)
+    _write_hwm(spark, hwm, token_count_of(b0), 0)  # restore b0's mark...
+    fsio.delete(spark, f"{hwm}/b=1")  # ...and erase b1's, as if never written
+    assert _read_hwm(spark, hwm) == (token_count_of(b0), 0)
     pack_batch(b1, 1, hwm, out)
     again = sorted(
         (r["doc_id"], r["global_start"])
@@ -91,3 +95,30 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
         token_count_of(b0) + token_count_of(b1),
         1,
     )
+
+
+def test_crashed_mark_write_is_invisible(spark, tmp_path):
+    """A mark write that died mid-flight (directory exists, no _SUCCESS)
+    must not be read as the latest mark — the previous committed mark keeps
+    serving, and the batch's replay self-cleans the debris."""
+    import os
+
+    from pdf_extractor_spark.streaming.packing_stream import (
+        _read_hwm,
+        token_count_of,
+    )
+
+    hwm = str(tmp_path / "hwm")
+    out = str(tmp_path / "out")
+    b0 = _docs(spark, 0, 10)
+    b1 = _docs(spark, 10, 20)
+    pack_batch(b0, 0, hwm, out)
+    t0 = token_count_of(b0)
+    assert _read_hwm(spark, hwm) == (t0, 0)
+
+    # debris of a crashed _write_hwm for batch 1: no _SUCCESS marker
+    os.makedirs(os.path.join(hwm, "b=1", "_temporary"))
+    assert _read_hwm(spark, hwm) == (t0, 0)  # still batch 0's mark
+
+    pack_batch(b1, 1, hwm, out)  # replay commits over the debris
+    assert _read_hwm(spark, hwm) == (t0 + token_count_of(b1), 1)

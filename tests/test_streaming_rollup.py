@@ -87,3 +87,36 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
         )
     )
     assert final == want
+
+
+def test_crashed_snapshot_is_invisible_and_recovered(spark, tmp_path):
+    """A snapshot write that died mid-flight (v=1 exists, no _SUCCESS) must
+    not shadow the committed v=0 store; replaying the batch publishes v=1
+    over the debris and prunes v=0 — history is never destroyed by an
+    in-place rewrite."""
+    import os
+
+    from pdf_extractor_spark.plans import fsio
+
+    store = str(tmp_path / "store_crash")
+    merge_batch(_events(spark, 0, 50), 0, store)
+    served = sorted(map(tuple, daily_from_store(spark, store).collect()))
+
+    # debris of a crashed batch-1 snapshot write
+    os.makedirs(os.path.join(store, "v=1", "_temporary"))
+    assert fsio.committed_versions(spark, store, "v=") == [0]
+    assert (
+        sorted(map(tuple, daily_from_store(spark, store).collect())) == served
+    )
+
+    merge_batch(_events(spark, 50, 90), 1, store)  # replay over the debris
+    assert fsio.committed_versions(spark, store, "v=") == [1]
+    want = sorted(
+        map(
+            tuple,
+            _daily_direct(
+                spark, _events(spark, 0, 90), str(tmp_path)
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, daily_from_store(spark, store).collect())) == want
