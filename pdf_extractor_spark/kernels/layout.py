@@ -37,6 +37,25 @@ LAYOUT_PAYLOAD_PREFIX = "data:application/vnd.layout+json;base64,"
 _DROP_ROLES = {"footer", "pageno"}
 
 
+class MalformedLayout(ValueError):
+    """The payload parsed as JSON but violates the layout wire schema
+    (non-dict page/block, non-numeric coordinate, non-string text).
+    Malformed input is DATA, never a task failure: the extraction kernel
+    catches this and emits a ``valid=False`` row with an
+    ``invalid_layout_json`` problem — the same guardrail contract the pdf
+    dialect honors for bad base64 / missing magic."""
+
+
+def _coord(v, default: float = 0.0) -> float:
+    """A JSON coordinate: absent/null falls back, any non-number (string,
+    bool, list, ...) is a schema violation."""
+    if v is None:
+        return default
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise MalformedLayout(f"non-numeric coordinate: {v!r}")
+    return float(v)
+
+
 def reading_order(blocks: List[Dict], page_width: float) -> List[Dict]:
     """Two-column reading order: a block whose left edge sits past the page
     midline belongs to the right column; the left column reads first,
@@ -44,15 +63,18 @@ def reading_order(blocks: List[Dict], page_width: float) -> List[Dict]:
     deterministic for any input)."""
     def key(item: Tuple[int, Dict]):
         i, b = item
-        col = 1 if float(b.get("x", 0)) >= page_width / 2 else 0
-        return (col, float(b.get("y", 0)), float(b.get("x", 0)), i)
+        col = 1 if _coord(b.get("x")) >= page_width / 2 else 0
+        return (col, _coord(b.get("y")), _coord(b.get("x")), i)
 
     return [b for _, b in sorted(enumerate(blocks), key=key)]
 
 
 def render_block(block: Dict) -> str:
     """Role-based markdown rendering; empty string means dropped."""
-    text = (block.get("text") or "").strip()
+    raw = block.get("text")
+    if raw is not None and not isinstance(raw, str):
+        raise MalformedLayout(f"non-string block text: {raw!r}")
+    text = (raw or "").strip()
     if not text:
         return ""
     role = block.get("role", "paragraph")
@@ -74,12 +96,19 @@ def layout_pages(doc: Dict) -> Tuple[List[Tuple[int, str]], List[Dict]]:
     pages: List[Tuple[int, str]] = []
     outlines: List[Dict] = []
     for pos, page in enumerate(doc.get("pages") or []):
+        if not isinstance(page, dict):
+            raise MalformedLayout(f"page is not an object: {page!r}")
         try:
             idx = int(page.get("number", pos + 1)) - 1
         except (TypeError, ValueError):
             idx = pos
-        width = float(page.get("width") or 612)
-        ordered = reading_order(list(page.get("blocks") or []), width)
+        width = _coord(page.get("width"), 612.0) or 612.0
+        blocks = page.get("blocks") or []
+        if not isinstance(blocks, list) or any(
+            not isinstance(b, dict) for b in blocks
+        ):
+            raise MalformedLayout("blocks is not a list of objects")
+        ordered = reading_order(blocks, width)
         rendered = [render_block(b) for b in ordered]
         body = "\n\n".join(r for r in rendered if r)
         for b in ordered:

@@ -46,7 +46,10 @@ def parse_wav(payload: bytes) -> Optional[dict]:
         cid = payload[pos : pos + 4]
         (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + clen]
-        if cid == b"fmt " and clen >= 16:
+        # a truncated payload can declare clen >= 16 yet carry fewer
+        # bytes — slicing is silent, unpack is not; treat it as malformed
+        # data (skip the chunk), never a struct.error task failure
+        if cid == b"fmt " and clen >= 16 and len(body) >= 16:
             _fmt, ch, sr, _br, block_align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
@@ -110,8 +113,17 @@ def ahash_bmp(payload: bytes, bits: int = AHASH_BITS):
     if hdr is None:
         return None
     w, h = hdr["width"], hdr["height"]
+    # only the 24-bpp bottom-up layout this scan understands; anything
+    # else (8-bpp palette, top-down negative height, dimensionless) would
+    # read garbage offsets — malformed input is data, return None
+    if hdr["bpp"] != 24 or w <= 0 or h <= 0:
+        return None
     stride = ((w * 3 + 3) // 4) * 4
     px = payload[54:]
+    # a truncated pixel array (header claims more pixels than the payload
+    # carries) must not IndexError the task; the last row needs no pad
+    if len(px) < (h - 1) * stride + w * 3:
+        return None
     grays = []
     for k in range(w * h):
         off = (h - 1 - k // w) * stride + (k % w) * 3

@@ -42,7 +42,7 @@ from ..config import (
 )
 from .detectors import detect_problems
 from .html_strip import extract_main_content
-from .layout import LAYOUT_PAYLOAD_PREFIX, layout_pages
+from .layout import LAYOUT_PAYLOAD_PREFIX, MalformedLayout, layout_pages
 from .similarity import calculate_similarity
 
 PDF_PAYLOAD_PREFIX = "data:application/pdf;base64,"
@@ -264,7 +264,12 @@ def extract_turn(
         if not isinstance(doc, dict) or not isinstance(doc.get("pages"), list):
             result.update(valid=False, problems=["invalid_layout_json"])
             return result
-        pages, outlines = layout_pages(doc)
+        try:
+            pages, outlines = layout_pages(doc)
+        except MalformedLayout:
+            # schema-violating pages/blocks/coords: data, not a task failure
+            result.update(valid=False, problems=["invalid_layout_json"])
+            return result
     else:
         # pseudo-PDF dialect: magic line, TOC outline, ready-markdown pages
         if not decoded.startswith("%PDF"):

@@ -74,3 +74,23 @@ def test_same_pixels_same_hash(spark):
     }
     assert out[13] == out[195]
     assert out[13] != out[15]
+
+
+def test_truncated_or_unsupported_bmp_is_data():
+    # header claims 16x10 pixels but carries none: must not IndexError
+    hdr = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + struct.pack(
+        "<IiiHHII", 40, 16, 10, 1, 24, 0, 0
+    )
+    assert media.ahash_bmp(hdr) is None
+    # 8-bpp palette BMP: offsets would read garbage — refuse, don't guess
+    hdr8 = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + struct.pack(
+        "<IiiHHII", 40, 4, 4, 1, 8, 0, 16
+    ) + bytes(64)
+    assert media.ahash_bmp(hdr8) is None
+    # top-down (negative height) layout: refuse
+    hdrneg = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + struct.pack(
+        "<IiiHHII", 40, 4, -4, 1, 24, 0, 48
+    ) + bytes(64)
+    assert media.ahash_bmp(hdrneg) is None
+    # parse_bmp still reports the header fields for all of them
+    assert media.parse_bmp(hdr8)["bpp"] == 8

@@ -91,3 +91,34 @@ def test_extract_turn_layout_guardrails():
     wrong_shape = _payload({"blocks": []})
     r = extract_turn(wrong_shape)
     assert not r["valid"] and r["problems"] == ["invalid_layout_json"]
+
+
+def test_extract_turn_layout_schema_violations_are_data():
+    """Deeper malformation than 'pages is not a list': non-dict pages,
+    non-dict blocks, non-numeric coordinates, non-string text. Each must
+    come back valid=False/invalid_layout_json — never an escaped
+    AttributeError/ValueError failing the Spark task."""
+    cases = [
+        {"pages": ["not a page"]},
+        {"pages": [{"number": 1, "blocks": "not a list"}]},
+        {"pages": [{"number": 1, "blocks": ["not a block"]}]},
+        {"pages": [{"number": 1, "blocks": [{"x": "abc", "y": 0, "text": "t"}]}]},
+        {"pages": [{"number": 1, "blocks": [{"x": 0, "y": [], "text": "t"}]}]},
+        {"pages": [{"number": 1, "width": "foo", "blocks": []}]},
+        {"pages": [{"number": 1, "blocks": [{"x": 0, "y": 0, "text": 7}]}]},
+        {"pages": [{"number": 1, "blocks": [{"x": True, "y": 0, "text": "t"}]}]},
+    ]
+    for doc in cases:
+        r = extract_turn(_payload(doc))
+        assert not r["valid"], doc
+        assert r["problems"] == ["invalid_layout_json"], doc
+
+
+def test_layout_null_coords_default_to_zero():
+    """Absent/null coordinates are fine (fall back to 0/612), only
+    non-numeric values are schema violations."""
+    r = extract_turn(
+        _payload({"pages": [{"blocks": [{"text": "hello", "y": None}]}]})
+    )
+    assert r["valid"]
+    assert "hello" in r["extracted_text"]

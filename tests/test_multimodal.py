@@ -127,3 +127,12 @@ def test_decode_unknown_payload_in_spark(spark):
     )
     r = decode_features(binary).first()
     assert r.container == "unknown" and r.sample_rate is None
+
+
+def test_truncated_wav_fmt_chunk_is_data():
+    """Payload declares a 16-byte fmt chunk but ends mid-chunk: the walk
+    must treat it as malformed data, not raise struct.error in the task."""
+    truncated = b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE" + b"fmt " + \
+        struct.pack("<I", 16) + b"\x01\x00\x02"  # 3 of 16 declared bytes
+    got = parse_media_header(truncated)
+    assert got["container"] == "unknown"
