@@ -95,6 +95,30 @@ def doc_offset_expr(doc_id: Column, rate: int = VALIDATION_SAMPLE_RATE) -> Colum
     return F.pmod(F.xxhash64(doc_id.cast("string")), F.lit(rate)).cast("int")
 
 
+def floordiv_sql(a: str, b: int) -> str:
+    """SQL floor division over integers — correct for NEGATIVE dividends.
+    Spark's ``div`` truncates toward zero (``-4 div 7 = 0``), which for
+    calendar bucketing silently merges everything in the week/hour BEFORE
+    the epoch into bucket 0 alongside the week/hour after it — a real
+    semantic bug even though DuckDB's ``//`` happens to truncate the same
+    way. Subtracting the always-non-negative ``pmod`` makes the dividend
+    an exact multiple of ``b``, so truncation equals floor — integer-exact,
+    no double roundtrip. Pair with :func:`floordiv_duck` on the oracle
+    side."""
+    return f"((({a}) - pmod(({a}), {b})) div {b})"
+
+
+def floordiv_duck(a: str, b: int) -> str:
+    """The DuckDB twin of :func:`floordiv_sql`. DuckDB's integer ``//``
+    ALSO truncates toward zero (``-4 // 7 = 0``) and its ``%`` carries the
+    dividend's sign, so floor division must be spelled out there too:
+    normalize the remainder to non-negative, subtract, then the exact
+    ``//`` of a multiple equals floor. Keep every Spark/oracle bucketing
+    pair on these two helpers so neither engine's native negative-division
+    semantics is ever load-bearing."""
+    return f"((({a}) - (((({a}) % {b}) + {b}) % {b})) // {b})"
+
+
 def chunk_id_expr(page_idx: Column, pages_per_chunk: int = 15) -> Column:
     """P3: fixed page-count chunking as a pure projection."""
     return F.floor(page_idx / pages_per_chunk).cast("int")

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import MARKDOWN_SECTION_SEPARATOR
+from ..functions.expressions import floordiv_sql
 
 
 def q_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,7 +316,9 @@ def _hourly_partials(ev: DataFrame) -> DataFrame:
     return (
         ev.select(
             "event_type",
-            F.expr("div(ep, 3600000000)").alias("hour_b"),
+            # floor (not truncating) div: pre-1970 negative ep must land
+            # in hour -1, matching the oracles' `//`
+            F.expr(floordiv_sql("ep", 3600000000)).alias("hour_b"),
             cents.alias("c"),
         )
         .groupBy("event_type", "hour_b")
@@ -352,7 +355,7 @@ def q_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _with_ep(load(spark, sf_dir, "events"))
     return (
         _hourly_partials(ev).groupBy(
-            "event_type", F.expr("div(hour_b, 24)").alias("day_b")
+            "event_type", F.expr(floordiv_sql("hour_b", 24)).alias("day_b")
         )
         .agg(
             F.sum("n").alias("n_events"),
@@ -374,12 +377,12 @@ QUERIES["rollup_two_level"] = q_rollup_two_level
 # must match.
 ORACLES["rollup_two_level"] = """
     SELECT event_type,
-           epoch_us(ts) // 3600000000 // 24 AS day_b,
+           ((((((epoch_us(ts)) - ((((epoch_us(ts)) % 3600000000) + 3600000000) % 3600000000)) // 3600000000)) - (((((((epoch_us(ts)) - ((((epoch_us(ts)) % 3600000000) + 3600000000) % 3600000000)) // 3600000000)) % 24) + 24) % 24)) // 24) AS day_b,
            count(*) AS n_events,
            sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
            min(round(value * 100)::BIGINT) AS min_cents,
            max(round(value * 100)::BIGINT) AS max_cents,
-           count(DISTINCT epoch_us(ts) // 3600000000) AS n_hours_active
+           count(DISTINCT (((epoch_us(ts)) - ((((epoch_us(ts)) % 3600000000) + 3600000000) % 3600000000)) // 3600000000)) AS n_hours_active
     FROM events
     GROUP BY 1, 2
 """
@@ -439,7 +442,7 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = merge_partials(stored, batch)
     return (
         merged.groupBy(
-            "event_type", F.expr("div(hour_b, 24)").alias("day_b")
+            "event_type", F.expr(floordiv_sql("hour_b", 24)).alias("day_b")
         )
         .agg(
             F.sum("n").alias("n_events"),

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.expressions import floordiv_sql
+
 N_PAGES = 20
 WORD_W, WORD_H = 4, 3
 CELL_W, CELL_H = 25, 18
@@ -263,8 +265,8 @@ def salted_join(
     big: DataFrame,
     small: DataFrame,
     key: str,
+    row_key: str,
     salt: int = SKEW_SALT,
-    row_key: str | None = None,
 ) -> DataFrame:
     """Explicit skew-salted equi-join: the big side adds a deterministic
     salt from its own row identity (``row_key``, never RNG — replays and
@@ -273,15 +275,26 @@ def salted_join(
     across ``salt`` reduce partitions instead of one straggler task.
     Result-equality with the plain join is the oracle's claim.
 
+    ``row_key`` is REQUIRED and must vary within a key group (a row id,
+    never the join key itself): salting by ``key`` would hash every row
+    of the hot key to the same salt value — the exact single-partition
+    straggler this operator exists to defuse, plus ``salt``-way small-side
+    replication as pure overhead.
+
     This is the MANUAL form for engines/paths without AQE skew handling
     (or for the build side of a shuffle join AQE won't split, e.g. under
     a required output partitioning); with AQE's skew-join active the
     plain join is usually preferable — this operator documents and tests
     the mechanism itself. Cost: small side x salt replication (bounded:
     it is the SMALL side by contract)."""
+    if row_key == key:
+        raise ValueError(
+            "salted_join row_key must differ from the join key: salting by "
+            "the key itself sends the whole hot key to one salt partition"
+        )
     big_s = big.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(F.col(row_key or key)), F.lit(salt)).cast("int"),
+        F.pmod(F.xxhash64(F.col(row_key)), F.lit(salt)).cast("int"),
     )
     small_s = small.withColumn(
         "_salt",
@@ -305,8 +318,11 @@ def q_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min(
                 F.expr(
-                    "datediff(to_date(cast(ts as timestamp_ntz)),"
-                    " date'2024-01-01') div 7"
+                    floordiv_sql(
+                        "datediff(to_date(cast(ts as timestamp_ntz)),"
+                        " date'2024-01-01')",
+                        7,
+                    )
                 ).cast("long")
             ).alias("signup_wk")
         )
@@ -323,8 +339,7 @@ ORACLES = {
     "salted_join_skew": """
         WITH dim AS (
             SELECT user_id,
-                   min(date_diff('day', DATE '2024-01-01', ts::DATE) // 7)
-                       ::BIGINT AS signup_wk
+                   min((((date_diff('day', DATE '2024-01-01', ts::DATE)) - ((((date_diff('day', DATE '2024-01-01', ts::DATE)) % 7) + 7) % 7)) // 7))::BIGINT AS signup_wk
             FROM events WHERE event_type = 'signup' GROUP BY 1
         )
         SELECT e.event_id, e.user_id, e.event_type, d.signup_wk

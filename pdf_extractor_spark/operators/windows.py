@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.expressions import floordiv_sql
+
 SESSION_GAP_SECONDS = 1800
 
 
@@ -260,8 +262,10 @@ ORACLES = {
     """,
 }
 
-_WK = (
-    "datediff(to_date(cast(ts as timestamp_ntz)), date'2024-01-01') div 7"
+# floor (not truncating) division: a pre-2024 event's negative datediff
+# must land in week -1, matching the DuckDB oracles' `//`
+_WK = floordiv_sql(
+    "datediff(to_date(cast(ts as timestamp_ntz)), date'2024-01-01')", 7
 )
 
 
@@ -326,7 +330,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         signups.join(purchases, "user_id", "left")
         .groupBy(
             F.expr(
-                "datediff(to_date(s_ts), date'2024-01-01') div 7"
+                floordiv_sql("datediff(to_date(s_ts), date'2024-01-01')", 7)
             ).cast("long").alias("cohort_wk")
         )
         .agg(
@@ -339,8 +343,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["cohort_retention"] = """
         WITH a AS (
             SELECT DISTINCT user_id,
-                   (date_diff('day', DATE '2024-01-01', ts::DATE) // 7)
-                       ::BIGINT AS wk
+                   (((date_diff('day', DATE '2024-01-01', ts::DATE)) - ((((date_diff('day', DATE '2024-01-01', ts::DATE)) % 7) + 7) % 7)) // 7)::BIGINT AS wk
             FROM events
         ), c AS (
             SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY 1
@@ -362,8 +365,7 @@ ORACLES["funnel_conversion"] = """
             WHERE e.event_type = 'purchase'
             GROUP BY 1
         )
-        SELECT (date_diff('day', DATE '2024-01-01', s.s_ts::DATE) // 7)
-                   ::BIGINT AS cohort_wk,
+        SELECT (((date_diff('day', DATE '2024-01-01', s.s_ts::DATE)) - ((((date_diff('day', DATE '2024-01-01', s.s_ts::DATE)) % 7) + 7) % 7)) // 7)::BIGINT AS cohort_wk,
                count(*) AS n_signups,
                sum(CASE WHEN p.p_ts IS NOT NULL
                          AND date_diff('day', s.s_ts::DATE, p.p_ts::DATE)

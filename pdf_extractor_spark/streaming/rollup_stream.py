@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.expressions import floordiv_sql
 from ..operators.aggregates import _hourly_partials, _with_ep, merge_partials
 from ..plans import fsio
 
@@ -82,7 +83,7 @@ def daily_from_store(spark: SparkSession, store_path: str) -> DataFrame:
         stored = spark.createDataFrame([], _SCHEMA)
     return (
         stored
-        .groupBy("event_type", F.expr("div(hour_b, 24)").alias("day_b"))
+        .groupBy("event_type", F.expr(floordiv_sql("hour_b", 24)).alias("day_b"))
         .agg(
             F.sum("n").alias("n_events"),
             F.sum("s").alias("sum_cents"),

@@ -1,0 +1,41 @@
+
+
+def test_week_bucketing_floors_pre_epoch_dates(spark):
+    """BOTH engines truncate integer division toward zero (Spark `div` and
+    DuckDB `//` alike: -4 -> 0), which merges the week before the epoch
+    into week 0. Calendar bucketing must FLOOR, so each side carries an
+    explicit floor form — floordiv_sql on Spark, floordiv_duck in the
+    oracles — and they must agree with Python `//` on negatives."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.functions.expressions import (
+        floordiv_duck,
+        floordiv_sql,
+    )
+    from pdf_extractor_spark.operators.windows import _WK
+
+    rows = [
+        ("2023-12-28", -4),   # -> week -1 (truncation would say 0)
+        ("2023-12-18", -14),  # -> week -2 (exact multiple)
+        ("2024-01-05", 4),    # -> week 0
+        ("2022-01-01", -730),
+    ]
+    df = spark.createDataFrame(rows, "d string, dd long").select(
+        F.col("d").cast("timestamp_ntz").alias("ts")
+    )
+    got = [r[0] for r in df.select(F.expr(_WK).cast("long")).collect()]
+    want_duck = [
+        duckdb.sql(f"SELECT {floordiv_duck(str(dd), 7)}").fetchone()[0]
+        for _, dd in rows
+    ]
+    want_py = [dd // 7 for _, dd in rows]
+    assert got == want_duck == want_py == [-1, -2, 0, -105]
+
+    # the helper itself, over negative dividends and both signs of b's use
+    pairs = [(-4, 7), (-14, 7), (4, 7), (-1, 24), (-25, 24), (0, 7)]
+    exprs = [floordiv_sql(str(a), b) for a, b in pairs]
+    row = spark.range(1).select(
+        *[F.expr(e).alias(f"c{i}") for i, e in enumerate(exprs)]
+    ).first()
+    assert list(row) == [a // b for a, b in pairs]

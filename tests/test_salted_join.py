@@ -34,3 +34,27 @@ def test_salt_spreads_hot_key(spark):
     )
     n = salted.select("_salt").distinct().count()
     assert n == SKEW_SALT  # the hot key's rows occupy every salt shard
+
+
+def test_row_key_equal_to_key_is_rejected(spark):
+    """Salting by the join key itself hashes every row of a hot key to ONE
+    salt partition — the no-op the operator must refuse."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 1)], "k long, row_id long")
+    with pytest.raises(ValueError, match="row_key"):
+        salted_join(df, df.select("k").distinct(), "k", row_key="k")
+
+
+def test_salt_spreads_a_hot_key(spark):
+    """The point of the operator: a hot key's rows land on multiple salt
+    values (with row_key varying), not one."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(0, 200).select(
+        F.lit(7).alias("k"), F.col("id").alias("row_id")
+    )
+    salted = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("row_id")), F.lit(8)).cast("int")
+    )
+    assert salted.select("_salt").distinct().count() > 1
