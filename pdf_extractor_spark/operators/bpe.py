@@ -17,8 +17,11 @@ left-to-right pairing pass — a merged symbol is the concatenation l||r and
 can never equal l or r, so a replacement cannot create a new occurrence to
 its left. Spark implements the single pass as an ``aggregate`` fold with a
 (out, pending) accumulator; the DuckDB oracle implements leftmost-replace
-as a recursive CTE per step (``regexp_replace`` without 'g' = replace
-first), with the chosen pair cross-joined in. Ties on pair weight break by
+as a recursive CTE per step using an exact LITERAL splice
+(position + substring concat — never regexp_replace: a learned symbol
+containing a regex metacharacter like '(' or '.' would break the pattern
+or, worse, diverge from the literal position() guard and recurse forever),
+with the chosen pair cross-joined in. Ties on pair weight break by
 (count desc, left asc, right asc), so every step is deterministic.
 
 Output: step (1-based), lft, rgt, pair_count — the merge table a tokenizer
@@ -234,9 +237,13 @@ def _bpe_oracle(n_merges: int = N_MERGES) -> str:
         ), rec{m} AS (
             SELECT cnt, s FROM st{m - 1}
             UNION ALL
-            SELECT cnt, regexp_replace(s,
-                       ' ' || b.l || ' ' || b.r || ' ',
-                       ' ' || b.l || b.r || ' ')
+            SELECT cnt,
+                   substring(s, 1,
+                             position(' ' || b.l || ' ' || b.r || ' ' IN s) - 1)
+                   || ' ' || b.l || b.r || ' '
+                   || substring(s,
+                        position(' ' || b.l || ' ' || b.r || ' ' IN s)
+                        + length(' ' || b.l || ' ' || b.r || ' '))
             FROM rec{m}, b{m} b
             WHERE position(' ' || b.l || ' ' || b.r || ' ' IN s) > 0
         ), st{m} AS (
@@ -289,9 +296,13 @@ def _encode_oracle(n_merges: int = N_MERGES) -> str:
         ), rec{m} AS (
             SELECT word, cnt, s FROM st{m - 1}
             UNION ALL
-            SELECT word, cnt, regexp_replace(s,
-                       ' ' || b.l || ' ' || b.r || ' ',
-                       ' ' || b.l || b.r || ' ')
+            SELECT word, cnt,
+                   substring(s, 1,
+                             position(' ' || b.l || ' ' || b.r || ' ' IN s) - 1)
+                   || ' ' || b.l || b.r || ' '
+                   || substring(s,
+                        position(' ' || b.l || ' ' || b.r || ' ' IN s)
+                        + length(' ' || b.l || ' ' || b.r || ' '))
             FROM rec{m}, b{m} b
             WHERE position(' ' || b.l || ' ' || b.r || ' ' IN s) > 0
         ), st{m} AS (

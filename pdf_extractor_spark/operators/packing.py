@@ -30,6 +30,32 @@ SEQ_TOKENS = 512
 PACK_BUCKET = 64
 
 
+def _with_seq_cols(df: DataFrame, seq_tokens: int) -> DataFrame:
+    """Derive (seq_id, seq_offset, n_seqs) from (global_start, n_tokens) —
+    the ONE copy of the sequence-boundary arithmetic, shared by one-shot
+    and incremental packing so a fix to an edge (e.g. the n_tokens == 0
+    zero-span rule) cannot silently miss one of them. The token axis is
+    non-negative by construction, so truncating DIV is safe here."""
+    return (
+        df.withColumn(
+            "seq_id", F.expr(f"global_start DIV {seq_tokens}").cast("long")
+        )
+        .withColumn(
+            "seq_offset", (F.col("global_start") % seq_tokens).cast("long")
+        )
+        .withColumn(
+            "n_seqs",
+            F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr(
+                    f"(global_start + n_tokens - 1) DIV {seq_tokens}"
+                ).cast("long")
+                - F.col("seq_id")
+                + 1
+            ),
+        )
+    )
+
+
 def token_packing(
     docs: DataFrame, seq_tokens: int = SEQ_TOKENS
 ) -> DataFrame:
@@ -79,25 +105,11 @@ def token_packing(
         .select("bucket", "bucket_start")
     )
     start = F.col("bucket_start") + F.col("local_start")
-    return (
-        local.join(F.broadcast(offsets), "bucket")
-        .select("doc_id", "n_tokens", start.alias("global_start"))
-        .withColumn(
-            "seq_id", F.expr(f"global_start DIV {seq_tokens}").cast("long")
-        )
-        .withColumn(
-            "seq_offset", (F.col("global_start") % seq_tokens).cast("long")
-        )
-        .withColumn(
-            "n_seqs",
-            F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
-                F.expr(
-                    f"(global_start + n_tokens - 1) DIV {seq_tokens}"
-                ).cast("long")
-                - F.col("seq_id")
-                + 1
-            ),
-        )
+    return _with_seq_cols(
+        local.join(F.broadcast(offsets), "bucket").select(
+            "doc_id", "n_tokens", start.alias("global_start")
+        ),
+        seq_tokens,
     )
 
 
@@ -244,24 +256,11 @@ def token_packing_incremental(
     packing must do."""
     packed = token_packing(new_docs, seq_tokens)
     start = F.col("global_start") + F.lit(int(base_tokens))
-    return (
-        packed.withColumn("global_start", start.cast("long"))
-        .withColumn(
-            "seq_id", F.expr(f"global_start DIV {seq_tokens}").cast("long")
-        )
-        .withColumn(
-            "seq_offset", (F.col("global_start") % seq_tokens).cast("long")
-        )
-        .withColumn(
-            "n_seqs",
-            F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
-                F.expr(
-                    f"(global_start + n_tokens - 1) DIV {seq_tokens}"
-                ).cast("long")
-                - F.col("seq_id")
-                + 1
-            ),
-        )
+    return _with_seq_cols(
+        packed.withColumn("global_start", start.cast("long")).drop(
+            "seq_id", "seq_offset", "n_seqs"
+        ),
+        seq_tokens,
     )
 
 

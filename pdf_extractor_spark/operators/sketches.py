@@ -46,18 +46,16 @@ def _hex_long(col: F.Column, start: int, length: int) -> F.Column:
     return F.conv(F.substring(F.md5(col), start, length), 16, 10).cast("long")
 
 
-def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
-    """Per ``group_col``: HLL registers -> raw estimate, beside the exact
-    distinct count and the integer-permille error.
-
-    Scale shape: the register frame is a (group, idx) max — map-side
-    combined, <= m rows per group cross the shuffle regardless of input
-    size. The exact count (error measurement only) is the expensive
-    operator the sketch replaces at 100 TB.
-    """
+def hll_registers(df: DataFrame, key_col: str, *group_cols: str) -> DataFrame:
+    """The HLL register frame: (*group_cols, idx, r) with r = max rho per
+    register. This is the ONE construction of the sketch arithmetic —
+    estimation (:func:`_hll_estimate`) and merging (max per idx over any
+    union of register frames, see q_hll_merge) both consume it, so a fix
+    to the hash/rho math lands everywhere at once. Map-side combined;
+    <= m rows per group cross the shuffle regardless of input size."""
     h = F.col(key_col).cast("string")
     hashed = df.select(
-        F.col(group_col),
+        *[F.col(c) for c in group_cols],
         F.pmod(_hex_long(h, 1, 2), F.lit(HLL_M)).alias("idx"),
         _hex_long(h, 3, 8).alias("w"),
     ).withColumn(
@@ -66,8 +64,14 @@ def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
             F.lit(_MAXR) - F.length(F.bin(F.col("w")))
         ),
     )
-    regs = hashed.groupBy(group_col, "idx").agg(F.max("rho").alias("r"))
-    per_group = regs.groupBy(group_col).agg(
+    return hashed.groupBy(*group_cols, "idx").agg(F.max("rho").alias("r"))
+
+
+def _hll_estimate(regs: DataFrame, *group_cols: str) -> DataFrame:
+    """Registers -> (*group_cols, n_registers, hll_estimate): absent
+    registers contribute the full 2^_MAXR denominator term; the estimate
+    is the exact integer ratio both engines reproduce bit-for-bit."""
+    g = regs.groupBy(*group_cols).agg(
         F.count("*").alias("n_registers"),
         F.sum(F.expr(f"shiftleft(1L, {_MAXR} - r)")).alias("denom_present"),
     )
@@ -75,23 +79,35 @@ def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
         (F.lit(HLL_M) - F.col("n_registers"))
         * F.lit(1 << _MAXR).cast("long")
     )
-    est = F.expr(f"div({HLL_NUM}, {HLL_DEN} * __denom)")
+    return (
+        g.withColumn("__denom", denom)
+        .withColumn(
+            "hll_estimate", F.expr(f"div({HLL_NUM}, {HLL_DEN} * __denom)")
+        )
+        .drop("denom_present", "__denom")
+    )
+
+
+def _err_permille() -> F.Column:
+    # a function, not a module constant: F.expr needs a live SparkContext
+    return F.expr(
+        "div(abs(hll_estimate - n_exact) * 1000, n_exact)"
+    ).alias("err_permille")
+
+
+def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Per ``group_col``: HLL registers -> raw estimate, beside the exact
+    distinct count and the integer-permille error. The exact count (error
+    measurement only) is the expensive operator the sketch replaces at
+    100 TB."""
+    per_group = _hll_estimate(
+        hll_registers(df, key_col, group_col), group_col
+    )
     exact = df.groupBy(group_col).agg(
         F.countDistinct(key_col).alias("n_exact")
     )
-    return (
-        per_group.withColumn("__denom", denom)
-        .withColumn("hll_estimate", est)
-        .join(exact, group_col)
-        .select(
-            group_col,
-            "n_exact",
-            "n_registers",
-            "hll_estimate",
-            F.expr(
-                "div(abs(hll_estimate - n_exact) * 1000, n_exact)"
-            ).alias("err_permille"),
-        )
+    return per_group.join(exact, group_col).select(
+        group_col, "n_exact", "n_registers", "hll_estimate", _err_permille()
     )
 
 
@@ -396,12 +412,15 @@ def q_cm_sketch_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hll_merge(per_group: DataFrame, group_col: str, key_col: str):
-    """Not an operator by itself — see q_hll_merge: merging HLL sketches
-    is max() over aligned registers, which is why the register frame (not
-    the estimate) is the thing a 100 TB pipeline persists per partition/
-    day: any union of groups collapses to one more tiny max-aggregate."""
-    raise NotImplementedError("merge happens in-plan; see q_hll_merge")
+def hll_merge(register_frames: list, group_cols: list) -> DataFrame:
+    """Merge HLL sketches: union the register frames and take max() per
+    aligned register. This is why the register frame (not the estimate)
+    is the thing a 100 TB pipeline persists per partition/day: any union
+    of groups collapses to one more tiny max-aggregate."""
+    from functools import reduce
+
+    unioned = reduce(DataFrame.unionByName, register_frames)
+    return unioned.groupBy(*group_cols, "idx").agg(F.max("r").alias("r"))
 
 
 def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,48 +428,18 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames are merged (max per register index) into one global sketch,
     whose estimate is compared against the exact global distinct count.
     Identical to sketching the union directly — the algebraic fact that
-    makes HLL the standard per-partition/per-day persisted artifact."""
+    makes HLL the standard per-partition/per-day persisted artifact.
+    Built entirely from the shared register/estimate helpers — no second
+    copy of the sketch arithmetic exists."""
     from . import load
 
     ev = load(spark, sf_dir, "events")
-    h = F.col("user_id").cast("string")
-    hashed = ev.select(
-        F.col("event_type"),
-        F.pmod(_hex_long(h, 1, 2), F.lit(HLL_M)).alias("idx"),
-        _hex_long(h, 3, 8).alias("w"),
-    ).withColumn(
-        "rho",
-        F.when(F.col("w") == 0, F.lit(_MAXR)).otherwise(
-            F.lit(_MAXR) - F.length(F.bin(F.col("w")))
-        ),
-    )
-    per_type = hashed.groupBy("event_type", "idx").agg(
-        F.max("rho").alias("r")
-    )
-    merged = per_type.groupBy("idx").agg(F.max("r").alias("r"))
-    g = merged.agg(
-        F.count("*").alias("n_registers"),
-        F.sum(F.expr(f"shiftleft(1L, {_MAXR} - r)")).alias("denom_present"),
-    )
-    denom = F.col("denom_present") + (
-        (F.lit(HLL_M) - F.col("n_registers"))
-        * F.lit(1 << _MAXR).cast("long")
-    )
+    per_type = hll_registers(ev, "user_id", "event_type")
+    merged = hll_merge([per_type.drop("event_type")], group_cols=[])
+    g = _hll_estimate(merged)
     exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
-    return (
-        g.withColumn("__denom", denom)
-        .withColumn(
-            "hll_estimate", F.expr(f"div({HLL_NUM}, {HLL_DEN} * __denom)")
-        )
-        .crossJoin(F.broadcast(exact))
-        .select(
-            "n_exact",
-            "n_registers",
-            "hll_estimate",
-            F.expr(
-                "div(abs(hll_estimate - n_exact) * 1000, n_exact)"
-            ).alias("err_permille"),
-        )
+    return g.crossJoin(F.broadcast(exact)).select(
+        "n_exact", "n_registers", "hll_estimate", _err_permille()
     )
 
 

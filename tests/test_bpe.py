@@ -122,3 +122,37 @@ def test_encode_preserves_word_order(spark):
     got = {r["doc_id"]: r["tokens"] for r in bpe_encode(docs, 1).collect()}
     assert got[0] != got[1]
     assert sorted(got[0].split()) == sorted(got[1].split())
+
+
+def test_oracle_survives_regex_metachar_symbols(spark):
+    """Learned symbols containing regex metacharacters ('(', '.', '+', '*')
+    must not break the DuckDB oracle: the replacement is an exact literal
+    splice, never a regexp. A regexp-based replace would either error on
+    an unbalanced '(' or silently diverge from the literal position()
+    recursion guard (infinite recursion)."""
+    import duckdb
+    import pandas as pd
+
+    from pdf_extractor_spark.operators.bpe import _bpe_oracle
+
+    # '((' and '..' dominate the pair counts, so the learned merge table
+    # itself contains metachar symbols by step 2
+    texts = ["(( (( (( .. .. a+* a+*"] * 3
+    want = _py_bpe(texts, 4)
+    assert any("(" in l or "." in l for _, l, _r, _ in want)
+
+    got_spark = _run(spark, texts, 4)
+    assert got_spark == want
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    got_duck = [
+        (int(s), l, r, int(pc))
+        for s, l, r, pc in con.execute(
+            _bpe_oracle(4) + " ORDER BY step"
+        ).fetchall()
+    ]
+    assert got_duck == want
