@@ -23,6 +23,7 @@ from pdf_extractor_spark.operators import (
     graph,
     joins,
     multimodal,
+    olap,
     packing,
     pq,
     retrieval,
@@ -42,6 +43,7 @@ _MODULES = [
     text_ops, windows, aggregates, dedup, graph, similarity_search,
     text_analysis, multimodal, joins, tables_md, chunking, packing, bpe,
     web, pq, sketches, retrieval, classifier, zorder, setjoin, warehouse,
+    olap,
 ]
 
 

@@ -101,6 +101,10 @@ BENCH_QUERIES = [
     "scd2_user_tiers",
     "purge_users",
     "shipping_priority",
+    "pivot_weekday",
+    "rollup_region_nation",
+    "user_value_quartiles",
+    "rolling_week_spend",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

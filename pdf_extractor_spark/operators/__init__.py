@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     graph,
     joins,
     multimodal,
+    olap,
     packing,
     pq,
     retrieval,

@@ -1,0 +1,187 @@
+"""Classic OLAP surface: pivot, rollup hierarchy, per-group ntile, and
+time-range rolling windows — the relational constructs an analytics-engine
+user reaches for daily, each in its scale-safe Spark form with an exact
+DuckDB twin.
+
+Scale notes (the 100 TB shapes):
+
+- PIVOT: the output-column domain is an EXPLICIT bounded list (7 weekday
+  slots). ``pivot(col)`` without values triggers an eager distinct scan at
+  plan time and produces unbounded-width rows — never acceptable on a
+  petabyte fact table. With the list, this is one hash groupBy.
+- ROLLUP: Spark expands rollup levels inside one aggregate (Expand +
+  partial agg) — no extra scans per level; output cardinality is the sum
+  of the level cardinalities (tiny here: region x nation).
+- NTILE: partitioned by user_id (unbounded key domain -> parallel), never
+  a global ORDER BY window, which would funnel the corpus through one
+  task (the vocab_top_ngrams lesson). A per-user partition is bounded by
+  that user's event count.
+- RANGE window: frame bounds are on the numeric epoch-micros axis; each
+  user's partition sorts locally after one keyed shuffle. Equal-ep peers
+  are included by RANGE semantics on both engines, so ties need no
+  arbitrary break.
+
+All money is integer cents (the rollup_two_level idiom); week/day
+arithmetic uses the floordiv pair so pre-epoch timestamps bucket
+identically on both engines.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.expressions import floordiv_duck, floordiv_sql
+
+_DAY_US = 86_400_000_000
+_WEEK_US = 7 * _DAY_US
+# 1970-01-01 was a Thursday; +3 makes Monday slot 0
+_WD_SHIFT = 3
+_CENTS = "round(value * 100)"
+
+
+def _ev(spark, sf_dir):
+    from . import load
+    from .aggregates import _with_ep
+
+    return _with_ep(load(spark, sf_dir, "events"))
+
+
+def q_pivot_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts pivoted to a (event_type x weekday) matrix — one row
+    per event type, one column per weekday slot (wd0 = Monday). The
+    explicit 0..6 value list keeps the plan free of the inference scan."""
+    ev = _ev(spark, sf_dir)
+    wd = F.expr(
+        f"pmod({floordiv_sql('ep', _DAY_US)} + {_WD_SHIFT}, 7)"
+    ).cast("int")
+    pivoted = (
+        ev.select("event_type", wd.alias("wd"))
+        .groupBy("event_type")
+        .pivot("wd", list(range(7)))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "event_type",
+        *[
+            F.coalesce(F.col(str(d)), F.lit(0)).cast("long").alias(f"wd{d}_n")
+            for d in range(7)
+        ],
+    )
+
+
+def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-count / account-balance hierarchy over region -> nation
+    with subtotals and a grand total (ROLLUP), levels tagged by the
+    standard grouping bitmask. Dimensions broadcast onto customer; the
+    rollup itself is ONE aggregate (Spark expands levels map-side)."""
+    from . import load
+
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    ).join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_cust"),
+            F.sum(F.expr("round(c_acctbal * 100)").cast("long")).alias(
+                "acctbal_cents"
+            ),
+        )
+        .select("r_name", "n_name", "gid", "n_cust", "acctbal_cents")
+    )
+
+
+def q_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's events split into value quartiles (ntile(4) under a
+    per-user window over a TOTAL order: cents, then event_id), rolled up
+    to per-(user, quartile) count and exact cents sum."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("c", "event_id")
+    return (
+        ev.select(
+            "user_id", "event_id", F.expr(_CENTS).cast("long").alias("c")
+        )
+        .withColumn("q", F.ntile(4).over(w))
+        .groupBy("user_id", "q")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("c").alias("sum_cents"),
+        )
+    )
+
+
+def q_rolling_week_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: the user's trailing-7-day event count and cents sum —
+    a RANGE frame on the numeric epoch-micros axis (bounds are values,
+    not row counts, so sparse activity windows are correct), partitioned
+    by user."""
+    ev = _ev(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep")
+        .rangeBetween(-_WEEK_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("rolling_n"),
+        F.sum(F.expr(_CENTS).cast("long")).over(w).alias("rolling_cents"),
+    )
+
+
+_EP = "epoch_us(ts)"
+_WD = f"((({floordiv_duck(_EP, _DAY_US)} + {_WD_SHIFT}) % 7 + 7) % 7)"
+
+QUERIES = {
+    "pivot_weekday": q_pivot_weekday,
+    "rollup_region_nation": q_rollup_region_nation,
+    "user_value_quartiles": q_user_value_quartiles,
+    "rolling_week_spend": q_rolling_week_spend,
+}
+
+ORACLES = {
+    "pivot_weekday": f"""
+        SELECT event_type,
+               {", ".join(
+                   f"sum(CASE WHEN {_WD} = {d} THEN 1 ELSE 0 END)::BIGINT"
+                   f" AS wd{d}_n"
+                   for d in range(7)
+               )}
+        FROM events
+        GROUP BY event_type
+    """,
+    "rollup_region_nation": """
+        SELECT r_name, n_name,
+               (2 * GROUPING(r_name) + GROUPING(n_name))::BIGINT AS gid,
+               count(*) AS n_cust,
+               sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS acctbal_cents
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+    """,
+    "user_value_quartiles": """
+        WITH t AS (
+            SELECT user_id, event_id, round(value * 100)::BIGINT AS c,
+                   ntile(4) OVER (PARTITION BY user_id
+                                  ORDER BY round(value * 100)::BIGINT,
+                                           event_id) AS q
+            FROM events
+        )
+        SELECT user_id, q, count(*) AS n_events, sum(c)::BIGINT AS sum_cents
+        FROM t GROUP BY user_id, q
+    """,
+    "rolling_week_spend": f"""
+        SELECT event_id, user_id,
+               count(*) OVER w AS rolling_n,
+               (sum(round(value * 100)::BIGINT) OVER w)::BIGINT
+                   AS rolling_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY {_EP}
+                     RANGE BETWEEN {_WEEK_US} PRECEDING AND CURRENT ROW)
+    """,
+}

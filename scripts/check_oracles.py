@@ -63,6 +63,11 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd or unregistered name must never pass as vacuous ALL MATCH
+        print(f"FAIL  unknown query names: {sorted(unknown)}")
+        sys.exit(1)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -102,6 +102,14 @@ RULES = {
     # purge: the deletion list must broadcast (anti/semi) — the big side
     # never shuffles
     "purge_users": ([r"BroadcastHashJoin"], [r"SortMergeJoin", r"ArrowEvalPython", r"\bWindow\b"]),
+    # OLAP surface: pivot is ONE hash aggregate (explicit value list — no
+    # inference scan, no join); rollup levels expand inside one aggregate
+    # over broadcast dim joins; ntile/range windows are user-partitioned
+    # (never a global-order window) and join-free
+    "pivot_weekday": ([r"HashAggregate"], [r"Join", r"\bWindow\b", r"ArrowEvalPython"]),
+    "rollup_region_nation": ([r"BroadcastHashJoin", r"Expand"], [r"SortMergeJoin", r"\bWindow\b", r"ArrowEvalPython"]),
+    "user_value_quartiles": ([r"\bWindow\b"], [r"Join", r"ArrowEvalPython"]),
+    "rolling_week_spend": ([r"\bWindow\b"], [r"Join", r"ArrowEvalPython"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the

@@ -1,0 +1,76 @@
+"""OLAP constructs: pivot / rollup / ntile / range-frame rolling windows.
+Exact-value parity with DuckDB is the oracle gate's job; these tests pin
+the local semantics on crafted rows."""
+import datetime
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.olap import (
+    q_pivot_weekday,
+    q_rolling_week_spend,
+    q_rollup_region_nation,
+    q_user_value_quartiles,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pivot_rows_and_totals(spark):
+    out = q_pivot_weekday(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert len(out) == ev.select("event_type").distinct().count()
+    # pivoted cells sum back to the plain count
+    total = sum(sum(r[f"wd{d}_n"] for d in range(7)) for r in out)
+    assert total == ev.count()
+
+
+def test_rollup_levels_reconcile(spark):
+    rows = q_rollup_region_nation(spark, SF).collect()
+    grand = [r for r in rows if r["gid"] == 3]
+    regions = [r for r in rows if r["gid"] == 1]
+    leaves = [r for r in rows if r["gid"] == 0]
+    assert len(grand) == 1
+    assert grand[0]["n_cust"] == sum(r["n_cust"] for r in regions)
+    assert grand[0]["acctbal_cents"] == sum(r["acctbal_cents"] for r in leaves)
+    # every region subtotal equals the sum of its nation leaves
+    for reg in regions:
+        mine = [r for r in leaves if r["r_name"] == reg["r_name"]]
+        assert reg["n_cust"] == sum(r["n_cust"] for r in mine)
+
+
+def test_quartiles_are_balanced_per_user(spark):
+    out = q_user_value_quartiles(spark, SF)
+    per_user = out.groupBy("user_id").agg(
+        F.max(F.col("n_events")).alias("mx"),
+        F.min(F.col("n_events")).alias("mn"),
+        F.sum("n_events").alias("n"),
+        F.count("*").alias("n_q"),
+    )
+    for r in per_user.collect():
+        # SQL ntile: bucket sizes differ by at most one
+        assert r["mx"] - r["mn"] <= 1
+        assert r["n_q"] <= 4
+
+
+def test_rolling_window_matches_bruteforce(spark):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(days=[0, 1, 3, 9, 10, 20][i]),
+         1, "click", float(i + 1))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double",
+    )
+    df.write.mode("overwrite").parquet("/tmp/olap_ev/events.parquet")
+    got = {
+        r["event_id"]: (r["rolling_n"], r["rolling_cents"])
+        for r in q_rolling_week_spend(spark, "/tmp/olap_ev").collect()
+    }
+    cents = [100, 200, 300, 400, 500, 600]
+    days = [0, 1, 3, 9, 10, 20]
+    for i in range(6):
+        in_win = [j for j in range(6) if 0 <= days[i] - days[j] <= 7]
+        assert got[i] == (len(in_win), sum(cents[j] for j in in_win)), i
