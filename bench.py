@@ -105,6 +105,9 @@ BENCH_QUERIES = [
     "rollup_region_nation",
     "user_value_quartiles",
     "rolling_week_spend",
+    "unpivot_weekday",
+    "grouping_sets_activity",
+    "session_window_agg",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

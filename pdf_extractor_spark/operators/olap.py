@@ -133,17 +133,84 @@ def q_rolling_week_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the weekday matrix back to long form — the inverse
+    half of the pivot pair every reshaping workload needs. Same bounded
+    column list; the melt is a per-row Expand (no shuffle beyond the
+    pivot's own aggregate)."""
+    wide = q_pivot_weekday(spark, sf_dir)
+    return wide.unpivot(
+        ids=["event_type"],
+        values=[f"wd{d}_n" for d in range(7)],
+        variableColumnName="wd",
+        valueColumnName="n_events",
+    )
+
+
+def q_grouping_sets_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with a CUSTOM set list — (event_type), (weekday), and
+    the grand total, but NOT the cross cells (that asymmetry is what
+    distinguishes it from CUBE/ROLLUP). One aggregate over an Expand;
+    expressed via spark.sql to exercise the SQL surface of the engine."""
+    ev = _ev(spark, sf_dir)
+    wd = F.expr(
+        f"pmod({floordiv_sql('ep', _DAY_US)} + {_WD_SHIFT}, 7)"
+    ).cast("long")
+    slim = ev.select("event_type", wd.alias("wd"))
+    # DataFrame substitution, not a temp view: no session-global name to
+    # race between concurrent invocations
+    # wd nulls (the non-wd sets) become a -1 sentinel: a NULL-able integer
+    # column round-trips through pandas as float64 and breaks the exact
+    # hash compare; gid already identifies the level, so this is lossless
+    return spark.sql(
+        """
+        SELECT event_type,
+               coalesce(wd, cast(-1 AS bigint)) AS wd,
+               cast(grouping_id(event_type, wd) AS bigint) AS gid,
+               count(*) AS n_events
+        FROM {src}
+        GROUP BY event_type, wd GROUPING SETS ((event_type), (wd), ())
+        """,
+        src=slim,
+    )
+
+
 _EP = "epoch_us(ts)"
 _WD = f"((({floordiv_duck(_EP, _DAY_US)} + {_WD_SHIFT}) % 7 + 7) % 7)"
 
 QUERIES = {
     "pivot_weekday": q_pivot_weekday,
+    "unpivot_weekday": q_unpivot_weekday,
+    "grouping_sets_activity": q_grouping_sets_activity,
     "rollup_region_nation": q_rollup_region_nation,
     "user_value_quartiles": q_user_value_quartiles,
     "rolling_week_spend": q_rolling_week_spend,
 }
 
 ORACLES = {
+    "unpivot_weekday": f"""
+        WITH wide AS (
+            SELECT event_type,
+                   {", ".join(
+                       f"sum(CASE WHEN {_WD} = {d} THEN 1 ELSE 0 END)::BIGINT"
+                       f" AS wd{d}_n"
+                       for d in range(7)
+                   )}
+            FROM events
+            GROUP BY event_type
+        )
+        SELECT event_type, wd, n_events
+        FROM wide UNPIVOT (n_events FOR wd IN ({
+            ", ".join(f"wd{d}_n" for d in range(7))
+        }))
+    """,
+    "grouping_sets_activity": f"""
+        SELECT event_type, coalesce({_WD}, -1)::BIGINT AS wd,
+               (2 * GROUPING(event_type) + GROUPING({_WD}))::BIGINT AS gid,
+               count(*) AS n_events
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), ({_WD}), ())
+    """,
     "pivot_weekday": f"""
         SELECT event_type,
                {", ".join(

@@ -340,6 +340,38 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-NATIVE session window (``F.session_window``): per
+    (user, dynamic-gap session) event count and exact cents sum, with the
+    engine's own session bounds (end = last event + gap). Same 30-minute
+    gap as q_sessionize, but this form is the one that runs unchanged
+    under Structured Streaming (session_window + watermark); the oracle
+    replays it as gaps-and-islands. Merge rule pinned on both sides: a
+    consecutive gap STRICTLY below the gap duration merges (Spark merges
+    while next.start < prev.end)."""
+    ev = _events(spark, sf_dir)
+    w = F.session_window(
+        F.col("ts").cast("timestamp_ntz"),
+        f"{SESSION_GAP_SECONDS} seconds",
+    )
+    return (
+        ev.groupBy(w.alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("round(value * 100)").cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("w_start"),
+            F.col("w.end").cast("string").alias("w_end"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
 ORACLES["cohort_retention"] = """
         WITH a AS (
             SELECT DISTINCT user_id,
@@ -384,6 +416,7 @@ QUERIES = {
     "column_inference": q_column_inference,
     "cohort_retention": q_cohort_retention,
     "funnel_conversion": q_funnel_conversion,
+    "session_window_agg": q_session_window_agg,
 }
 
 
@@ -444,6 +477,36 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["asof_join_events"] = q_asof_join_events
+
+
+ORACLES["session_window_agg"] = f"""
+    WITH o AS (
+        SELECT user_id, ts AS t,
+               round(value * 100)::BIGINT AS c,
+               CASE WHEN epoch_us(ts)
+                         - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                        >= {SESSION_GAP_SECONDS} * 1000000
+                     OR lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                        IS NULL
+                    THEN 1 ELSE 0 END AS is_new,
+               event_id
+        FROM events
+    ), s AS (
+        SELECT user_id, t, c,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id,
+           min(t)::VARCHAR AS w_start,
+           (max(t) + INTERVAL {SESSION_GAP_SECONDS} SECOND)::VARCHAR
+               AS w_end,
+           count(*) AS n_events,
+           sum(c)::BIGINT AS sum_cents
+    FROM s GROUP BY user_id, sid
+"""
 
 ORACLES["asof_join_events"] = """
     WITH probe AS (

@@ -110,6 +110,11 @@ RULES = {
     "rollup_region_nation": ([r"BroadcastHashJoin", r"Expand"], [r"SortMergeJoin", r"\bWindow\b", r"ArrowEvalPython"]),
     "user_value_quartiles": ([r"\bWindow\b"], [r"Join", r"ArrowEvalPython"]),
     "rolling_week_spend": ([r"\bWindow\b"], [r"Join", r"ArrowEvalPython"]),
+    # melt/grouping-sets ride one Expand + one aggregate, join-free;
+    # session windows are user-partitioned (never a global sort)
+    "unpivot_weekday": ([r"Expand"], [r"Join", r"\bWindow\b", r"ArrowEvalPython"]),
+    "grouping_sets_activity": ([r"Expand"], [r"Join", r"\bWindow\b", r"ArrowEvalPython"]),
+    "session_window_agg": ([], [r"Join", r"ArrowEvalPython"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the

@@ -74,3 +74,48 @@ def test_rolling_window_matches_bruteforce(spark):
     for i in range(6):
         in_win = [j for j in range(6) if 0 <= days[i] - days[j] <= 7]
         assert got[i] == (len(in_win), sum(cents[j] for j in in_win)), i
+
+
+def test_unpivot_roundtrips_pivot(spark):
+    from pdf_extractor_spark.operators.olap import q_unpivot_weekday
+
+    long_rows = q_unpivot_weekday(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    # 7 slots per event type, totals conserved
+    types = ev.select("event_type").distinct().count()
+    assert len(long_rows) == 7 * types
+    assert sum(r["n_events"] for r in long_rows) == ev.count()
+
+
+def test_grouping_sets_custom_asymmetry(spark):
+    from pdf_extractor_spark.operators.olap import q_grouping_sets_activity
+
+    rows = q_grouping_sets_activity(spark, SF).collect()
+    gids = {r["gid"] for r in rows}
+    assert gids == {1, 2, 3}  # (event_type), (wd), () — never the cross cells
+    total = [r for r in rows if r["gid"] == 3]
+    by_type = [r for r in rows if r["gid"] == 1]
+    by_wd = [r for r in rows if r["gid"] == 2]
+    assert len(total) == 1
+    assert total[0]["n_events"] == sum(r["n_events"] for r in by_type)
+    assert total[0]["n_events"] == sum(r["n_events"] for r in by_wd)
+
+
+def test_session_window_matches_sessionize_counts(spark):
+    """The native session_window must produce exactly as many sessions per
+    user as the lag/running-sum sessionizer (same 30-min gap)."""
+    from pdf_extractor_spark.operators.windows import (
+        q_session_window_agg,
+        q_sessionize,
+    )
+
+    native = (
+        q_session_window_agg(spark, SF)
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    classic = {
+        r["user_id"]: r["n_sessions"] for r in q_sessionize(spark, SF).collect()
+    }
+    assert {r["user_id"]: r["count"] for r in native} == classic
