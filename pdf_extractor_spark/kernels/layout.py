@@ -78,6 +78,12 @@ def render_block(block: Dict) -> str:
     if not text:
         return ""
     role = block.get("role", "paragraph")
+    if role is None:
+        role = "paragraph"
+    elif not isinstance(role, str):
+        # an unhashable role (list/dict) would TypeError out of the set
+        # membership test below — schema violation, same contract as text
+        raise MalformedLayout(f"non-string block role: {role!r}")
     if role in _DROP_ROLES:
         return ""
     if role == "title":

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import MARKDOWN_SECTION_SEPARATOR
-from ..functions.expressions import floordiv_sql
+from ..functions.expressions import floordiv_duck, floordiv_sql
 
 
 def q_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,14 +375,16 @@ QUERIES["rollup_two_level"] = q_rollup_two_level
 
 # Direct raw->daily aggregation: the independent path the partial-merge
 # must match.
-ORACLES["rollup_two_level"] = """
+_HR_DUCK = floordiv_duck("epoch_us(ts)", 3600000000)
+
+ORACLES["rollup_two_level"] = f"""
     SELECT event_type,
-           ((((((epoch_us(ts)) - ((((epoch_us(ts)) % 3600000000) + 3600000000) % 3600000000)) // 3600000000)) - (((((((epoch_us(ts)) - ((((epoch_us(ts)) % 3600000000) + 3600000000) % 3600000000)) // 3600000000)) % 24) + 24) % 24)) // 24) AS day_b,
+           {floordiv_duck(_HR_DUCK, 24)} AS day_b,
            count(*) AS n_events,
            sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
            min(round(value * 100)::BIGINT) AS min_cents,
            max(round(value * 100)::BIGINT) AS max_cents,
-           count(DISTINCT (((epoch_us(ts)) - ((((epoch_us(ts)) % 3600000000) + 3600000000) % 3600000000)) // 3600000000)) AS n_hours_active
+           count(DISTINCT {_HR_DUCK}) AS n_hours_active
     FROM events
     GROUP BY 1, 2
 """

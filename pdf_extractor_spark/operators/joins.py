@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.expressions import floordiv_sql
+from ..functions.expressions import floordiv_duck, floordiv_sql
 
 N_PAGES = 20
 WORD_W, WORD_H = 4, 3
@@ -335,11 +335,13 @@ def q_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select("event_id", "user_id", "event_type", "signup_wk")
 
+_DD_TS = "date_diff('day', DATE '2024-01-01', ts::DATE)"
+
 ORACLES = {
-    "salted_join_skew": """
+    "salted_join_skew": f"""
         WITH dim AS (
             SELECT user_id,
-                   min((((date_diff('day', DATE '2024-01-01', ts::DATE)) - ((((date_diff('day', DATE '2024-01-01', ts::DATE)) % 7) + 7) % 7)) // 7))::BIGINT AS signup_wk
+                   min({floordiv_duck(_DD_TS, 7)})::BIGINT AS signup_wk
             FROM events WHERE event_type = 'signup' GROUP BY 1
         )
         SELECT e.event_id, e.user_id, e.event_type, d.signup_wk

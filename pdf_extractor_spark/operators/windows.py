@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.expressions import floordiv_sql
+from ..functions.expressions import floordiv_duck, floordiv_sql
 
 SESSION_GAP_SECONDS = 1800
 
@@ -344,9 +344,13 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark-NATIVE session window (``F.session_window``): per
     (user, dynamic-gap session) event count and exact cents sum, with the
     engine's own session bounds (end = last event + gap). Same 30-minute
-    gap as q_sessionize, but this form is the one that runs unchanged
-    under Structured Streaming (session_window + watermark); the oracle
-    replays it as gaps-and-islands. Merge rule pinned on both sides: a
+    gap duration AND the same boundary as q_sessionize: an exactly-gap
+    pair MERGES, only a strictly greater gap splits (verified empirically
+    against Spark 4.1 and pinned at the boundary by
+    test_session_window_boundary_semantics, which replays the oracle in
+    DuckDB on a crafted boundary fixture). This form runs unchanged under
+    Structured Streaming (session_window + watermark); the oracle replays
+    it as gaps-and-islands. Merge rule pinned on both sides: a
     consecutive gap STRICTLY below the gap duration merges (Spark merges
     while next.start < prev.end)."""
     ev = _events(spark, sf_dir)
@@ -372,10 +376,13 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["cohort_retention"] = """
+_DD_TS_DUCK = "date_diff('day', DATE '2024-01-01', ts::DATE)"
+_DD_STS_DUCK = "date_diff('day', DATE '2024-01-01', s.s_ts::DATE)"
+
+ORACLES["cohort_retention"] = f"""
         WITH a AS (
             SELECT DISTINCT user_id,
-                   (((date_diff('day', DATE '2024-01-01', ts::DATE)) - ((((date_diff('day', DATE '2024-01-01', ts::DATE)) % 7) + 7) % 7)) // 7)::BIGINT AS wk
+                   {floordiv_duck(_DD_TS_DUCK, 7)}::BIGINT AS wk
             FROM events
         ), c AS (
             SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY 1
@@ -386,7 +393,7 @@ ORACLES["cohort_retention"] = """
         GROUP BY 1, 2
 """
 
-ORACLES["funnel_conversion"] = """
+ORACLES["funnel_conversion"] = f"""
         WITH s AS (
             SELECT user_id, min(ts) AS s_ts FROM events
             WHERE event_type = 'signup' GROUP BY 1
@@ -397,7 +404,7 @@ ORACLES["funnel_conversion"] = """
             WHERE e.event_type = 'purchase'
             GROUP BY 1
         )
-        SELECT (((date_diff('day', DATE '2024-01-01', s.s_ts::DATE)) - ((((date_diff('day', DATE '2024-01-01', s.s_ts::DATE)) % 7) + 7) % 7)) // 7)::BIGINT AS cohort_wk,
+        SELECT {floordiv_duck(_DD_STS_DUCK, 7)}::BIGINT AS cohort_wk,
                count(*) AS n_signups,
                sum(CASE WHEN p.p_ts IS NOT NULL
                          AND date_diff('day', s.s_ts::DATE, p.p_ts::DATE)
@@ -486,7 +493,7 @@ ORACLES["session_window_agg"] = f"""
                CASE WHEN epoch_us(ts)
                          - lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                                    ORDER BY ts, event_id)
-                        >= {SESSION_GAP_SECONDS} * 1000000
+                        > {SESSION_GAP_SECONDS} * 1000000
                      OR lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                                 ORDER BY ts, event_id)
                         IS NULL

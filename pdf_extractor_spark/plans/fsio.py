@@ -68,6 +68,15 @@ def committed_versions(
     out = []
     for st in fs.listStatus(hroot):
         name = st.getPath().getName()
+        if st.isFile() and (name.endswith(".parquet") or name == SUCCESS):
+            # a pre-versioning (flat) store: part files at the root. Reading
+            # it as "no committed versions" would silently discard the
+            # accumulated state and restart batch dedup from zero — fail
+            # loudly and demand a one-time migration instead.
+            raise ValueError(
+                f"{root} holds a flat (unversioned) store; migrate it to "
+                f"a '{prefix}<n>/' snapshot before reading"
+            )
         if not (st.isDirectory() and name.startswith(prefix)):
             continue
         try:

@@ -122,3 +122,17 @@ def test_layout_null_coords_default_to_zero():
     )
     assert r["valid"]
     assert "hello" in r["extracted_text"]
+
+
+def test_layout_non_string_role_is_data():
+    r = extract_turn(
+        _payload(
+            {"pages": [{"blocks": [{"text": "t", "role": []}]}]}
+        )
+    )
+    assert not r["valid"] and r["problems"] == ["invalid_layout_json"]
+    # absent / null roles stay fine (default paragraph)
+    r2 = extract_turn(
+        _payload({"pages": [{"blocks": [{"text": "ok", "role": None}]}]})
+    )
+    assert r2["valid"] and "ok" in r2["extracted_text"]

@@ -52,7 +52,7 @@ def test_quartiles_are_balanced_per_user(spark):
         assert r["n_q"] <= 4
 
 
-def test_rolling_window_matches_bruteforce(spark):
+def test_rolling_window_matches_bruteforce(spark, tmp_path):
     base = datetime.datetime(2024, 1, 1)
     rows = [
         (i, base + datetime.timedelta(days=[0, 1, 3, 9, 10, 20][i]),
@@ -64,10 +64,10 @@ def test_rolling_window_matches_bruteforce(spark):
         "event_id long, ts timestamp_ntz, user_id long, event_type string,"
         " value double",
     )
-    df.write.mode("overwrite").parquet("/tmp/olap_ev/events.parquet")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
     got = {
         r["event_id"]: (r["rolling_n"], r["rolling_cents"])
-        for r in q_rolling_week_spend(spark, "/tmp/olap_ev").collect()
+        for r in q_rolling_week_spend(spark, str(tmp_path)).collect()
     }
     cents = [100, 200, 300, 400, 500, 600]
     days = [0, 1, 3, 9, 10, 20]
@@ -102,8 +102,10 @@ def test_grouping_sets_custom_asymmetry(spark):
 
 
 def test_session_window_matches_sessionize_counts(spark):
-    """The native session_window must produce exactly as many sessions per
-    user as the lag/running-sum sessionizer (same 30-min gap)."""
+    """Per-user session counts agree with the lag/running-sum sessionizer:
+    same gap duration, same boundary (an exactly-gap pair merges; only a
+    strictly greater gap splits — pinned at the boundary by
+    test_session_window_boundary_semantics)."""
     from pdf_extractor_spark.operators.windows import (
         q_session_window_agg,
         q_sessionize,
@@ -119,3 +121,52 @@ def test_session_window_matches_sessionize_counts(spark):
         r["user_id"]: r["n_sessions"] for r in q_sessionize(spark, SF).collect()
     }
     assert {r["user_id"]: r["count"] for r in native} == classic
+
+
+def test_session_window_boundary_semantics(spark, tmp_path):
+    """Spark merges an exactly-gap-apart pair into ONE session (only a
+    strictly greater gap splits) — measured, and the DuckDB oracle must
+    replay the same boundary on the same crafted fixture."""
+    import datetime
+
+    import duckdb
+
+    from pdf_extractor_spark.operators.windows import (
+        ORACLES,
+        q_session_window_agg,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        # user 1: exactly 1800s apart -> MERGES (one session)
+        (0, base, 1, "click", 1.0),
+        (1, base + datetime.timedelta(seconds=1800), 1, "click", 1.0),
+        # user 2: 1801s apart -> splits
+        (2, base, 2, "click", 1.0),
+        (3, base + datetime.timedelta(seconds=1801), 2, "click", 1.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = sorted(
+        map(tuple, q_session_window_agg(spark, str(tmp_path)).collect())
+    )
+    per_user = {}
+    for r in got:
+        per_user[r[0]] = per_user.get(r[0], 0) + 1
+    assert per_user == {1: 1, 2: 2}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    want = sorted(
+        (int(u), ws, we, int(n), int(c))
+        for u, ws, we, n, c in con.execute(
+            ORACLES["session_window_agg"]
+        ).fetchall()
+    )
+    assert got == want

@@ -120,3 +120,17 @@ def test_crashed_snapshot_is_invisible_and_recovered(spark, tmp_path):
         )
     )
     assert sorted(map(tuple, daily_from_store(spark, store).collect())) == want
+
+
+def test_flat_legacy_store_fails_loudly(spark, tmp_path):
+    """A pre-versioning store (part files at the root) must raise, not be
+    silently read as empty (which would discard the accumulated state and
+    restart batch dedup from zero)."""
+    import pytest
+
+    from pdf_extractor_spark.plans import fsio
+
+    store = str(tmp_path / "flat_store")
+    spark.createDataFrame([(1,)], "x long").write.parquet(store)
+    with pytest.raises(ValueError, match="flat"):
+        fsio.committed_versions(spark, store, "v=")
