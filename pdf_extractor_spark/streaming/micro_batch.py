@@ -59,3 +59,40 @@ def windowed_problem_counts(
             F.sum(F.size("problems")).alias("problems"),
         )
     )
+
+def session_spend_stream(
+    event_stream: DataFrame,
+    watermark: str = "1 hour",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Streaming SESSION windows: the exact transform of
+    ``windows.q_session_window_agg`` behind ``readStream`` — dynamic-gap
+    sessions per user, closed and emitted once the watermark passes the
+    session end. State per in-flight session is O(1) (count + sum), the
+    merge rule is Spark's own (strictly-greater gap splits), and the
+    batch twin is oracle-checked, so the streaming results inherit the
+    parity pinned there."""
+    # watermarks require TIMESTAMP (not NTZ); the cast interprets the
+    # naive value in the session timezone and the output strings below
+    # render the same wall-clock either way
+    tz_stream = event_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        tz_stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_seconds} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("round(value * 100)").cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("w_start"),
+            F.col("w.end").cast("string").alias("w_end"),
+            "n_events",
+            "sum_cents",
+        )
+    )
