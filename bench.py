@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "unpivot_weekday",
     "grouping_sets_activity",
     "session_window_agg",
+    "cube_type_weekday",
+    "outlier_zscore",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -175,6 +175,71 @@ def q_grouping_sets_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, weekday): all four grouping levels including
+    the cross cells — completing the pivot/ROLLUP/GROUPING SETS family.
+    Same single-aggregate Expand shape as ROLLUP; wd nulls carry the -1
+    sentinel (pandas float64 coercion, see grouping sets)."""
+    ev = _ev(spark, sf_dir)
+    wd = F.expr(
+        f"pmod({floordiv_sql('ep', _DAY_US)} + {_WD_SHIFT}, 7)"
+    ).cast("long")
+    return (
+        ev.select("event_type", wd.alias("wd"))
+        .cube("event_type", "wd")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.coalesce(F.col("wd"), F.lit(-1)).cast("long").alias("wd"),
+            "gid",
+            "n_events",
+        )
+    )
+
+
+OUTLIER_Z = 3  # flag beyond 3 sigma
+
+
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier counts — EXACT integer arithmetic:
+    |x - mean| > 3*sigma is evaluated as (x*n - s)^2 > 9*(n*ssq - s^2)
+    (cross-multiplied through by n^2), so no float mean/variance ever
+    exists to diverge between engines. Two passes over the fact table
+    (per-group moments, then the flag), both map-side-combined hash
+    aggregates; the moments side is one row per type and broadcasts.
+
+    Overflow headroom: cents <= 4*10^3+, n per type ~ corpus/5; the
+    squared term stays under 2^63 up to ~10^8 rows per group — beyond
+    that, promote the arithmetic to decimal(38,0) (the pricing_summary
+    idiom)."""
+    ev = _ev(spark, sf_dir)
+    cents = F.expr(_CENTS).cast("long")
+    pts = ev.select("event_type", "event_id", cents.alias("c"))
+    moments = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+    )
+    joined = pts.join(F.broadcast(moments), "event_type")
+    dev2 = (F.col("c") * F.col("n") - F.col("s")) * (
+        F.col("c") * F.col("n") - F.col("s")
+    )
+    var_n2 = F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+    is_out = (dev2 > F.lit(OUTLIER_Z * OUTLIER_Z) * var_n2).cast("long")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(is_out).alias("n_outliers"),
+        # -1 sentinel for a group with no outliers: a NULL-able integer
+        # column would float64-coerce through pandas on the oracle side
+        F.coalesce(
+            F.max(F.when(is_out == 1, F.col("c"))), F.lit(-1)
+        ).cast("long").alias("max_outlier_cents"),
+    )
+
+
 _EP = "epoch_us(ts)"
 _WD = f"((({floordiv_duck(_EP, _DAY_US)} + {_WD_SHIFT}) % 7 + 7) % 7)"
 
@@ -185,6 +250,8 @@ QUERIES = {
     "rollup_region_nation": q_rollup_region_nation,
     "user_value_quartiles": q_user_value_quartiles,
     "rolling_week_spend": q_rolling_week_spend,
+    "cube_type_weekday": q_cube_type_weekday,
+    "outlier_zscore": q_outlier_zscore,
 }
 
 ORACLES = {
@@ -210,6 +277,34 @@ ORACLES = {
                count(*) AS n_events
         FROM events
         GROUP BY GROUPING SETS ((event_type), ({_WD}), ())
+    """,
+    "cube_type_weekday": f"""
+        SELECT event_type, coalesce({_WD}, -1)::BIGINT AS wd,
+               (2 * GROUPING(event_type) + GROUPING({_WD}))::BIGINT AS gid,
+               count(*) AS n_events
+        FROM events
+        GROUP BY CUBE (event_type, ({_WD}))
+    """,
+    "outlier_zscore": """
+        WITH pts AS (
+            SELECT event_type, event_id, round(value * 100)::BIGINT AS c
+            FROM events
+        ), m AS (
+            SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+                   sum(c * c)::BIGINT AS ssq
+            FROM pts GROUP BY event_type
+        )
+        SELECT p.event_type,
+               count(*) AS n_events,
+               sum(CASE WHEN (p.c * m.n - m.s) * (p.c * m.n - m.s)
+                             > 9 * (m.n * m.ssq - m.s * m.s)
+                        THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+               coalesce(max(CASE WHEN (p.c * m.n - m.s) * (p.c * m.n - m.s)
+                                       > 9 * (m.n * m.ssq - m.s * m.s)
+                                  THEN p.c END), -1)::BIGINT
+                   AS max_outlier_cents
+        FROM pts p JOIN m USING (event_type)
+        GROUP BY p.event_type
     """,
     "pivot_weekday": f"""
         SELECT event_type,

@@ -115,6 +115,10 @@ RULES = {
     "unpivot_weekday": ([r"Expand"], [r"Join", r"\bWindow\b", r"ArrowEvalPython"]),
     "grouping_sets_activity": ([r"Expand"], [r"Join", r"\bWindow\b", r"ArrowEvalPython"]),
     "session_window_agg": ([], [r"Join", r"ArrowEvalPython"]),
+    "cube_type_weekday": ([r"Expand"], [r"Join", r"\bWindow\b", r"ArrowEvalPython"]),
+    # moments side is one row per type -> must broadcast; both aggregates
+    # hash-based, no windows, no Python
+    "outlier_zscore": ([r"BroadcastHashJoin"], [r"SortMergeJoin", r"\bWindow\b", r"ArrowEvalPython"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the

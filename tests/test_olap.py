@@ -170,3 +170,43 @@ def test_session_window_boundary_semantics(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+def test_cube_has_all_four_levels(spark):
+    from pdf_extractor_spark.operators.olap import q_cube_type_weekday
+
+    rows = q_cube_type_weekday(spark, SF).collect()
+    assert {r["gid"] for r in rows} == {0, 1, 2, 3}
+    grand = [r for r in rows if r["gid"] == 3]
+    cross = [r for r in rows if r["gid"] == 0]
+    assert len(grand) == 1
+    assert grand[0]["n_events"] == sum(r["n_events"] for r in cross)
+
+
+def test_outlier_zscore_exact_on_crafted_rows(spark, tmp_path):
+    """99 values of 100 cents + one of 10000: the spike is > 3 sigma, the
+    rest are not — checked against a float reference computation."""
+    import datetime
+    import statistics
+
+    from pdf_extractor_spark.operators.olap import q_outlier_zscore
+
+    cents = [100] * 99 + [10000]
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i), 1, "click", c / 100.0)
+        for i, c in enumerate(cents)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = q_outlier_zscore(spark, str(tmp_path)).collect()[0]
+    mean = statistics.fmean(cents)
+    sigma = statistics.pstdev(cents)
+    want = sum(1 for c in cents if abs(c - mean) > 3 * sigma)
+    assert want == 1  # the spike, and only the spike
+    assert (r["n_events"], r["n_outliers"], r["max_outlier_cents"]) == (
+        100, 1, 10000,
+    )
