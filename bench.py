@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "session_window_agg",
     "cube_type_weekday",
     "outlier_zscore",
+    "markov_transitions",
+    "hourly_spine_ffill",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

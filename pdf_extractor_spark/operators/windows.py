@@ -376,6 +376,80 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: the event-type transition matrix — for
+    each (prev_type, next_type) pair over per-user event order, the count
+    and the integer-permille transition probability. One per-user lag
+    window (unbounded key domain -> parallel) + two hash aggregates; the
+    per-prev totals are a tiny frame and broadcast back.
+
+    Permille (cnt*1000 div total) keeps the probability integer-exact
+    across engines — the repo-wide no-float-ratios idiom."""
+    ev = _events(spark, sf_dir)
+    w = _user_order()
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("div(n * 1000, total)").alias("permille"),
+        )
+    )
+
+
+def q_hourly_spine_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: the hourly date spine per event type
+    (every hour between the type's first and last event, gaps included)
+    with the hourly cents sum FORWARD-FILLED across silent hours — the
+    gap-fill + locf resample every warehouse needs before charting or
+    joining time series.
+
+    Scale shape: the spine is bounded by calendar x types (one row per
+    hour per type — ~9k/type/year regardless of corpus size), built from
+    a per-type min/max aggregate + sequence explode; the fill is a
+    last-ignorenulls window PARTITIONED BY TYPE over that bounded spine,
+    so the window's partition size is calendar-bounded, never
+    data-bounded. The raw corpus is touched only by the two hash
+    aggregates."""
+    from .aggregates import _hourly_partials, _with_ep
+
+    hourly = _hourly_partials(_with_ep(_events(spark, sf_dir))).select(
+        "event_type", "hour_b", F.col("s").alias("cents")
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour_b").alias("lo"), F.max("hour_b").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("hour_b"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(hourly, ["event_type", "hour_b"], "left")
+    return joined.select(
+        "event_type",
+        "hour_b",
+        F.col("cents").isNull().cast("long").alias("is_gap"),
+        F.last("cents", ignorenulls=True).over(w).alias("cents_filled"),
+    )
+
+
 _DD_TS_DUCK = "date_diff('day', DATE '2024-01-01', ts::DATE)"
 _DD_STS_DUCK = "date_diff('day', DATE '2024-01-01', s.s_ts::DATE)"
 
@@ -424,6 +498,8 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "funnel_conversion": q_funnel_conversion,
     "session_window_agg": q_session_window_agg,
+    "markov_transitions": q_markov_transitions,
+    "hourly_spine_ffill": q_hourly_spine_ffill,
 }
 
 
@@ -513,6 +589,47 @@ ORACLES["session_window_agg"] = f"""
            count(*) AS n_events,
            sum(c)::BIGINT AS sum_cents
     FROM s GROUP BY user_id, sid
+"""
+
+
+ORACLES["markov_transitions"] = """
+    WITH seq AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id)
+                   AS prev_type,
+               event_type AS next_type
+        FROM events
+    ), pairs AS (
+        SELECT prev_type, next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    ), tot AS (
+        SELECT prev_type, sum(n)::BIGINT AS total FROM pairs GROUP BY 1
+    )
+    SELECT p.prev_type, p.next_type, p.n,
+           (p.n * 1000) // t.total AS permille
+    FROM pairs p JOIN tot t USING (prev_type)
+"""
+
+ORACLES["hourly_spine_ffill"] = f"""
+    WITH hourly AS (
+        SELECT event_type,
+               {floordiv_duck('epoch_us(ts)', 3600000000)} AS hour_b,
+               sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT event_type, min(hour_b) AS lo, max(hour_b) AS hi
+        FROM hourly GROUP BY 1
+    ), spine AS (
+        SELECT b.event_type, s.h AS hour_b
+        FROM bounds b, LATERAL (SELECT unnest(range(b.lo, b.hi + 1)) AS h) s
+    )
+    SELECT s.event_type, s.hour_b,
+           (CASE WHEN h.cents IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_gap,
+           last_value(h.cents IGNORE NULLS)
+               OVER (PARTITION BY s.event_type ORDER BY s.hour_b
+                     ROWS UNBOUNDED PRECEDING) AS cents_filled
+    FROM spine s LEFT JOIN hourly h USING (event_type, hour_b)
 """
 
 ORACLES["asof_join_events"] = """

@@ -119,6 +119,11 @@ RULES = {
     # moments side is one row per type -> must broadcast; both aggregates
     # hash-based, no windows, no Python
     "outlier_zscore": ([r"BroadcastHashJoin"], [r"SortMergeJoin", r"\bWindow\b", r"ArrowEvalPython"]),
+    # transition totals broadcast back onto the pair counts
+    "markov_transitions": ([r"BroadcastHashJoin", r"\bWindow\b"], [r"SortMergeJoin", r"ArrowEvalPython"]),
+    # the spine/fill window runs over the calendar-bounded spine, never
+    # the raw corpus; no Python anywhere
+    "hourly_spine_ffill": ([r"\bWindow\b"], [r"ArrowEvalPython"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the

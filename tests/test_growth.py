@@ -39,3 +39,47 @@ def test_week_bucketing_floors_pre_epoch_dates(spark):
         *[F.expr(e).alias(f"c{i}") for i, e in enumerate(exprs)]
     ).first()
     assert list(row) == [a // b for a, b in pairs]
+
+
+def test_markov_rows_and_permille(spark):
+    from pdf_extractor_spark.operators.windows import q_markov_transitions
+
+    rows = q_markov_transitions(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+    for prev, grp in by_prev.items():
+        total_permille = sum(r["permille"] for r in grp)
+        # integer floor division: the row permilles sum to <= 1000 and
+        # within len(grp) of it
+        assert 1000 - len(grp) <= total_permille <= 1000, prev
+
+
+def test_hourly_spine_fills_gaps_with_locf(spark, tmp_path):
+    import datetime
+
+    from pdf_extractor_spark.operators.windows import q_hourly_spine_ffill
+
+    base = datetime.datetime(2024, 1, 1)
+    # hours 0 and 3 have data; 1-2 are gaps to fill with hour 0's sum
+    rows = [
+        (0, base, 1, "click", 2.0),
+        (1, base + datetime.timedelta(minutes=10), 2, "click", 3.0),
+        (2, base + datetime.timedelta(hours=3), 1, "click", 7.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r["hour_b"]: (r["is_gap"], r["cents_filled"])
+        for r in q_hourly_spine_ffill(spark, str(tmp_path)).collect()
+    }
+    lo = min(got)
+    assert len(got) == 4
+    assert got[lo] == (0, 500)
+    assert got[lo + 1] == (1, 500)
+    assert got[lo + 2] == (1, 500)
+    assert got[lo + 3] == (0, 700)
