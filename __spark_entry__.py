@@ -27,6 +27,7 @@ from pdf_extractor_spark.operators import (
     packing,
     pq,
     retrieval,
+    sequences,
     setjoin,
     similarity_search,
     sketches,
@@ -43,7 +44,7 @@ _MODULES = [
     text_ops, windows, aggregates, dedup, graph, similarity_search,
     text_analysis, multimodal, joins, tables_md, chunking, packing, bpe,
     web, pq, sketches, retrieval, classifier, zorder, setjoin, warehouse,
-    olap,
+    olap, sequences,
 ]
 
 

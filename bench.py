@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "outlier_zscore",
     "markov_transitions",
     "hourly_spine_ffill",
+    "sequential_patterns",
+    "bradley_terry",
+    "hard_negatives",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

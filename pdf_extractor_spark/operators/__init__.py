@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     packing,
     pq,
     retrieval,
+    sequences,
     setjoin,
     similarity_search,
     sketches,

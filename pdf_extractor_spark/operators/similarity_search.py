@@ -684,6 +684,110 @@ def _cluster_top_terms_oracle() -> str:
         ) WHERE rk <= {TOP_TERMS}
     """
 
+HN_TOP_K = 5
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / metric-learning training
+    data: for each query vector, the HN_TOP_K nearest neighbors whose
+    LABEL DIFFERS — the close-but-wrong candidates that make informative
+    negatives (the standard ANN-mining step behind dense-retriever and
+    embedding-model training sets).
+
+    Scale shape: candidates come from the multi-probe sign-bucket
+    equi-join (the q_ann_ivf_cosine pattern — tiny query side broadcast,
+    corpus never shuffles), the label-mismatch predicate rides the join as
+    a post-filter, and the per-query top-K is a bounded window over the
+    probed candidates only. The label filter also subsumes the self-match
+    exclusion (a vector shares its own label)."""
+    from . import load
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            "label",
+        )
+        .withColumn("bucket", _sign_bucket(F.col("embedding")))
+    )
+    probes = F.array(
+        F.col("q_bucket"),
+        *[
+            F.expr(f"cast(q_bucket ^ {1 << i} as int)")
+            for i in range(N_SIGN_BITS)
+        ],
+    )
+    queries = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("q_label"),
+            F.col("bucket").alias("q_bucket"),
+        )
+        .select("q_id", "q_emb", "q_label", F.explode(probes).alias("probe"))
+    )
+    scored = emb.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("probe"))
+        & (F.col("label") != F.col("q_label")),
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("long").alias("neg_label"),
+        F.round(
+            cosine_similarity_expr(F.col("q_emb"), F.col("embedding")), 4
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= HN_TOP_K)
+        .select("q_id", "rank", "neighbor_id", "neg_label", "sim")
+    )
+
+
+ORACLES["hard_negatives"] = (
+    """
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb, label,
+                   (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+                    + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                    + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+                    + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+                    + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+                    + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
+                    + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
+                    + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)
+                       AS bucket
+            FROM embeddings
+        ), q0 AS (
+            SELECT vec_id AS q_id, emb AS q_emb, label AS q_label,
+                   bucket AS q_bucket
+            FROM e WHERE vec_id < """ + str(N_QUERIES) + f"""
+        ), q AS (
+            SELECT q_id, q_emb, q_label,
+                   xor(q_bucket, f.flip)::INT AS probe
+            FROM q0, LATERAL (SELECT unnest(
+                [0, 1, 2, 4, 8, 16, 32, 64, 128]) AS flip) f
+        ), scored AS (
+            SELECT q.q_id, c.vec_id AS neighbor_id,
+                   c.label::BIGINT AS neg_label, {_DUCK_SIM}
+            FROM e c JOIN q ON c.bucket = q.probe
+                           AND c.label <> q.q_label
+        )
+        SELECT q_id, rank, neighbor_id, neg_label, sim FROM (
+            SELECT q_id, neighbor_id, neg_label, sim,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, neighbor_id ASC)
+                       AS rank
+            FROM scored
+        ) WHERE rank <= {HN_TOP_K}
+    """
+)
+
+
 QUERIES = {
     "knn_cosine": q_knn_cosine,
     "ann_ivf_cosine": q_ann_ivf_cosine,
@@ -691,6 +795,7 @@ QUERIES = {
     "kmeans_fit": q_kmeans_fit,
     "ann_recall": q_ann_recall,
     "ann_ivf_trained": q_ann_ivf_trained,
+    "hard_negatives": q_hard_negatives,
 }
 
 QUERIES["cluster_top_terms"] = q_cluster_top_terms

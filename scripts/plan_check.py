@@ -124,6 +124,14 @@ RULES = {
     # the spine/fill window runs over the calendar-bounded spine, never
     # the raw corpus; no Python anywhere
     "hourly_spine_ffill": ([r"\bWindow\b"], [r"ArrowEvalPython"]),
+    # trigram mining: per-user lag windows + one hash aggregate, join-free
+    "sequential_patterns": ([r"\bWindow\b", r"HashAggregate"],
+                            [r"Join", r"ArrowEvalPython"]),
+    # hard negatives: the label filter must RIDE the bucket equi-join —
+    # an NLJ here means the predicate displaced the equi-key
+    "hard_negatives": ([r"BroadcastHashJoin"],
+                       [r"BroadcastNestedLoopJoin", r"SortMergeJoin",
+                        r"ArrowEvalPython"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the
