@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "sequential_patterns",
     "bradley_terry",
     "hard_negatives",
+    "training_triplets",
+    "rrf_fusion",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -106,7 +106,100 @@ def q_bm25_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_top_k(load(spark, sf_dir, "documents"), QUERY_TERMS)
 
 
-QUERIES = {"bm25_top_k": q_bm25_top_k}
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (Cormack, Clarke & Buettcher,
+# SIGIR 2009) of the lexical BM25 list and a semantic cosine list — the
+# standard RAG first-stage combiner. RRF needs only the RANKS, so it is
+# integer-exact by construction: contribution = RRF_SCALE // (RRF_K + rank).
+# ---------------------------------------------------------------------------
+
+RRF_K = 60          # the canonical RRF dampening constant
+RRF_SCALE = 10**6   # fixed-point units for the reciprocal contributions
+FUSED_TOP_K = BM25_TOP_K
+
+
+def _semantic_top_k(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Cosine top-k of the corpus against the vec_id-0 query embedding
+    (doc_id == vec_id in the driver tables): 1-row broadcast query side,
+    salted two-stage rank — the bm25_top_k global-top-K recipe."""
+    from ..functions.expressions import cosine_similarity_expr
+    from .similarity_search import _emb
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.where(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_similarity_expr(F.col("q_emb"), F.col("embedding")), 4
+            ).alias("sim"),
+        )
+    )
+    order = (F.desc("sim"), F.asc("doc_id"))
+    w_salt = Window.partitionBy("salt").orderBy(*order)
+    survivors = (
+        scored.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(BM25_SALT))
+        )
+        .withColumn("rk", F.row_number().over(w_salt))
+        .where(F.col("rk") <= k)
+        .drop("rk", "salt")
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(F.col("rk").cast("long").alias("rank"), "doc_id")
+    )
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 lexical top-K and the semantic
+    cosine top-K: every doc in either list scores
+    sum(RRF_SCALE // (RRF_K + rank)) over the lists it appears in; the
+    fused top-FUSED_TOP_K is returned with its system coverage.
+
+    Scale shape: each system already bounds its own output to K rows with
+    plan-pinned two-stage ranks, so the fusion operates on <= 2K rows —
+    the final window is bounded by construction, never corpus-sized.
+
+    Output: rk, doc_id, rrf_score, n_systems."""
+    lex = q_bm25_top_k(spark, sf_dir).select(
+        "doc_id", F.col("rk").alias("rank")
+    )
+    sem = _semantic_top_k(spark, sf_dir, FUSED_TOP_K)
+    fused = (
+        lex.unionByName(sem.select("doc_id", "rank"))
+        .select(
+            "doc_id",
+            F.expr(f"div({RRF_SCALE}, {RRF_K} + rank)").alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_systems"),
+        )
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= FUSED_TOP_K)
+        .select(
+            F.col("rk").cast("long").alias("rk"),
+            "doc_id",
+            "rrf_score",
+            "n_systems",
+        )
+    )
+
+
+QUERIES = {"bm25_top_k": q_bm25_top_k, "rrf_fusion": q_rrf_fusion}
 
 _TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
 
@@ -147,3 +240,49 @@ ORACLES = {
         LIMIT {BM25_TOP_K}
     """,
 }
+
+# DuckDB replay of the fusion: the BM25 oracle nests as a subquery (the
+# ann_recall composition pattern), the semantic list re-ranks cosine against
+# the vec_id-0 embedding, and the RRF sum uses the same integer floor
+# division. _DUCK_SIM (similarity_search) expects aliases q/c.
+ORACLES["rrf_fusion"] = None  # filled below after the import
+
+
+def _rrf_oracle() -> str:
+    from .similarity_search import _DUCK_SIM
+
+    return f"""
+        WITH lex AS (
+            SELECT doc_id, rk AS rank FROM ({ORACLES["bm25_top_k"]})
+        ), e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ), qv AS (
+            SELECT emb AS q_emb FROM e WHERE vec_id = 0
+        ), sem0 AS (
+            SELECT c.vec_id AS doc_id, {_DUCK_SIM}
+            FROM e c, qv q WHERE c.vec_id <> 0
+        ), sem AS (
+            SELECT doc_id, rank FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+                FROM sem0
+            ) WHERE rank <= {FUSED_TOP_K}
+        ), u AS (
+            SELECT doc_id, rank FROM lex
+            UNION ALL SELECT doc_id, rank FROM sem
+        ), f AS (
+            SELECT doc_id,
+                   sum({RRF_SCALE}::BIGINT // ({RRF_K} + rank))::BIGINT
+                       AS rrf_score,
+                   count(*) AS n_systems
+            FROM u GROUP BY 1
+        )
+        SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rk,
+               doc_id, rrf_score, n_systems
+        FROM f
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT {FUSED_TOP_K}
+    """
+
+
+ORACLES["rrf_fusion"] = _rrf_oracle()

@@ -788,6 +788,124 @@ ORACLES["hard_negatives"] = (
 )
 
 
+def q_training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet construction: for each query vector,
+    its nearest SAME-label neighbor (the positive) and its nearest
+    DIFFERENT-label neighbor (the hard negative) from the multi-probe
+    sign-bucket candidates — the (anchor, positive, negative) rows a
+    metric-learning / dense-retriever trainer consumes directly.
+
+    Scale shape: one candidate generation (the q_hard_negatives broadcast
+    equi-join, label filter deferred), one window over the probed
+    candidates partitioned by (q_id, is_pos), and a tiny pos x neg join on
+    q_id. Queries missing either side (no probed same/different-label
+    candidate) are dropped — a triplet needs both."""
+    from . import load
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            "label",
+        )
+        .withColumn("bucket", _sign_bucket(F.col("embedding")))
+    )
+    probes = F.array(
+        F.col("q_bucket"),
+        *[
+            F.expr(f"cast(q_bucket ^ {1 << i} as int)")
+            for i in range(N_SIGN_BITS)
+        ],
+    )
+    queries = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("q_label"),
+            F.col("bucket").alias("q_bucket"),
+        )
+        .select("q_id", "q_emb", "q_label", F.explode(probes).alias("probe"))
+    )
+    cand = emb.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("probe"))
+        & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.col("label") == F.col("q_label")).alias("is_pos"),
+        F.round(
+            cosine_similarity_expr(F.col("q_emb"), F.col("embedding")), 4
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("q_id", "is_pos").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    best = cand.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") == 1
+    )
+    pos = best.where(F.col("is_pos")).select(
+        "q_id",
+        F.col("neighbor_id").alias("pos_id"),
+        F.col("sim").alias("pos_sim"),
+    )
+    neg = best.where(~F.col("is_pos")).select(
+        "q_id",
+        F.col("neighbor_id").alias("neg_id"),
+        F.col("sim").alias("neg_sim"),
+    )
+    # both sides are <= N_QUERIES rows but post-window (no size stats) —
+    # broadcast explicitly or the planner falls back to a sort-merge join
+    return pos.join(F.broadcast(neg), "q_id")
+
+
+ORACLES["training_triplets"] = (
+    """
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb, label,
+                   (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+                    + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                    + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+                    + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+                    + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+                    + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
+                    + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
+                    + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)
+                       AS bucket
+            FROM embeddings
+        ), q0 AS (
+            SELECT vec_id AS q_id, emb AS q_emb, label AS q_label,
+                   bucket AS q_bucket
+            FROM e WHERE vec_id < """ + str(N_QUERIES) + f"""
+        ), q AS (
+            SELECT q_id, q_emb, q_label,
+                   xor(q_bucket, f.flip)::INT AS probe
+            FROM q0, LATERAL (SELECT unnest(
+                [0, 1, 2, 4, 8, 16, 32, 64, 128]) AS flip) f
+        ), cand AS (
+            SELECT q.q_id, c.vec_id AS neighbor_id,
+                   (c.label = q.q_label) AS is_pos, {_DUCK_SIM}
+            FROM e c JOIN q ON c.bucket = q.probe
+                           AND c.vec_id <> q.q_id
+        ), best AS (
+            SELECT q_id, neighbor_id, is_pos, sim FROM (
+                SELECT q_id, neighbor_id, is_pos, sim,
+                       row_number() OVER (PARTITION BY q_id, is_pos
+                                          ORDER BY sim DESC,
+                                                   neighbor_id ASC) AS rk
+                FROM cand
+            ) WHERE rk = 1
+        )
+        SELECT p.q_id, p.neighbor_id AS pos_id, p.sim AS pos_sim,
+               n.neighbor_id AS neg_id, n.sim AS neg_sim
+        FROM best p JOIN best n ON n.q_id = p.q_id
+        WHERE p.is_pos AND NOT n.is_pos
+    """
+)
+
+
 QUERIES = {
     "knn_cosine": q_knn_cosine,
     "ann_ivf_cosine": q_ann_ivf_cosine,
@@ -796,6 +914,7 @@ QUERIES = {
     "ann_recall": q_ann_recall,
     "ann_ivf_trained": q_ann_ivf_trained,
     "hard_negatives": q_hard_negatives,
+    "training_triplets": q_training_triplets,
 }
 
 QUERIES["cluster_top_terms"] = q_cluster_top_terms

@@ -132,6 +132,13 @@ RULES = {
     "hard_negatives": ([r"BroadcastHashJoin"],
                        [r"BroadcastNestedLoopJoin", r"SortMergeJoin",
                         r"ArrowEvalPython"]),
+    # triplets: same candidate shape as hard_negatives
+    "training_triplets": ([r"BroadcastHashJoin"],
+                          [r"BroadcastNestedLoopJoin", r"SortMergeJoin",
+                           r"ArrowEvalPython"]),
+    # fusion operates on the two bounded top-K lists; the corpus-sized
+    # work stays inside each system (their own salted two-stage ranks)
+    "rrf_fusion": ([r"pmod"], [r"SortMergeJoin", r"ArrowEvalPython"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the
