@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "hard_negatives",
     "training_triplets",
     "rrf_fusion",
+    "time_weighted_avg",
+    "purchase_attribution",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

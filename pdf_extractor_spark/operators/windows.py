@@ -453,6 +453,50 @@ def q_hourly_spine_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DD_TS_DUCK = "date_diff('day', DATE '2024-01-01', ts::DATE)"
 _DD_STS_DUCK = "date_diff('day', DATE '2024-01-01', s.s_ts::DATE)"
 
+ORACLES["time_weighted_avg"] = """
+        WITH ev AS (
+            SELECT user_id, round(value * 100)::BIGINT AS cents,
+                   epoch_us(ts) AS ep, event_id
+            FROM events
+        ), spans AS (
+            SELECT user_id, cents,
+                   lead(ep) OVER (PARTITION BY user_id
+                                  ORDER BY ep, event_id) - ep AS dur_us
+            FROM ev
+        ), agg AS (
+            SELECT user_id,
+                   sum(dur_us::HUGEINT * cents::HUGEINT) AS wsum,
+                   sum(dur_us)::BIGINT AS total_dur_us
+            FROM spans WHERE dur_us IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT user_id, total_dur_us,
+               (wsum // total_dur_us::HUGEINT)::BIGINT AS twa_cents
+        FROM agg
+"""
+
+ORACLES["purchase_attribution"] = """
+        WITH ev AS (
+            SELECT user_id, event_type,
+                   round(value * 100)::BIGINT AS cents,
+                   epoch_us(ts) AS ep, event_id
+            FROM events
+        ), touched AS (
+            SELECT event_type, cents,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ep, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS touch
+            FROM ev
+        )
+        SELECT coalesce(touch, 'direct') AS touch_type,
+               count(*) AS n_purchases,
+               sum(cents)::BIGINT AS attributed_cents
+        FROM touched WHERE event_type = 'purchase'
+        GROUP BY 1
+"""
+
 ORACLES["cohort_retention"] = f"""
         WITH a AS (
             SELECT DISTINCT user_id,
@@ -488,6 +532,77 @@ ORACLES["funnel_conversion"] = f"""
         GROUP BY 1
 """
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average — the hypertable/monitoring classic: a metric
+    sampled at irregular instants must weight each observation by how long
+    it was current, not count it once. Per user: twa_cents =
+    sum(duration_i * cents_i) / sum(duration_i) where duration_i runs from
+    event i to event i+1 (the last observation carries no duration; users
+    with a single event have no interval and are excluded).
+
+    Exact across engines: durations are integer micros, values integer
+    cents, the weighted sum rides DECIMAL(38,0) (micros ~3e13 x cents ~5e4
+    overflows int64 in the worst term), and the average is one floor
+    division — positive operands, so Spark div == DuckDB // exactly.
+
+    Scale shape: one per-user lead window + one hash aggregate — the
+    sessionize layout; user_id is an unbounded parallel key."""
+    w = _user_order()
+    ev = _events(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    spans = ev.select(
+        "user_id",
+        "cents",
+        (F.lead("ep").over(w) - F.col("ep")).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull())
+    agg = spans.groupBy("user_id").agg(
+        F.sum(
+            (F.col("dur_us") * F.col("cents")).cast("decimal(38,0)")
+        ).alias("wsum"),
+        F.sum("dur_us").alias("total_dur_us"),
+    )
+    return agg.select(
+        "user_id",
+        "total_dur_us",
+        F.expr("cast(div(wsum, cast(total_dur_us as decimal(38,0))) as bigint)")
+        .alias("twa_cents"),
+    )
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each ``purchase`` credits its
+    cents to the user's most recent PRECEDING non-purchase event type (the
+    touch); purchases with no preceding touch fall into the 'direct'
+    bucket. Output per touch type: attributed purchases and cents.
+
+    One per-user ``last(..., ignorenulls)`` window (rows unbounded
+    preceding to 1 preceding — strictly before the purchase) + one hash
+    aggregate; the same tagged-ordered-window construction as the as-of
+    join, so no range join and no per-row backward search."""
+    w = _user_order().rowsBetween(Window.unboundedPreceding, -1)
+    ev = _events(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    touched = ev.withColumn(
+        "touch",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        touched.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("touch", F.lit("direct")).alias("touch_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("attributed_cents"),
+        )
+    )
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "balance_classify": q_balance_classify,
@@ -500,6 +615,8 @@ QUERIES = {
     "session_window_agg": q_session_window_agg,
     "markov_transitions": q_markov_transitions,
     "hourly_spine_ffill": q_hourly_spine_ffill,
+    "time_weighted_avg": q_time_weighted_avg,
+    "purchase_attribution": q_purchase_attribution,
 }
 
 

@@ -139,6 +139,11 @@ RULES = {
     # fusion operates on the two bounded top-K lists; the corpus-sized
     # work stays inside each system (their own salted two-stage ranks)
     "rrf_fusion": ([r"pmod"], [r"SortMergeJoin", r"ArrowEvalPython"]),
+    # per-user window + hash aggregate, join-free (the sessionize layout)
+    "time_weighted_avg": ([r"\bWindow\b", r"HashAggregate"],
+                          [r"Join", r"ArrowEvalPython"]),
+    "purchase_attribution": ([r"\bWindow\b", r"HashAggregate"],
+                             [r"Join", r"ArrowEvalPython"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the
