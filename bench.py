@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "rrf_fusion",
     "time_weighted_avg",
     "purchase_attribution",
+    "funnel_steps",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

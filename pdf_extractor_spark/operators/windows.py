@@ -603,7 +603,83 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEP_DAYS = 7
+_STEP_US = FUNNEL_STEP_DAYS * 86400 * 1_000_000
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order 3-step funnel with a per-step conversion window (the
+    product-analytics staple): signup -> first view STRICTLY AFTER it
+    within FUNNEL_STEP_DAYS -> first purchase strictly after THAT view
+    within another FUNNEL_STEP_DAYS. Each step anchors on the previous
+    step's own instant, not the funnel start — the semantics 2-step
+    funnel_conversion cannot express.
+
+    Scale shape: three user-keyed hash aggregates chained by two
+    user-keyed equi-joins (each step's frame is one row per surviving
+    user); the final count combine is three 1-row aggregates cross-joined
+    (the logreg metrics pattern). No windows, no range join — the step
+    predicate rides the equi-join as a filter."""
+    ev = _events(spark, sf_dir)
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("e1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .where(
+            (F.col("ep") > F.col("e1"))
+            & (F.col("ep") - F.col("e1") <= _STEP_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("e2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(
+            (F.col("ep") > F.col("e2"))
+            & (F.col("ep") - F.col("e2") <= _STEP_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("e3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_step1"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_step2")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_step3")))
+    )
+
+
+ORACLES["funnel_steps"] = f"""
+        WITH s1 AS (
+            SELECT user_id, min(epoch_us(ts)) AS e1 FROM events
+            WHERE event_type = 'signup' GROUP BY 1
+        ), s2 AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS e2
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'view'
+              AND epoch_us(e.ts) > s1.e1
+              AND epoch_us(e.ts) - s1.e1 <= {_STEP_US}
+            GROUP BY 1
+        ), s3 AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS e3
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase'
+              AND epoch_us(e.ts) > s2.e2
+              AND epoch_us(e.ts) - s2.e2 <= {_STEP_US}
+            GROUP BY 1
+        )
+        SELECT (SELECT count(*) FROM s1) AS n_step1,
+               (SELECT count(*) FROM s2) AS n_step2,
+               (SELECT count(*) FROM s3) AS n_step3
+"""
+
+
 QUERIES = {
+    "funnel_steps": q_funnel_steps,
     "sessionize": q_sessionize,
     "balance_classify": q_balance_classify,
     "lead_boundary": q_lead_boundary,

@@ -144,6 +144,10 @@ RULES = {
                           [r"Join", r"ArrowEvalPython"]),
     "purchase_attribution": ([r"\bWindow\b", r"HashAggregate"],
                              [r"Join", r"ArrowEvalPython"]),
+    # step chaining is user-keyed equi-joins + hash aggregates; the only
+    # NLJ is the intentional 1-row count combine (logreg pattern)
+    "funnel_steps": ([r"HashAggregate"],
+                     [r"\bWindow\b", r"ArrowEvalPython"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the

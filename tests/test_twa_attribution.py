@@ -64,3 +64,29 @@ def test_attribution_last_touch_and_direct(spark, tmp_path):
         "click": (1, 200),
         "direct": (2, 400),
     }
+
+
+def test_funnel_steps_strict_order_and_windows(spark, tmp_path):
+    from pdf_extractor_spark.operators.windows import q_funnel_steps
+
+    day = 86400
+    rows = [
+        # user 1: full funnel inside the windows
+        (1, _t(0), 1, "signup", 0.0, "{}"),
+        (2, _t(day), 1, "view", 0.0, "{}"),
+        (3, _t(2 * day), 1, "purchase", 0.0, "{}"),
+        # user 2: view BEFORE signup -> never step 2 (strict order)
+        (4, _t(day), 2, "view", 0.0, "{}"),
+        (5, _t(2 * day), 2, "signup", 0.0, "{}"),
+        # user 3: view 8 days after signup -> outside the step window
+        (6, _t(0), 3, "signup", 0.0, "{}"),
+        (7, _t(8 * day), 3, "view", 0.0, "{}"),
+        # user 4: purchase anchored on the VIEW: signup d0, view d6,
+        # purchase d12 -> 6d from view = converts (12d from signup)
+        (8, _t(0), 4, "signup", 0.0, "{}"),
+        (9, _t(6 * day), 4, "view", 0.0, "{}"),
+        (10, _t(12 * day), 4, "purchase", 0.0, "{}"),
+    ]
+    sf = _write(spark, tmp_path, rows)
+    r = q_funnel_steps(spark, sf).collect()[0]
+    assert (r["n_step1"], r["n_step2"], r["n_step3"]) == (4, 2, 2)
