@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "time_weighted_avg",
     "purchase_attribution",
     "funnel_steps",
+    "doc_keywords",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

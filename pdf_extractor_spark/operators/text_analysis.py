@@ -4,7 +4,7 @@ FNV fingerprints (UDF-backed, rows-only checks).
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.expressions import normalize_for_comparison_expr, token_count_expr
@@ -1006,7 +1006,94 @@ ORACLES = {
     """,
 }
 
+KEYWORDS_K = 3
+KEYWORDS_SCALE = 10**6
+_KW_D38 = "DECIMAL(38,0)"
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction — the corpus-exploration twin of
+    bm25_top_k: each document's KEYWORDS_K most characteristic terms by
+    tf-idf, with the idf carried as the BM25 module's exact rational
+    (2N - 2df + 1) / (2df + 1) (Robertson smoothing, log dropped —
+    monotone in df) in KEYWORDS_SCALE fixed point, so the ranking is
+    integer-exact in both engines. Terms are alpha-only, length >= 3 (the
+    classic keyword filter), pruned on the exploded rows BEFORE any
+    shuffle.
+
+    Scale shape: one (doc, term) hash count, one term-keyed df aggregate
+    joined back on the TERM key (vocabulary-sized — deliberately NOT
+    broadcast, unlike bm25's query-filtered df), one per-doc window
+    bounded by the doc's distinct terms. DECIMAL(38,0) headroom: at
+    10^12 docs the numerator is ~tf(1e4) x 2N(2e12) x SCALE(1e6) ~ 1e22
+    — past int64, inside 38 digits."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(_tokens_expr()).alias("term")
+    ).where(F.col("term").rlike(r"^[A-Za-z]{3,}$"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.expr(
+        f"cast(div(cast(tf as {_KW_D38})"
+        f"          * cast(2 * n_docs - 2 * df + 1 as {_KW_D38})"
+        f"          * cast({KEYWORDS_SCALE} as {_KW_D38}),"
+        f"        cast(2 * df + 1 as {_KW_D38})) as bigint)"
+    )
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", "df", score.alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KEYWORDS_K)
+        .select(
+            "doc_id",
+            F.col("rk").cast("long").alias("rk"),
+            "term",
+            "tf",
+            "df",
+            "score",
+        )
+    )
+
+
+ORACLES["doc_keywords"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM (
+                SELECT doc_id, unnest(toks) AS term FROM toks
+            )
+            WHERE regexp_full_match(term, '[A-Za-z]{{3,}}')
+            GROUP BY 1, 2
+        ), dft AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY 1
+        ), scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+                   (tf.tf::HUGEINT
+                    * (2 * n.n_docs - 2 * dft.df + 1)::HUGEINT
+                    * {KEYWORDS_SCALE}::HUGEINT
+                    // (2 * dft.df + 1)::HUGEINT)::BIGINT AS score
+            FROM tf JOIN dft USING (term), n
+        )
+        SELECT doc_id, rk, term, tf, df, score FROM (
+            SELECT doc_id, term, tf, df, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, term) AS rk
+            FROM scored
+        ) WHERE rk <= {KEYWORDS_K}
+"""
+
+
 QUERIES = {
+    "doc_keywords": q_doc_keywords,
     "inverted_index": q_inverted_index,
     "lm_fluency": q_lm_fluency,
     "token_count": q_token_count,

@@ -148,6 +148,10 @@ RULES = {
     # NLJ is the intentional 1-row count combine (logreg pattern)
     "funnel_steps": ([r"HashAggregate"],
                      [r"\bWindow\b", r"ArrowEvalPython"]),
+    # df joins back on the TERM key; the per-doc rank window is bounded
+    # by a doc's distinct terms. (The intentional 1-row n_docs crossJoin
+    # IS a broadcast NLJ — the logreg pattern — so no NLJ ban here.)
+    "doc_keywords": ([r"\bWindow\b"], [r"ArrowEvalPython"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the
