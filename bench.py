@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "purchase_attribution",
     "funnel_steps",
     "doc_keywords",
+    "search_snippets",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -199,7 +199,93 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"bm25_top_k": q_bm25_top_k, "rrf_fusion": q_rrf_fusion}
+SNIPPET_RADIUS = 30  # chars kept either side of the matched term
+
+
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC (keyword-in-context) snippet generation — the display half of
+    a search result page: for each BM25 top-K document, the earliest
+    occurrence of any query term (ties to query-term order) and the
+    +-SNIPPET_RADIUS characters around it. Pure JVM string expressions
+    (instr/substring), mirrored in SQL with strpos/substring — both
+    1-based, both case-sensitive.
+
+    Scale shape: the top-K list (K rows) broadcasts onto the documents
+    scan, so text is fetched for exactly K docs; per-doc work is a
+    constant number of substring searches. Inner-join semantics: a top-K
+    doc always contains at least one query term (its tokens came from
+    this text)."""
+    from . import load
+
+    top = q_bm25_top_k(spark, sf_dir).select("rk", "doc_id")
+    hits = load(spark, sf_dir, "documents").join(
+        F.broadcast(top), "doc_id"
+    )
+    absent = 1 << 62
+    cands = F.array(
+        *[
+            F.struct(
+                F.when(
+                    F.instr(F.col("text"), F.lit(t)) > 0,
+                    F.instr(F.col("text"), F.lit(t)).cast("long"),
+                )
+                .otherwise(F.lit(absent))
+                .alias("pos"),
+                F.lit(i).alias("ord"),
+                F.lit(t).alias("term"),
+            )
+            for i, t in enumerate(QUERY_TERMS)
+        ]
+    )
+    best = hits.withColumn("b", F.array_min(cands)).where(
+        F.col("b.pos") < absent
+    )
+    return best.select(
+        "rk",
+        "doc_id",
+        F.col("b.term").alias("term"),
+        F.col("b.pos").alias("pos"),
+        F.expr(
+            f"substring(text, greatest(b.pos - {SNIPPET_RADIUS}, 1), "
+            f"{2 * SNIPPET_RADIUS} + length(b.term))"
+        ).alias("snippet"),
+    )
+
+
+_SNIPPET_TERMS_SQL = ", ".join(
+    f"('{t}', {i})" for i, t in enumerate(QUERY_TERMS)
+)
+
+
+def _search_snippets_oracle() -> str:
+    return f"""
+        WITH top AS (
+            SELECT rk, doc_id FROM ({ORACLES["bm25_top_k"]})
+        ), hits AS (
+            SELECT t.rk, t.doc_id, q.term, q.ord, d.text,
+                   strpos(d.text, q.term) AS pos
+            FROM top t
+            JOIN documents d USING (doc_id),
+                 (VALUES {_SNIPPET_TERMS_SQL}) q(term, ord)
+            WHERE strpos(d.text, q.term) > 0
+        ), best AS (
+            SELECT rk, doc_id, term, pos, text,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY pos, ord) AS r
+            FROM hits
+        )
+        SELECT rk, doc_id, term, pos::BIGINT AS pos,
+               substring(text, greatest(pos - {SNIPPET_RADIUS}, 1),
+                         {2 * SNIPPET_RADIUS} + len(term)) AS snippet
+        FROM best WHERE r = 1
+    """
+
+
+QUERIES = {
+    "bm25_top_k": q_bm25_top_k,
+    "rrf_fusion": q_rrf_fusion,
+    "search_snippets": q_search_snippets,
+}
 
 _TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
 
@@ -286,3 +372,4 @@ def _rrf_oracle() -> str:
 
 
 ORACLES["rrf_fusion"] = _rrf_oracle()
+ORACLES["search_snippets"] = _search_snippets_oracle()

@@ -152,6 +152,9 @@ RULES = {
     # by a doc's distinct terms. (The intentional 1-row n_docs crossJoin
     # IS a broadcast NLJ — the logreg pattern — so no NLJ ban here.)
     "doc_keywords": ([r"\bWindow\b"], [r"ArrowEvalPython"]),
+    # the K-row result list must broadcast onto the documents scan
+    "search_snippets": ([r"BroadcastHashJoin"],
+                        [r"SortMergeJoin", r"ArrowEvalPython"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the
