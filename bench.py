@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "funnel_steps",
     "doc_keywords",
     "search_snippets",
+    "cooccurrence_pmi",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -1062,6 +1062,146 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_WINDOW = 5       # co-occurrence window (tokens ahead)
+PMI_MIN_PAIR = 5     # min pair count — kills one-off noise
+PMI_MIN_TERM = 20    # min unigram count for a term to participate
+PMI_TOP_K = 20
+PMI_SCALE = 10**6
+PMI_SALT = 16
+
+
+def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence PMI pairs — the statistic behind
+    word-embedding corpora (word2vec/GloVe build exactly this matrix):
+    unordered token pairs co-occurring within PMI_WINDOW positions,
+    ranked by a fixed-point PMI numerator div(n_xy * T * SCALE, c_x*c_y)
+    (monotone in pmi = log of that ratio — log dropped, the doc_keywords
+    idf trick). Count floors (pair >= PMI_MIN_PAIR, term >= PMI_MIN_TERM)
+    keep the matrix out of the hapax tail.
+
+    Scale shape: pair generation is a pure MAP — shifted-slice arrays_zip
+    per distance (never a positional self-join, the repo's
+    zip-shifted-arrays rule) — feeding one (x, y) hash count; unigram
+    counts join back on the TERM key (vocabulary-sized, not broadcast);
+    the global top-K is the salted two-stage rank. DECIMAL(38,0)
+    numerators carry 10^12-token corpora."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.filter(
+            _tokens_expr(), lambda t: t.rlike(r"^[A-Za-z]{3,}$")
+        ).alias("toks")
+    )
+    n = F.size("toks")
+    uni = (
+        toks.select(F.explode("toks").alias("x"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    total = uni.agg(F.sum("c").alias("t_tokens"))
+    pair_frames = []
+    for d in range(1, PMI_WINDOW + 1):
+        ln = F.greatest(n - d, F.lit(0))
+        sel = toks.select(
+            F.slice("toks", 1, ln).alias("a"),
+            F.slice("toks", d + 1, ln).alias("b"),
+        )
+        pair_frames.append(
+            sel.select(F.explode(F.arrays_zip("a", "b")).alias("p")).select(
+                F.least("p.a", "p.b").alias("x"),
+                F.greatest("p.a", "p.b").alias("y"),
+            ).where(F.col("x") != F.col("y"))
+        )
+    pairs = pair_frames[0]
+    for f in pair_frames[1:]:
+        pairs = pairs.unionByName(f)
+    pc = (
+        pairs.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .where(F.col("n_xy") >= PMI_MIN_PAIR)
+    )
+    kept = uni.where(F.col("c") >= PMI_MIN_TERM)
+    scored = (
+        pc.join(kept.select(F.col("x"), F.col("c").alias("cx")), "x")
+        .join(
+            kept.select(F.col("x").alias("y"), F.col("c").alias("cy")), "y"
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            F.expr(
+                f"cast(div(cast(n_xy as decimal(38,0))"
+                f"          * cast(t_tokens as decimal(38,0))"
+                f"          * cast({PMI_SCALE} as decimal(38,0)),"
+                f"        cast(cx as decimal(38,0))"
+                f"          * cast(cy as decimal(38,0))) as bigint)"
+            ).alias("score"),
+        )
+    )
+    order = (F.desc("score"), F.asc("x"), F.asc("y"))
+    w_salt = Window.partitionBy("salt").orderBy(*order)
+    survivors = (
+        scored.withColumn(
+            "salt", F.pmod(F.xxhash64("x", "y"), F.lit(PMI_SALT))
+        )
+        .withColumn("rk", F.row_number().over(w_salt))
+        .where(F.col("rk") <= PMI_TOP_K)
+        .drop("rk", "salt")
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= PMI_TOP_K)
+        .select(
+            F.col("rk").cast("long").alias("rk"), "x", "y", "n_xy", "score"
+        )
+    )
+
+
+ORACLES["cooccurrence_pmi"] = f"""
+        WITH toks AS (
+            SELECT list_filter({_DUCK_TOKS},
+                               t -> regexp_full_match(t, '[A-Za-z]{{3,}}'))
+                       AS toks
+            FROM documents
+        ), uni AS (
+            SELECT x, count(*) AS c FROM (
+                SELECT unnest(toks) AS x FROM toks
+            ) GROUP BY 1
+        ), tt AS (
+            SELECT sum(c)::BIGINT AS t_tokens FROM uni
+        ), pr AS (
+            SELECT least(toks[i + 1], toks[i + d + 1]) AS x,
+                   greatest(toks[i + 1], toks[i + d + 1]) AS y
+            FROM toks,
+                 LATERAL (SELECT unnest(range(len(toks))) AS i) p,
+                 LATERAL (SELECT unnest(range(1, {PMI_WINDOW + 1}))
+                              AS d) q
+            WHERE i + d < len(toks)
+              AND toks[i + 1] <> toks[i + d + 1]
+        ), pc AS (
+            SELECT x, y, count(*) AS n_xy FROM pr GROUP BY 1, 2
+            HAVING count(*) >= {PMI_MIN_PAIR}
+        ), scored AS (
+            SELECT pc.x, pc.y, pc.n_xy,
+                   (pc.n_xy::HUGEINT * tt.t_tokens::HUGEINT
+                    * {PMI_SCALE}::HUGEINT
+                    // (ux.c::HUGEINT * uy.c::HUGEINT))::BIGINT AS score
+            FROM pc
+            JOIN uni ux ON ux.x = pc.x
+            JOIN uni uy ON uy.x = pc.y, tt
+            WHERE ux.c >= {PMI_MIN_TERM} AND uy.c >= {PMI_MIN_TERM}
+        )
+        SELECT row_number() OVER (ORDER BY score DESC, x, y) AS rk,
+               x, y, n_xy, score
+        FROM scored
+        ORDER BY score DESC, x, y
+        LIMIT {PMI_TOP_K}
+"""
+
+
 ORACLES["doc_keywords"] = f"""
         WITH toks AS (
             SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
@@ -1093,6 +1233,7 @@ ORACLES["doc_keywords"] = f"""
 
 
 QUERIES = {
+    "cooccurrence_pmi": q_cooccurrence_pmi,
     "doc_keywords": q_doc_keywords,
     "inverted_index": q_inverted_index,
     "lm_fluency": q_lm_fluency,

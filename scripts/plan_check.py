@@ -155,6 +155,9 @@ RULES = {
     # the K-row result list must broadcast onto the documents scan
     "search_snippets": ([r"BroadcastHashJoin"],
                         [r"SortMergeJoin", r"ArrowEvalPython"]),
+    # pair generation is a shifted-slice MAP (never a positional
+    # self-join); the global top-K must keep the salted two-stage shape
+    "cooccurrence_pmi": ([r"pmod"], [r"ArrowEvalPython"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the
