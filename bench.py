@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "doc_keywords",
     "search_snippets",
     "cooccurrence_pmi",
+    "semantic_dedup",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an
@@ -135,6 +136,7 @@ CAP_OBSERVED = {
     "dedup_incremental",
     "dedup_components",
     "dedup_embedding_cosine",
+    "semantic_dedup",
 }
 
 # v2: cache key versioned with the generator (round 3 added layout payloads)

@@ -828,6 +828,64 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str, observation=None)
     return embedding_cosine_pairs(emb, observation)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str, observation=None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then drop
+    near-duplicates WITHIN each learned cluster — the cluster id replaces
+    the given coarse label as the blocking key, so semantically-close
+    vectors are compared even when their source labels differ. Retention is
+    the deterministic greedy rule: a vector is dropped iff it has a
+    same-cluster neighbor with cosine >= EMB_NEAR_DUP_THRESHOLD and a
+    smaller vec_id (one survivor per similarity chain, no RNG).
+
+    Scale shape: the fit is the broadcast-Lloyd layout certified by
+    kmeans_fit (per-iteration traffic = K x D centroid ints); assignment is
+    a pure map over one localCheckpointed scan; pair generation reuses
+    embedding_cosine_pairs — groupBy + collect_list with sign-bucket
+    sub-blocking for hot clusters and a hard cap with drops recorded on
+    ``observation``. At 100 TB, K grows ~N/target_cluster_size (the paper's
+    regime) so expected block size stays constant; the cap bounds the worst
+    cluster regardless. The final verdict join is a broadcast of the
+    distinct dropped ids (bounded by the capped pair set)."""
+    from . import load
+    from .similarity_search import (
+        KMEANS_DIM,
+        _VQ_SCALE,
+        _fit_centroids,
+        _nearest_centroid,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    vq = F.transform(
+        "emb",
+        lambda x: F.round(x * F.lit(float(_VQ_SCALE)), 0).cast("long"),
+    )
+    base = (
+        emb.withColumn("vq", vq)
+        .where(F.size("vq") == KMEANS_DIM)
+        .localCheckpoint(eager=True)
+    )
+    cents = _fit_centroids(base.select("vec_id", "vq"))
+    labeled = base.withColumn("a", _nearest_centroid(cents)).select(
+        F.col("a.cid").alias("label"), "vec_id", "emb"
+    )
+    pairs = embedding_cosine_pairs(labeled, observation)
+    drops = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    return (
+        labeled.join(
+            F.broadcast(drops.withColumn("dropped", F.lit(True))),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.col("label").alias("cluster"),
+            F.col("dropped").isNull().alias("keep"),
+        )
+    )
+
+
 _DUCK_SHINGLES = """
         WITH words AS (
             SELECT doc_id,
@@ -1131,6 +1189,19 @@ _DUCK_SIGN_BUCKET = " + ".join(
     f"(CASE WHEN emb[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
 )
 
+# Rounded cosine over pair aliases a/b — the SQL twin of
+# functions.expressions.cosine_similarity_expr, shared by the label-blocked
+# and the learned-cluster (semantic) pair oracles.
+_DUCK_PAIR_SIM = """round(
+                     CASE WHEN sqrt(list_sum(list_transform(a.emb, x -> x * x))) = 0
+                            OR sqrt(list_sum(list_transform(b.emb, x -> x * x))) = 0
+                          THEN 0.0
+                          ELSE list_sum(list_transform(range(1, len(a.emb) + 1),
+                                   i -> a.emb[i] * b.emb[i]))
+                               / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+                                  * sqrt(list_sum(list_transform(b.emb, x -> x * x))))
+                     END, 4)"""
+
 ORACLES["dedup_embedding_cosine"] = f"""
         WITH e AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
@@ -1150,15 +1221,7 @@ ORACLES["dedup_embedding_cosine"] = f"""
             HAVING count(*) BETWEEN 2 AND {MAX_EMB_BLOCK_DOCS}
         ), pairs AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(
-                     CASE WHEN sqrt(list_sum(list_transform(a.emb, x -> x * x))) = 0
-                            OR sqrt(list_sum(list_transform(b.emb, x -> x * x))) = 0
-                          THEN 0.0
-                          ELSE list_sum(list_transform(range(1, len(a.emb) + 1),
-                                   i -> a.emb[i] * b.emb[i]))
-                               / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
-                                  * sqrt(list_sum(list_transform(b.emb, x -> x * x))))
-                     END, 4) AS sim
+                   {_DUCK_PAIR_SIM} AS sim
             FROM keyed a
             JOIN kept k ON a.label = k.label AND a.blk = k.blk
             JOIN keyed b ON a.label = b.label AND a.blk = b.blk
@@ -1167,6 +1230,48 @@ ORACLES["dedup_embedding_cosine"] = f"""
         SELECT vec_a, vec_b, sim FROM pairs
         WHERE sim >= {EMB_NEAR_DUP_THRESHOLD}
 """
+
+
+def _semantic_dedup_oracle() -> str:
+    """Replay the Lloyd fit (shared CTE chain), re-block the pair generation
+    by the TRAINED cluster id, and derive the greedy min-id retention."""
+    from .similarity_search import _kmeans_cte_chain
+
+    prefix, _last = _kmeans_cte_chain()
+    return prefix + f"""
+        , cellsSD AS (
+            SELECT vec_id, cid FROM asgF WHERE rk = 1
+        ), eSD AS (
+            SELECT c.vec_id, c.cid AS label, e.embedding::DOUBLE[] AS emb
+            FROM cellsSD c JOIN embeddings e ON e.vec_id = c.vec_id
+        ), cntSD AS (
+            SELECT label, count(*) AS n_label FROM eSD GROUP BY 1
+        ), keyedSD AS (
+            SELECT e.vec_id, e.label, e.emb,
+                   CASE WHEN c.n_label > {MAX_EMB_BLOCK_DOCS}
+                        THEN {_DUCK_SIGN_BUCKET}
+                        ELSE 0 END AS blk
+            FROM eSD e JOIN cntSD c ON e.label = c.label
+        ), keptSD AS (
+            SELECT label, blk FROM keyedSD GROUP BY 1, 2
+            HAVING count(*) BETWEEN 2 AND {MAX_EMB_BLOCK_DOCS}
+        ), pairsSD AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {_DUCK_PAIR_SIM} AS sim
+            FROM keyedSD a
+            JOIN keptSD k ON a.label = k.label AND a.blk = k.blk
+            JOIN keyedSD b ON a.label = b.label AND a.blk = b.blk
+                          AND a.vec_id < b.vec_id
+        ), dropsSD AS (
+            SELECT DISTINCT vec_b FROM pairsSD
+            WHERE sim >= {EMB_NEAR_DUP_THRESHOLD}
+        )
+        SELECT e.vec_id, e.label AS cluster, (d.vec_b IS NULL) AS keep
+        FROM eSD e LEFT JOIN dropsSD d ON d.vec_b = e.vec_id
+    """
+
+
+ORACLES["semantic_dedup"] = _semantic_dedup_oracle()
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
@@ -1181,5 +1286,6 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "simhash_buckets": q_simhash_buckets,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "semantic_dedup": q_semantic_dedup,
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
 }
