@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "search_snippets",
     "cooccurrence_pmi",
     "semantic_dedup",
+    "anchor_text_agg",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -21,7 +21,7 @@ no windows, no Python.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 # Registered domains rejected outright (license/abuse lists in production).
 BLOCKED_DOMAINS = ["example.net"]
@@ -101,7 +101,106 @@ def q_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_host_filter(docs)
 
 
-QUERIES = {"url_host_filter": q_url_host_filter}
+# --- anchor-text aggregation -------------------------------------------------
+# Per-target in-link signal: the classic web-scale relevance/quality feature
+# (anchor text describes the TARGET better than the target's own boilerplate).
+# Out-links are synthesized deterministically (same fixture pattern as
+# URL_EXPR above): each doc links to N_OUT_LINKS targets, the anchor being a
+# position-picked word of the SOURCE text.
+
+N_OUT_LINKS = 3
+ANCHOR_TOP_K = 3
+
+
+def anchor_text_agg(links: DataFrame) -> DataFrame:
+    """Aggregate a link frame (src, src_host, tgt, anchor) into per-target
+    in-link stats: in-degree, distinct source hosts, and the top
+    ANCHOR_TOP_K anchor terms as "anchor(count)" in rank order.
+
+    Scale shape: both aggregations are hash-groupBys keyed on the target
+    (map-side partial counts — a hot target ships counts, not rows); the
+    anchor rank window partitions by target over the already-aggregated
+    (tgt, anchor) counts, so per-partition state is the target's DISTINCT
+    anchor vocabulary, bounded far below its raw in-degree. No collect_set
+    of raw anchors ever holds unaggregated rows."""
+    deg = links.groupBy("tgt").agg(
+        F.count("*").alias("in_degree"),
+        F.countDistinct("src_host").alias("n_src_hosts"),
+    )
+    ac = links.groupBy("tgt", "anchor").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("tgt").orderBy(F.desc("cnt"), F.asc("anchor"))
+    top = (
+        ac.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= ANCHOR_TOP_K)
+        .groupBy("tgt")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rk", "anchor", "cnt"))),
+                    lambda s: F.concat(
+                        s["anchor"],
+                        F.lit("("),
+                        s["cnt"].cast("string"),
+                        F.lit(")"),
+                    ),
+                ),
+                ",",
+            ).alias("top_anchors")
+        )
+    )
+    return deg.join(top, "tgt").select(
+        F.col("tgt").alias("doc_id"), "in_degree", "n_src_hosts", "top_anchors"
+    )
+
+
+def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    n_total = docs.agg(F.count("*").alias("n_docs"))
+    ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    src = docs.crossJoin(F.broadcast(n_total)).select(
+        F.col("doc_id").alias("src"),
+        F.expr(f"parse_url({URL_EXPR}, 'HOST')").alias("src_host"),
+        ws.alias("ws"),
+        "n_docs",
+    )
+    j = F.col("j")
+    links = (
+        src.select(
+            "src",
+            "src_host",
+            "ws",
+            "n_docs",
+            F.explode(
+                F.array(*[F.lit(k) for k in range(N_OUT_LINKS)])
+            ).alias("j"),
+        )
+        .select(
+            "src",
+            "src_host",
+            F.pmod(F.col("src") * 7 + j * 13 + 1, F.col("n_docs")).alias("tgt"),
+            F.when(
+                F.size("ws") > 0,
+                F.element_at(
+                    "ws",
+                    (
+                        F.pmod(F.col("src") * 3 + j, F.size("ws")) + 1
+                    ).cast("int"),
+                ),
+            )
+            .otherwise(F.lit("link"))
+            .alias("anchor"),
+        )
+        .where(F.col("tgt") != F.col("src"))
+    )
+    return anchor_text_agg(links)
+
+
+QUERIES = {
+    "url_host_filter": q_url_host_filter,
+    "anchor_text_agg": q_anchor_text_agg,
+}
 
 ORACLES = {
     "url_host_filter": f"""
@@ -142,5 +241,52 @@ ORACLES = {
                          THEN 'overrepresented'
                      ELSE 'ok' END) = 'ok' AS keep
         FROM d JOIN hs USING (host), t
+    """,
+    "anchor_text_agg": f"""
+        WITH t AS (SELECT count(*) AS n_docs FROM documents),
+        w AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), u AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0 THEN 'hub.example.com'
+                        ELSE 'site' || (doc_id % 37)::VARCHAR ||
+                             '.example.' ||
+                             CASE doc_id % 4 WHEN 0 THEN 'com'
+                                  WHEN 1 THEN 'org' WHEN 2 THEN 'net'
+                                  ELSE 'io' END
+                   END AS src_host
+            FROM documents
+        ), l AS (
+            SELECT w.doc_id AS src, u.src_host,
+                   (w.doc_id * 7 + j.j * 13 + 1) % t.n_docs AS tgt,
+                   CASE WHEN len(ws) > 0
+                        THEN ws[(1 + (w.doc_id * 3 + j.j) % len(ws))::INT]
+                        ELSE 'link' END AS anchor
+            FROM w JOIN u ON u.doc_id = w.doc_id, t,
+                 LATERAL (SELECT unnest(range({N_OUT_LINKS})) AS j) j
+        ), lf AS (
+            SELECT * FROM l WHERE tgt <> src
+        ), deg AS (
+            SELECT tgt, count(*) AS in_degree,
+                   count(DISTINCT src_host) AS n_src_hosts
+            FROM lf GROUP BY 1
+        ), ac AS (
+            SELECT tgt, anchor, count(*) AS cnt FROM lf GROUP BY 1, 2
+        ), rkd AS (
+            SELECT tgt, anchor, cnt,
+                   row_number() OVER (PARTITION BY tgt
+                                      ORDER BY cnt DESC, anchor) AS rk
+            FROM ac
+        ), topA AS (
+            SELECT tgt,
+                   string_agg(anchor || '(' || cnt::VARCHAR || ')', ','
+                              ORDER BY rk) AS top_anchors
+            FROM rkd WHERE rk <= {ANCHOR_TOP_K} GROUP BY 1
+        )
+        SELECT d.tgt AS doc_id, d.in_degree, d.n_src_hosts, a.top_anchors
+        FROM deg d JOIN topA a ON a.tgt = d.tgt
     """,
 }
