@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "cooccurrence_pmi",
     "semantic_dedup",
     "anchor_text_agg",
+    "snapshot_diff",
+    "compaction_plan",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

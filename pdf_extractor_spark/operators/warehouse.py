@@ -114,9 +114,109 @@ def q_purge_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- snapshot diff (table-version CDC) --------------------------------------
+# Two snapshots of the documents table are synthesized deterministically:
+#   v1 = docs except doc_id % INS_MOD == INS_REM (absent -> inserts in v2)
+#   v2 = docs except doc_id % DEL_MOD == DEL_REM (absent -> deletes),
+#        with text revised for doc_id % UPD_MOD == UPD_REM (-> updates)
+INS_MOD, INS_REM = 11, 3
+DEL_MOD, DEL_REM = 13, 5
+UPD_MOD, UPD_REM = 7, 2
+
+
+def snapshot_diff(v1: DataFrame, v2: DataFrame) -> DataFrame:
+    """CDC between two keyed table versions: one full-outer equi-join on the
+    key, rows classified insert / delete / update by key presence and a
+    content digest compare; unchanged rows are excluded (the CDC read of an
+    Iceberg MERGE). Expects (doc_id, text) frames.
+
+    Scale shape: the only shuffle is the key-equi full-outer join (two
+    scans, one exchange each); the digest compare is a pure map. Change
+    volume, not table size, bounds the output."""
+    a = v1.select("doc_id", F.md5("text").alias("old_digest"))
+    b = v2.select("doc_id", F.md5("text").alias("new_digest"))
+    joined = a.join(b, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("old_digest").isNull(), F.lit("insert"))
+        .when(F.col("new_digest").isNull(), F.lit("delete"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("update"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select("doc_id", "change", "old_digest", "new_digest")
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.where(F.col("doc_id") % INS_MOD != INS_REM)
+    v2 = docs.where(F.col("doc_id") % DEL_MOD != DEL_REM).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % UPD_MOD == UPD_REM,
+            F.concat(F.col("text"), F.lit(" [rev2]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(v1, v2)
+
+
+# --- compaction planning (small-file bin packing) ----------------------------
+# The OPTIMIZE/rewrite_data_files planner: group each partition's small files
+# into target-size rewrite bins. The file manifest is synthesized from the
+# documents table (file_id = doc_id, partition = source, bytes = n_chars) —
+# manifests are metadata, orders below data scale, which is why a bounded
+# per-partition window is the honest production shape here.
+COMPACT_TARGET_BYTES = 4000
+
+
+def compaction_plan(manifest: DataFrame) -> DataFrame:
+    """Per (partition, bin): file count, total bytes, and the file-id range
+    to rewrite together. Bin assignment is the running-sum rule — files in
+    deterministic file_id order, bin = floor(bytes_before / target) — so
+    every bin except a partition's last holds >= target bytes once closed.
+
+    The window partitions by the table partition and orders by file_id:
+    state is one partition's manifest rows (metadata scale). Files at or
+    above the target land alone in their bin-range and are naturally
+    rewritten solo (or skipped by a size predicate upstream)."""
+    w = (
+        Window.partitionBy("part")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    binned = manifest.withColumn(
+        "bin", (before / COMPACT_TARGET_BYTES).cast("long")
+    )
+    return binned.groupBy("part", "bin").agg(
+        F.count("*").alias("n_files"),
+        F.sum("bytes").alias("bin_bytes"),
+        F.min("file_id").alias("file_lo"),
+        F.max("file_id").alias("file_hi"),
+    )
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load
+
+    manifest = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("file_id"),
+        F.col("source").alias("part"),
+        F.col("n_chars").cast("long").alias("bytes"),
+    )
+    return compaction_plan(manifest)
+
+
 QUERIES = {
     "scd2_user_tiers": q_scd2_user_tiers,
     "purge_users": q_purge_users,
+    "snapshot_diff": q_snapshot_diff,
+    "compaction_plan": q_compaction_plan,
 }
 
 ORACLES = {
@@ -162,5 +262,48 @@ ORACLES = {
                    - (SELECT count(*) FROM kept) AS n_events_deleted,
                (SELECT count(*) FROM kept
                 WHERE user_id IN (SELECT user_id FROM req)) AS n_leaked
+    """,
+    "snapshot_diff": f"""
+        WITH v1 AS (
+            SELECT doc_id, md5(text) AS old_digest FROM documents
+            WHERE doc_id % {INS_MOD} <> {INS_REM}
+        ), v2 AS (
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % {UPD_MOD} = {UPD_REM}
+                            THEN text || ' [rev2]' ELSE text END)
+                       AS new_digest
+            FROM documents
+            WHERE doc_id % {DEL_MOD} <> {DEL_REM}
+        ), j AS (
+            SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+                   v1.old_digest, v2.new_digest
+            FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN old_digest IS NULL THEN 'insert'
+                    WHEN new_digest IS NULL THEN 'delete'
+                    ELSE 'update' END AS change,
+               old_digest, new_digest
+        FROM j
+        WHERE old_digest IS NULL OR new_digest IS NULL
+              OR old_digest <> new_digest
+    """,
+    "compaction_plan": f"""
+        WITH m AS (
+            SELECT doc_id AS file_id, source AS part,
+                   n_chars::BIGINT AS bytes
+            FROM documents
+        ), b AS (
+            SELECT part, file_id, bytes,
+                   coalesce(sum(bytes) OVER (
+                       PARTITION BY part ORDER BY file_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0)::BIGINT // {COMPACT_TARGET_BYTES} AS bin
+            FROM m
+        )
+        SELECT part, bin, count(*) AS n_files,
+               sum(bytes)::BIGINT AS bin_bytes,
+               min(file_id) AS file_lo, max(file_id) AS file_hi
+        FROM b GROUP BY 1, 2
     """,
 }
