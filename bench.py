@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "anchor_text_agg",
     "snapshot_diff",
     "compaction_plan",
+    "k_anonymity",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

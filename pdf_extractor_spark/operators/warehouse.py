@@ -212,11 +212,61 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(manifest)
 
 
+# --- k-anonymity audit --------------------------------------------------------
+# Quasi-identifier combination (event_type, weekday, value band): any
+# combination shared by fewer than K_ANON distinct users re-identifies those
+# users — the audit every release-for-research job runs before publishing.
+K_ANON = 5
+VALUE_BAND_CENTS = 2_000  # value quantized to $20 bands
+
+
+def k_anonymity_audit(events: DataFrame) -> DataFrame:
+    """Per quasi-identifier group: its distinct-user count and whether it
+    violates k-anonymity (fewer than K_ANON users share the combination).
+    Weekday is the engine-neutral epoch-day form (olap.py's _WD idiom) —
+    never an engine's own dayofweek(), whose week-start conventions differ.
+
+    Scale shape: one hash-groupBy on the quasi-id tuple with a distinct-user
+    count (two-phase: partial distinct on (quasi-id, user) then count) —
+    group cardinality is the quasi-id domain product, orders below the
+    event stream. No windows, no joins."""
+    from ..functions.expressions import floordiv_sql
+    from .aggregates import _with_ep
+    from .olap import _DAY_US, _WD_SHIFT
+
+    wd = F.expr(f"pmod({floordiv_sql('ep', _DAY_US)} + {_WD_SHIFT}, 7)").cast(
+        "int"
+    )
+    q = _with_ep(events).select(
+        F.col("event_type").alias("qi_type"),
+        wd.alias("qi_weekday"),
+        F.expr(
+            f"div(CAST(round(value * 100) AS long), {VALUE_BAND_CENTS})"
+        ).alias("qi_band"),
+        "user_id",
+    )
+    return (
+        q.groupBy("qi_type", "qi_weekday", "qi_band")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumn("violates", F.col("n_users") < K_ANON)
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load
+
+    return k_anonymity_audit(load(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "scd2_user_tiers": q_scd2_user_tiers,
     "purge_users": q_purge_users,
     "snapshot_diff": q_snapshot_diff,
     "compaction_plan": q_compaction_plan,
+    "k_anonymity": q_k_anonymity,
 }
 
 ORACLES = {
@@ -307,3 +357,28 @@ ORACLES = {
         FROM b GROUP BY 1, 2
     """,
 }
+
+
+def _k_anonymity_oracle() -> str:
+    from ..functions.expressions import floordiv_duck
+    from .olap import _DAY_US, _WD_SHIFT
+
+    wd = f"((({floordiv_duck('epoch_us(ts)', _DAY_US)} + {_WD_SHIFT}) % 7 + 7) % 7)"
+    return f"""
+        WITH q AS (
+            SELECT event_type AS qi_type,
+                   {wd}::INT AS qi_weekday,
+                   round(value * 100)::BIGINT // {VALUE_BAND_CENTS}
+                       AS qi_band,
+                   user_id
+            FROM events
+        )
+        SELECT qi_type, qi_weekday, qi_band,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events,
+               count(DISTINCT user_id) < {K_ANON} AS violates
+        FROM q GROUP BY 1, 2, 3
+    """
+
+
+ORACLES["k_anonymity"] = _k_anonymity_oracle()
