@@ -158,6 +158,25 @@ RULES = {
     # pair generation is a shifted-slice MAP (never a positional
     # self-join); the global top-K must keep the salted two-stage shape
     "cooccurrence_pmi": ([r"pmod"], [r"ArrowEvalPython"]),
+    # SemDeDup: the block-count and dropped-id joins are keyed broadcasts;
+    # pair generation is groupBy+collect_list (no self-join, no window)
+    "semantic_dedup": ([r"BroadcastHashJoin"],
+                       [r"SortMergeJoin", r"\bWindow\b", r"ArrowEvalPython"]),
+    # anchor aggregation: the rank window runs over the PRE-AGGREGATED
+    # (target, anchor) counts. (The 1-row n_docs crossJoin IS a broadcast
+    # NLJ — the logreg pattern — so no NLJ ban.)
+    "anchor_text_agg": ([r"\bWindow\b", r"HashAggregate"],
+                        [r"ArrowEvalPython"]),
+    # CDC: ONE full-outer key-equi join + a digest-compare map
+    "snapshot_diff": ([r"FullOuter"],
+                      [r"\bWindow\b", r"ArrowEvalPython",
+                       r"BroadcastNestedLoopJoin"]),
+    # compaction: per-partition running-sum window + one aggregate, no joins
+    "compaction_plan": ([r"\bWindow\b", r"HashAggregate"],
+                        [r"Join", r"ArrowEvalPython"]),
+    # k-anonymity: one hash aggregate over the quasi-id tuple, nothing else
+    "k_anonymity": ([r"HashAggregate"],
+                    [r"Join", r"\bWindow\b", r"ArrowEvalPython"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the
