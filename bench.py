@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "compaction_plan",
     "k_anonymity",
+    "dedup_pair_audit",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an
@@ -141,6 +142,7 @@ CAP_OBSERVED = {
     "dedup_components",
     "dedup_embedding_cosine",
     "semantic_dedup",
+    "dedup_pair_audit",
 }
 
 # v2: cache key versioned with the generator (round 3 added layout payloads)

@@ -726,6 +726,47 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, observation=None) ->
     return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), observation)
 
 
+# Truth threshold for the pair audit: the corpus separates cleanly (true
+# near-dups sit at j ~ 0.99, background pairs <= 0.03), so 0.5 is far from
+# any rounding boundary in both engines.
+AUDIT_JACCARD_T = 0.5
+
+
+def q_dedup_pair_audit(spark: SparkSession, sf_dir: str, observation=None) -> DataFrame:
+    """Honest-metrics audit of the LSH candidate filter — the dedup analog
+    of ann_recall: exact shingle-Jaccard pairs at >= AUDIT_JACCARD_T are the
+    ground truth, the MinHash-LSH banding is the prediction, and the output
+    is one row of integer counts (n_true, n_pred, n_hits) from which recall
+    = hits/true and precision = hits/pred follow exactly.
+
+    Both sides reuse the certified capped builders (ngram_jaccard_pairs /
+    minhash_lsh_pairs), so the audit measures the production path itself,
+    cap semantics included. At corpus scale the two pair sets would read a
+    materialized signature/shingle table (the lsh_score_pipeline pattern)
+    rather than recompute; the final combine is two bounded aggregates and
+    a 1-row broadcast cross join."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    truth = (
+        ngram_jaccard_pairs(docs)
+        .where(F.col("jaccard") >= AUDIT_JACCARD_T)
+        .select("doc_a", "doc_b")
+    )
+    pred = minhash_lsh_pairs(docs, observation).select("doc_a", "doc_b")
+    hit = truth.join(
+        pred.withColumn("h", F.lit(1)), ["doc_a", "doc_b"], "left"
+    )
+    t_agg = hit.agg(
+        F.count("*").alias("n_true"),
+        F.sum(F.coalesce("h", F.lit(0))).alias("n_hits"),
+    )
+    p_agg = pred.agg(F.count("*").alias("n_pred"))
+    return t_agg.crossJoin(F.broadcast(p_agg)).select(
+        "n_true", "n_pred", "n_hits"
+    )
+
+
 def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash Jaccard estimator: fraction of agreeing signature positions
     approximates the true Jaccard (E[agree] = J). Evaluated over adjacent
@@ -1273,6 +1314,49 @@ def _semantic_dedup_oracle() -> str:
 
 ORACLES["semantic_dedup"] = _semantic_dedup_oracle()
 
+ORACLES["dedup_pair_audit"] = _DUCK_MINHASH + f"""
+        , sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+        ), kn AS (
+            SELECT sh FROM ex GROUP BY sh
+            HAVING count(*) BETWEEN 2 AND {MAX_BUCKET_DOCS}
+        ), sharedA AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+            FROM ex a
+            JOIN kn k ON a.sh = k.sh
+            JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), truth AS (
+            SELECT doc_a, doc_b FROM sharedA
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(shared::DOUBLE / (sa.n_sh + sb.n_sh - shared), 4)
+                  >= {AUDIT_JACCARD_T}
+        ), bands AS (
+            SELECT doc_id, b.band, b.h FROM sigs,
+            LATERAL (SELECT unnest([
+                {{'band': 0, 'h': mh0}}, {{'band': 1, 'h': mh1}},
+                {{'band': 2, 'h': mh2}}, {{'band': 3, 'h': mh3}},
+                {{'band': 4, 'h': mh4}}, {{'band': 5, 'h': mh5}},
+                {{'band': 6, 'h': mh6}}, {{'band': 7, 'h': mh7}}
+            ], recursive := true)) b(band, h)
+        ), kb AS (
+            SELECT band, h FROM bands GROUP BY band, h
+            HAVING count(*) BETWEEN 2 AND {MAX_BUCKET_DOCS}
+        ), pred AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN kb k ON a.band = k.band AND a.h = k.h
+            JOIN bands b ON a.band = b.band AND a.h = b.h
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT (SELECT count(*) FROM truth) AS n_true,
+               (SELECT count(*) FROM pred) AS n_pred,
+               (SELECT count(*) FROM truth t
+                JOIN pred p ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b)
+                   AS n_hits
+"""
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
@@ -1287,5 +1371,6 @@ QUERIES = {
     "simhash_buckets": q_simhash_buckets,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "semantic_dedup": q_semantic_dedup,
+    "dedup_pair_audit": q_dedup_pair_audit,
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
 }
