@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "compaction_plan",
     "k_anonymity",
     "dedup_pair_audit",
+    "source_term_lift",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -1232,8 +1232,86 @@ ORACLES["doc_keywords"] = f"""
 """
 
 
+# --- per-source distinctive terms (lift) -------------------------------------
+# Dataset-card / drift-monitor op: which terms are over-represented in a
+# source vs the whole corpus. Lift = (c/ts)/(cg/tg) thresholded as an exact
+# DECIMAL cross-multiply (c*tg*DEN >= ts*cg*NUM) so the flag is
+# engine-independent even exactly ON the boundary; the reported lift value
+# is one division of identical integer operands (IEEE-identical).
+LIFT_NUM, LIFT_DEN = 4, 3   # flag terms with lift >= 4/3
+LIFT_MIN_COUNT = 10         # ignore rare terms (noise floor)
+
+
+def q_source_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, term) over-representation: term count in the source,
+    the source/global totals, and the lift, for terms with count >=
+    LIFT_MIN_COUNT and lift >= LIFT_NUM/LIFT_DEN.
+
+    Scale shape: one (source, term)-keyed count with map-side combine,
+    source totals broadcast back (sources are bounded), global term counts
+    joined back TERM-keyed (the doc_keywords df-join shape), corpus total a
+    1-row broadcast. No windows, no Python. The DECIMAL(38,0)
+    cross-multiply keeps the flag exact at any corpus size."""
+    big = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    d = _docs(spark, sf_dir).select(
+        "source", F.explode(_tokens_expr()).alias("term")
+    )
+    s = d.groupBy("source", "term").agg(F.count("*").alias("c"))
+    st = s.groupBy("source").agg(F.sum("c").alias("ts"))
+    g = s.groupBy("term").agg(F.sum("c").alias("cg"))
+    gt = g.agg(F.sum("cg").alias("tg"))
+    flagged = (
+        s.join(F.broadcast(st), "source")
+        .join(g, "term")
+        .crossJoin(F.broadcast(gt))
+        .where(
+            (F.col("c") >= LIFT_MIN_COUNT)
+            & (
+                big(F.col("c")) * big(F.col("tg")) * LIFT_DEN
+                >= big(F.col("ts")) * big(F.col("cg")) * LIFT_NUM
+            )
+        )
+    )
+    return flagged.select(
+        "source",
+        "term",
+        "c",
+        "ts",
+        "cg",
+        "tg",
+        F.round(
+            (F.col("c") * F.col("tg")) / (F.col("ts") * F.col("cg")), 4
+        ).alias("lift"),
+    )
+
+
+ORACLES["source_term_lift"] = f"""
+        WITH w AS (
+            SELECT source, unnest({_DUCK_TOKS}) AS term FROM documents
+        ), s AS (
+            SELECT source, term, count(*) AS c FROM w GROUP BY 1, 2
+        ), st AS (
+            SELECT source, sum(c)::BIGINT AS ts FROM s GROUP BY 1
+        ), g AS (
+            SELECT term, sum(c)::BIGINT AS cg FROM s GROUP BY 1
+        ), gt AS (
+            SELECT sum(cg)::BIGINT AS tg FROM g
+        )
+        SELECT s.source, s.term, s.c, st.ts, g.cg, gt.tg,
+               round((s.c * gt.tg) / (st.ts * g.cg), 4) AS lift
+        FROM s
+        JOIN st USING (source)
+        JOIN g USING (term), gt
+        WHERE s.c >= {LIFT_MIN_COUNT}
+          AND s.c::HUGEINT * gt.tg * {LIFT_DEN}
+              >= st.ts::HUGEINT * g.cg * {LIFT_NUM}
+"""
+
+
 QUERIES = {
     "cooccurrence_pmi": q_cooccurrence_pmi,
+    "source_term_lift": q_source_term_lift,
     "doc_keywords": q_doc_keywords,
     "inverted_index": q_inverted_index,
     "lm_fluency": q_lm_fluency,
