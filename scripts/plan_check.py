@@ -177,6 +177,10 @@ RULES = {
     # k-anonymity: one hash aggregate over the quasi-id tuple, nothing else
     "k_anonymity": ([r"HashAggregate"],
                     [r"Join", r"\bWindow\b", r"ArrowEvalPython"]),
+    # lift: keyed counts + term-keyed join-back; source totals broadcast.
+    # (The 1-row corpus-total crossJoin IS a broadcast NLJ — logreg pattern.)
+    "source_term_lift": ([r"HashAggregate", r"BroadcastHashJoin"],
+                         [r"\bWindow\b", r"ArrowEvalPython"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the
