@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_extractor_spark.operators import (
+    agent,
     aggregates,
     bpe,
     chunking,
@@ -44,7 +45,7 @@ _MODULES = [
     text_ops, windows, aggregates, dedup, graph, similarity_search,
     text_analysis, multimodal, joins, tables_md, chunking, packing, bpe,
     web, pq, sketches, retrieval, classifier, zorder, setjoin, warehouse,
-    olap, sequences,
+    olap, sequences, agent,
 ]
 
 

@@ -9,6 +9,7 @@ analysis, multimodal). Every oracle-checkable operator module exposes:
 """
 
 from . import (  # noqa: F401
+    agent,
     aggregates,
     bpe,
     chunking,

@@ -1,0 +1,236 @@
+"""Agent-transcript analytics: tool-call retry statistics and shared-prefix
+conversation dedup.
+
+The input hint's transcript table carries (conv_id, turn_idx, role, tool, ts)
+— an ordered per-conversation ACTION STREAM. Two curation questions every
+agent-transcript corpus owner asks:
+
+- **Tool retry behavior** (`tool_retry_stats`): how often is the same action
+  re-issued immediately (a retry), and how often does an action follow an
+  error (a recovery)? Retry-heavy tools are flaky; transcripts dominated by
+  retry loops are low-value training data.
+- **Shared-prefix dedup** (`prefix_dedup`): agent frameworks re-run a
+  conversation from the top after a failure, so a corpus accumulates many
+  transcripts sharing a long common prefix of actions. Per conversation:
+  the deepest action prefix shared with at least one other conversation,
+  and how many share it — the signal a prefix-aware dedup/weighting stage
+  keys on (cf. the same prefix-hash idea used by trie dedup in session-log
+  mining).
+
+Both operators are schema-generic over any (key, order..., type) action
+stream: the registered queries bind to the driver ``events`` table
+(user_id / ts,event_id / event_type), and ``events_from_transcripts``
+adapts the BASELINE.json transcript shape (conv_id / turn_idx /
+coalesce(tool, role)) to the same contract — pinned by
+tests/test_agent_ops.py on the synthetic transcript corpus.
+
+Scale shape: tool_retry_stats is one per-key lag window + one hash
+aggregate over a tiny type domain (the sessionize layout — unbounded
+parallel key, map-side combine). prefix_dedup bounds its explode at
+MAX_PREFIX_DEPTH rows per conversation, groups on fixed-width md5 prefix
+digests (map-side combine), and the join back is equi-keyed on (depth,
+digest); per-conversation state is one ≤MAX_PREFIX_DEPTH-element array —
+nothing quadratic, no skew-prone collect.
+
+All arithmetic is integer (counts, permille via div) — exact across
+engines per the repo float rules.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .windows import _events, _user_order
+
+# A repeat of the same action within this many seconds of its predecessor
+# counts as a retry; an action this soon after an error counts as the
+# recovery step.
+RETRY_WINDOW_SECONDS = 300
+
+# Prefix depth cap: bounds the per-conversation explode and the deepest
+# shared prefix reported. Retried-run prefixes are overwhelmingly short;
+# depth beyond ~12 adds rows linearly for near-zero extra dedup signal.
+MAX_PREFIX_DEPTH = 12
+
+
+def events_from_transcripts(transcripts: DataFrame) -> DataFrame:
+    """Adapt the BASELINE.json transcript shape (conv_id, turn_idx, role,
+    tool, ts) to the action-stream contract both operators consume: the
+    conversation is the key, turn order is the complete ordering key, and
+    the action type is the tool name when present else the role. Pure
+    column projection — no shuffle."""
+    return transcripts.select(
+        F.hash("conv_id").cast("bigint").alias("user_id"),
+        F.col("turn_idx").cast("bigint").alias("event_id"),
+        (F.col("turn_idx").cast("bigint") * 1_000_000).alias("ep"),
+        F.coalesce("tool", "role").alias("event_type"),
+    )
+
+
+def tool_retry_stats(ev: DataFrame) -> DataFrame:
+    """Per action type: calls, immediate same-type retries, post-error
+    recoveries, and the integer-permille retry rate. ``ev`` needs columns
+    (user_id, event_id, ep, event_type) with (ep, event_id) a complete
+    per-user ordering key."""
+    w = _user_order()
+    prev_type = F.lag("event_type").over(w)
+    gap = F.col("ep") - F.lag("ep").over(w)
+    within = gap <= RETRY_WINDOW_SECONDS * 1_000_000
+    flagged = ev.select(
+        "event_type",
+        (
+            prev_type.isNotNull()
+            & (prev_type == F.col("event_type"))
+            & within
+        ).cast("long").alias("is_retry"),
+        (
+            prev_type.isNotNull()
+            & (prev_type == F.lit("error"))
+            & (F.col("event_type") != F.lit("error"))
+            & within
+        ).cast("long").alias("is_recovery"),
+    )
+    return (
+        flagged.groupBy(F.col("event_type").alias("tool"))
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.sum("is_retry").alias("n_retries"),
+            F.sum("is_recovery").alias("n_recoveries"),
+        )
+        .withColumn(
+            "retry_permille", F.expr("div(n_retries * 1000, n_calls)")
+        )
+    )
+
+
+def q_tool_retry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form over the driver events table (event_type plays the
+    tool name)."""
+    return tool_retry_stats(_events(spark, sf_dir))
+
+
+def prefix_dedup(ev: DataFrame) -> DataFrame:
+    """Per key: the deepest shared action prefix (capped at
+    MAX_PREFIX_DEPTH) and the number of keys sharing it.
+
+    Construction: per key the ordered type array (stable sort via
+    sort_array over (ep, event_id, type) structs — the repo's W5 idiom),
+    one row per prefix depth (bounded explode), md5 prefix digests,
+    a (depth, digest) count, and an equi-join back. Keys sharing no
+    prefix report depth 0."""
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ep", "event_id", "event_type"))
+            ).alias("seq")
+        )
+        .select(
+            "user_id",
+            F.expr(
+                f"slice(transform(seq, x -> x.event_type), 1, {MAX_PREFIX_DEPTH})"
+            ).alias("types"),
+        )
+    )
+    pref = seqs.select(
+        "user_id",
+        F.explode(F.expr("sequence(1, size(types))")).alias("d"),
+        "types",
+    ).select(
+        "user_id",
+        F.col("d").cast("long").alias("d"),
+        F.md5(F.expr("concat_ws('|', slice(types, 1, d))")).alias("h"),
+    )
+    shared = (
+        pref.groupBy("d", "h")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .where(F.col("n_users") >= 2)
+    )
+    # One prefix per (user, depth) -> max(struct) is (deepest shared depth,
+    # its sharer count), mirrored by max(d)/arg_max(n_users, d) in the oracle.
+    best = (
+        pref.join(shared, ["d", "h"])
+        .groupBy("user_id")
+        .agg(F.max(F.struct("d", "n_users")).alias("m"))
+    )
+    users = ev.select("user_id").distinct()
+    return users.join(best, "user_id", "left").select(
+        "user_id",
+        F.coalesce(F.col("m.d"), F.lit(0)).cast("long").alias(
+            "max_shared_depth"
+        ),
+        F.coalesce(F.col("m.n_users"), F.lit(0)).cast("long").alias(
+            "n_sharers"
+        ),
+    )
+
+
+def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form over the driver events table (per-user event-type
+    sequences play the conversation action streams)."""
+    return prefix_dedup(_events(spark, sf_dir))
+
+
+_RETRY_US = RETRY_WINDOW_SECONDS * 1_000_000
+
+ORACLES = {
+    "tool_retry_stats": f"""
+        WITH seq AS (
+            SELECT event_type,
+                   lag(event_type) OVER w AS prev_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), f AS (
+            SELECT event_type,
+                   CASE WHEN prev_type IS NOT NULL
+                             AND prev_type = event_type
+                             AND gap <= {_RETRY_US}
+                        THEN 1 ELSE 0 END AS is_retry,
+                   CASE WHEN prev_type IS NOT NULL
+                             AND prev_type = 'error'
+                             AND event_type <> 'error'
+                             AND gap <= {_RETRY_US}
+                        THEN 1 ELSE 0 END AS is_recovery
+            FROM seq
+        )
+        SELECT event_type AS tool,
+               count(*) AS n_calls,
+               sum(is_retry)::BIGINT AS n_retries,
+               sum(is_recovery)::BIGINT AS n_recoveries,
+               (sum(is_retry)::BIGINT * 1000) // count(*) AS retry_permille
+        FROM f GROUP BY 1
+    """,
+    "prefix_dedup": f"""
+        WITH arr AS (
+            SELECT user_id,
+                   (list(event_type ORDER BY ts, event_id))[1:{MAX_PREFIX_DEPTH}]
+                       AS types
+            FROM events GROUP BY user_id
+        ), pref AS (
+            SELECT user_id, dd.d AS d,
+                   md5(array_to_string(types[1:dd.d], '|')) AS h
+            FROM arr,
+                 LATERAL (SELECT unnest(range(1, len(types) + 1)) AS d) dd
+        ), shared AS (
+            SELECT d, h, count(*) AS n_users
+            FROM pref GROUP BY 1, 2 HAVING count(*) >= 2
+        ), best AS (
+            SELECT p.user_id,
+                   max(p.d) AS max_shared_depth,
+                   arg_max(s.n_users, p.d) AS n_sharers
+            FROM pref p JOIN shared s USING (d, h)
+            GROUP BY 1
+        )
+        SELECT u.user_id,
+               coalesce(b.max_shared_depth, 0)::BIGINT AS max_shared_depth,
+               coalesce(b.n_sharers, 0)::BIGINT AS n_sharers
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN best b USING (user_id)
+    """,
+}
+
+QUERIES = {
+    "tool_retry_stats": q_tool_retry_stats,
+    "prefix_dedup": q_prefix_dedup,
+}
