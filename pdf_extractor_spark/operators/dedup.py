@@ -10,7 +10,7 @@ so the DuckDB oracle can reproduce signatures bit-for-bit.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.expressions import normalize_for_comparison_expr, word_shingles_expr
@@ -1374,3 +1374,160 @@ QUERIES = {
     "dedup_pair_audit": q_dedup_pair_audit,
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
 }
+
+
+# Exact-substring dedup window width (tokens). Lee et al., "Deduplicating
+# Training Data Makes Language Models Better" (ACL 2022) uses 50 BPE tokens
+# over a suffix array; the distributed re-expression below uses fixed-width
+# rolling token windows hashed and counted corpus-wide — 8 words here so the
+# synthetic corpus (avg ~54 words/doc) exercises multi-window span merging.
+SUB_W = 8
+
+
+def _token_window_hashes(toks, n):
+    """md5 digests of all SUB_W-token rolling windows, index i = window
+    starting at token i (0-based). Shifted-zip form per the
+    lambda-re-evaluation rule (zip SUB_W shifted slices instead of slicing
+    inside the lambda); trailing arrays_zip partials sliced off."""
+    # every input an EXPRESSION (i=0 included) so arrays_zip names the
+    # fields "0".."7" uniformly (a bare column keeps its own name)
+    slices = [
+        F.slice(toks, i + 1, F.greatest(n - i, F.lit(0)))
+        for i in range(SUB_W)
+    ]
+    z = F.arrays_zip(*slices)
+    win = F.transform(
+        z,
+        lambda s: F.md5(
+            F.concat_ws(" ", *[s[str(i)] for i in range(SUB_W)])
+        ),
+    )
+    return F.slice(win, 1, F.greatest(n - (SUB_W - 1), F.lit(0)))
+
+
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication spans (the ExactSubstr dedup of Lee et
+    al. 2022, re-expressed for Spark): every SUB_W-token rolling window is
+    hashed; windows whose hash occurs in >= 2 DISTINCT documents are
+    duplicated text; per document, overlapping/adjacent duplicated windows
+    merge into maximal spans (gaps-and-islands: a window starting more
+    than SUB_W tokens after its predecessor opens a new span — any smaller
+    gap keeps coverage contiguous). Output per affected doc: span count,
+    duplicated-token total, and the integer-permille duplicated fraction —
+    the per-doc removal budget an ExactSubstr scrub would cut.
+
+    Distinct from paragraph_dedup (paragraph granularity, corpus-hot
+    lines), cdc_chunk_dedup (content-defined chunks, resync after edits),
+    and decontaminate_spans (corpus-vs-benchmark, not corpus-internal).
+
+    Scale shape: the window frame is the shingle explode every MinHash
+    system already pays (corpus-linear, ~1 row/token), localCheckpointed
+    once because both the hash count and the join back read it; the hot
+    set is a keyed hash aggregate with map-side combine; the join back is
+    equi-keyed on the digest; island merging is a per-doc window bounded
+    by document length. Nothing quadratic, no self-recompute.
+    """
+    from . import load, spread_for_cpu_map
+
+    docs = spread_for_cpu_map(load(spark, sf_dir, "documents"))
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            "toks",
+        )
+        .where(F.col("n_tokens") >= SUB_W)
+    )
+    wins = base.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(
+            _token_window_hashes(F.col("toks"), F.size("toks"))
+        ).alias("s", "h"),
+    ).localCheckpoint(eager=True)
+    hot = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+    dup = wins.join(hot.select("h"), "h").select("doc_id", "n_tokens", "s")
+    wd = Window.partitionBy("doc_id").orderBy("s")
+    flagged = dup.withColumn(
+        "f",
+        F.when(
+            F.lag("s").over(wd).isNull()
+            | (F.col("s") - F.lag("s").over(wd) > SUB_W),
+            1,
+        ).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "island",
+        F.sum("f").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("s").alias("st"),
+        (F.max("s") + F.lit(SUB_W - 1)).alias("en"),
+        F.max("n_tokens").alias("n_tokens"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("en") - F.col("st") + 1).alias("dup_tokens"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+        .withColumn(
+            "dup_permille", F.expr("div(dup_tokens * 1000, n_tokens)")
+        )
+    )
+
+
+ORACLES["substring_dup_spans"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), base AS (
+        SELECT doc_id, len(t)::BIGINT AS n_tokens, t
+        FROM toks WHERE len(t) >= {SUB_W}
+    ), w AS (
+        SELECT doc_id, n_tokens, ss.s AS s,
+               md5(array_to_string(t[ss.s + 1: ss.s + {SUB_W}], ' ')) AS h
+        FROM base,
+             LATERAL (SELECT unnest(range(0, n_tokens - {SUB_W - 1}))
+                      AS s) ss
+    ), hot AS (
+        SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), dup AS (
+        SELECT w.doc_id, w.n_tokens, w.s FROM w JOIN hot USING (h)
+    ), flg AS (
+        SELECT doc_id, n_tokens, s,
+               CASE WHEN lag(s) OVER win IS NULL
+                         OR s - lag(s) OVER win > {SUB_W}
+                    THEN 1 ELSE 0 END AS f
+        FROM dup WINDOW win AS (PARTITION BY doc_id ORDER BY s)
+    ), isl AS (
+        SELECT doc_id, n_tokens, s,
+               sum(f) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS island
+        FROM flg
+    ), spans AS (
+        SELECT doc_id, island, min(s) AS st,
+               max(s) + {SUB_W - 1} AS en,
+               max(n_tokens) AS n_tokens
+        FROM isl GROUP BY 1, 2
+    )
+    SELECT doc_id, count(*) AS n_spans,
+           sum(en - st + 1)::BIGINT AS dup_tokens,
+           max(n_tokens) AS n_tokens,
+           (sum(en - st + 1)::BIGINT * 1000) // max(n_tokens)
+               AS dup_permille
+    FROM spans GROUP BY doc_id
+"""
+
+QUERIES["substring_dup_spans"] = q_substring_dup_spans
