@@ -919,3 +919,131 @@ QUERIES = {
 
 QUERIES["cluster_top_terms"] = q_cluster_top_terms
 ORACLES["cluster_top_terms"] = _cluster_top_terms_oracle()
+
+
+# Margin-based bitext mining (Artetxe & Schwenk, "Margin-based Parallel
+# Corpus Mining with Multilingual Sentence Embeddings", ACL 2019): a pair
+# (x, y) is a translation candidate not when cos(x, y) is high in absolute
+# terms but when it BEATS the average similarity of each side's k-nearest
+# neighborhood — the margin correction for embedding-space hubness. The
+# paper's DISTANCE margin variant stays integer-exact here: sims ride the
+# repo's fixed-point idiom (round-4 cosine x 1e4, the knn_cosine contract)
+# and the margin is scaled by 2k so no division ever happens.
+MARGIN_K = 4
+
+
+def margin_pairs(emb: DataFrame, k: int = MARGIN_K) -> DataFrame:
+    """Distance-margin mining over a (vec_id, embedding) frame: even ids
+    play language A (sources), odd ids language B (targets). For every
+    source x: s(x,y) = fixed-point cosine; margin_2k(x,y) =
+    2k*s(x,y) - sum_{z in NNk(x)} s(x,z) - sum_{z' in NNk(y)} s(z',y)
+    (2k times the paper's distance margin; both neighborhoods are k-NN
+    within the candidate pair set, ranked (s desc, id asc) for
+    determinism). Output: each source's best-margin target with its
+    fixed-point sim and margin.
+
+    Scale shape: pair generation is one broadcast of the source shard
+    over the target stream — the knn_cosine exact-baseline layout,
+    intentionally BroadcastNestedLoopJoin and plan-gated as such; at
+    corpus scale the pair frame instead comes from the trained-IVF
+    candidate join (ann_ivf_trained) and the neighborhood sums use the
+    retrieved candidates — standard LASER/CCMatrix mining practice. The
+    margin math itself is three per-key window passes + two keyed
+    aggregates over the pair frame, nothing quadratic beyond candidate
+    generation."""
+    src = emb.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"), F.col("embedding").alias("x_emb")
+    )
+    tgt = emb.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"), F.col("embedding").alias("y_emb")
+    )
+    sim4 = F.round(
+        cosine_similarity_expr(F.col("x_emb"), F.col("y_emb")), 4
+    )
+    pairs = tgt.crossJoin(F.broadcast(src)).select(
+        "x_id",
+        "y_id",
+        F.round(sim4 * 10000).cast("bigint").alias("s"),
+    )
+    wx = Window.partitionBy("x_id").orderBy(F.desc("s"), F.asc("y_id"))
+    wy = Window.partitionBy("y_id").orderBy(F.desc("s"), F.asc("x_id"))
+    ranked = pairs.withColumn("rx", F.row_number().over(wx)).withColumn(
+        "ry", F.row_number().over(wy)
+    )
+    sum_x = F.sum(F.when(F.col("rx") <= k, F.col("s"))).over(
+        Window.partitionBy("x_id")
+    )
+    sum_y = F.sum(F.when(F.col("ry") <= k, F.col("s"))).over(
+        Window.partitionBy("y_id")
+    )
+    m = (
+        ranked.withColumn("sum_x", sum_x)
+        .withColumn("sum_y", sum_y)
+        .where(F.col("rx") <= k)
+        .select(
+            "x_id",
+            "y_id",
+            "s",
+            (
+                F.lit(2 * k) * F.col("s") - F.col("sum_x") - F.col("sum_y")
+            ).cast("bigint").alias("margin_2k"),
+        )
+    )
+    wb = Window.partitionBy("x_id").orderBy(
+        F.desc("margin_2k"), F.asc("y_id")
+    )
+    return (
+        m.withColumn("rb", F.row_number().over(wb))
+        .where(F.col("rb") == 1)
+        .select(
+            F.col("x_id").alias("src_id"),
+            F.col("y_id").alias("tgt_id"),
+            F.col("s").alias("sim_fp"),
+            "margin_2k",
+        )
+    )
+
+
+def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return margin_pairs(_emb(spark, sf_dir))
+
+
+QUERIES["margin_mining"] = q_margin_mining
+
+ORACLES["margin_mining"] = f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), q AS (
+        SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 2 = 0
+    ), scored AS (
+        SELECT q.q_id AS x_id, c.vec_id AS y_id, {_DUCK_SIM}
+        FROM e c JOIN q ON c.vec_id % 2 = 1
+    ), p AS (
+        SELECT x_id, y_id, round(sim * 10000)::BIGINT AS s FROM scored
+    ), r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY x_id
+                                  ORDER BY s DESC, y_id) AS rx,
+               row_number() OVER (PARTITION BY y_id
+                                  ORDER BY s DESC, x_id) AS ry
+        FROM p
+    ), sx AS (
+        SELECT x_id, sum(s)::BIGINT AS sum_x FROM r
+        WHERE rx <= {MARGIN_K} GROUP BY 1
+    ), sy AS (
+        SELECT y_id, sum(s)::BIGINT AS sum_y FROM r
+        WHERE ry <= {MARGIN_K} GROUP BY 1
+    ), m AS (
+        SELECT r.x_id, r.y_id, r.s,
+               (2 * {MARGIN_K} * r.s - sx.sum_x - sy.sum_y)::BIGINT
+                   AS margin_2k
+        FROM r JOIN sx USING (x_id) JOIN sy USING (y_id)
+        WHERE r.rx <= {MARGIN_K}
+    ), b AS (
+        SELECT *, row_number() OVER (PARTITION BY x_id
+                                     ORDER BY margin_2k DESC, y_id) AS rb
+        FROM m
+    )
+    SELECT x_id AS src_id, y_id AS tgt_id, s AS sim_fp, margin_2k
+    FROM b WHERE rb = 1
+"""

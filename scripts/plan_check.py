@@ -33,6 +33,10 @@ RULES = {
     # knn brute force is intentionally a broadcast nested-loop: the query
     # side is 10 rows, and every candidate must be scored against each.
     "knn_cosine": ([r"BroadcastNestedLoopJoin"], []),
+    # margin mining's exact baseline broadcasts the source shard over the
+    # target stream (same intentional BNLJ as knn; the scale path swaps in
+    # the trained-IVF candidate join)
+    "margin_mining": ([r"BroadcastNestedLoopJoin"], []),
     "ann_ivf_cosine": ([r"BroadcastHashJoin"], [r"BroadcastNestedLoopJoin"]),
     "repair_coalesce": ([r"BroadcastHashJoin.*LeftOuter|LeftOuter.*BroadcastHashJoin"], []),
     "dedup_exact": ([r"HashAggregate"], [r"SortMergeJoin"]),
