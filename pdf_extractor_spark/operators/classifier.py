@@ -129,28 +129,25 @@ def _hashed_features(docs: DataFrame) -> DataFrame:
     return tf.unionByName(bias)
 
 
-def logreg_fit(docs: DataFrame, iters: int = N_ITERS) -> DataFrame:
-    """(dim, w, n_correct, n_docs, acc_permille): the trained fixed-point
-    weights (bias at dim = -1) with the final training accuracy repeated
-    on every row (single-schema output for the oracle gate)."""
-    spark = docs.sparkSession
-    feats = _hashed_features(docs).localCheckpoint(eager=True)
-    n_docs = docs.count()
+def _doc_sigma(feats: DataFrame, w_frame: DataFrame) -> DataFrame:
+    """Per-doc logit + LUT sigmoid under a given weight frame."""
+    return (
+        feats.join(F.broadcast(w_frame), "dim")
+        .groupBy("doc_id", "y")
+        .agg(F.sum(F.col("val") * F.col("w")).alias("z"))
+        .withColumn("sig", F.expr(_SIG_SPARK))
+    )
 
+
+def _fit_weights(feats: DataFrame, n_docs: int, iters: int) -> DataFrame:
+    """The GD loop over a localCheckpointed feature frame -> final weight
+    frame (dim, w)."""
+    spark = feats.sparkSession
     weights = spark.range(-1, HASH_DIM).select(
         F.col("id").alias("dim"), F.lit(0).cast("long").alias("w")
     ).localCheckpoint(eager=True)
-
-    def doc_sigma(w_frame: DataFrame) -> DataFrame:
-        return (
-            feats.join(F.broadcast(w_frame), "dim")
-            .groupBy("doc_id", "y")
-            .agg(F.sum(F.col("val") * F.col("w")).alias("z"))
-            .withColumn("sig", F.expr(_SIG_SPARK))
-        )
-
     for t in range(iters):
-        errs = doc_sigma(weights).select(
+        errs = _doc_sigma(feats, weights).select(
             "doc_id", (F.lit(1000) * F.col("y") - F.col("sig")).alias("e")
         )
         grads = (
@@ -168,8 +165,17 @@ def logreg_fit(docs: DataFrame, iters: int = N_ITERS) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    return weights
 
-    metrics = doc_sigma(weights).agg(
+
+def logreg_fit(docs: DataFrame, iters: int = N_ITERS) -> DataFrame:
+    """(dim, w, n_correct, n_docs, acc_permille): the trained fixed-point
+    weights (bias at dim = -1) with the final training accuracy repeated
+    on every row (single-schema output for the oracle gate)."""
+    feats = _hashed_features(docs).localCheckpoint(eager=True)
+    n_docs = docs.count()
+    weights = _fit_weights(feats, n_docs, iters)
+    metrics = _doc_sigma(feats, weights).agg(
         F.sum(
             ((F.col("sig") >= 500).cast("long") == F.col("y")).cast("long")
         ).alias("n_correct"),
@@ -193,7 +199,10 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {"logreg_quality": q_logreg_quality}
 
 
-def _oracle() -> str:
+def _oracle_chain() -> str:
+    """Shared DuckDB CTE chain: features -> N_ITERS weight updates ->
+    ``final`` (per-doc logit under the trained weights). Both the fit
+    oracle and the calibration oracle append their own select."""
     feats = f"""
         toks AS (
             SELECT doc_id, list_filter(
@@ -242,13 +251,16 @@ def _oracle() -> str:
                    ({_upd_duck(f"coalesce(g{i}.g, 0)", i)})::BIGINT AS w
             FROM w{i} LEFT JOIN g{i} ON w{i}.dim = g{i}.dim, nn
         )""")
-    return (
-        "WITH " + feats + "," + ",".join(steps) + f""",
+    return "WITH " + feats + "," + ",".join(steps) + f""",
         final AS (
             SELECT doc_id, y, sum(val * w)::BIGINT AS z
             FROM feats JOIN w{N_ITERS} USING (dim)
             GROUP BY doc_id, y
-        ), m AS (
+        )"""
+
+
+def _oracle() -> str:
+    return _oracle_chain() + f""", m AS (
             SELECT sum(((({_SIG_DUCK}) >= 500)::BIGINT = y)::BIGINT)::BIGINT
                        AS n_correct,
                    count(*) AS n_docs
@@ -258,7 +270,87 @@ def _oracle() -> str:
                (n_correct * 1000 // m.n_docs)::BIGINT AS acc_permille
         FROM w{N_ITERS}, m
     """
+
+
+N_CAL_BINS = 10
+
+
+def classifier_calibration(docs: DataFrame, iters: int = N_ITERS) -> DataFrame:
+    """Reliability-diagram bins for the trained classifier — the
+    honest-metrics companion to its accuracy (the ann_recall pattern
+    applied to probabilities): a quality filter that is ACCURATE but
+    mis-CALIBRATED silently skews any pipeline that thresholds or
+    importance-weights on its scores. Predicted permille probabilities
+    land in N_CAL_BINS equal bins (the 1000-permille point folds into the
+    top bin); per bin: count, positives, mean predicted confidence, the
+    empirical positive frequency, and |confidence - frequency| — the
+    per-bin term of Expected Calibration Error (Guo et al., ICML 2017),
+    all integer permille so both engines agree exactly.
+
+    Scale shape: one extra per-doc sigma pass over the already-trained
+    weights (a broadcast join + doc-keyed sum) and a 10-key hash
+    aggregate — nothing beyond what the fit itself already does per
+    iteration."""
+    feats = _hashed_features(docs).localCheckpoint(eager=True)
+    weights = _fit_weights(feats, docs.count(), iters)
+    sig = _doc_sigma(feats, weights)
+    binned = sig.select(
+        F.least(
+            F.expr(f"div(sig, {1000 // N_CAL_BINS})"),
+            F.lit(N_CAL_BINS - 1),
+        ).cast("long").alias("bin"),
+        "y",
+        "sig",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.sum("sig").alias("sum_sig"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("div(sum_sig, n)").alias("conf_permille"),
+            F.expr("div(n_pos * 1000, n)").alias("freq_permille"),
+            F.abs(
+                F.expr("div(sum_sig, n) - div(n_pos * 1000, n)")
+            ).alias("gap_permille"),
+        )
     )
 
 
-ORACLES = {"logreg_quality": _oracle()}
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load
+
+    return classifier_calibration(load(spark, sf_dir, "documents"))
+
+
+def _calibration_oracle() -> str:
+    w = 1000 // N_CAL_BINS
+    return _oracle_chain() + f""", sig AS (
+            SELECT doc_id, y, {_SIG_DUCK} AS sig FROM final
+        ), b AS (
+            SELECT least(sig // {w}, {N_CAL_BINS - 1})::BIGINT AS bin,
+                   count(*) AS n,
+                   sum(y)::BIGINT AS n_pos,
+                   sum(sig)::BIGINT AS sum_sig
+            FROM sig GROUP BY 1
+        )
+        SELECT bin, n, n_pos,
+               (sum_sig // n)::BIGINT AS conf_permille,
+               (n_pos * 1000 // n)::BIGINT AS freq_permille,
+               abs(sum_sig // n - n_pos * 1000 // n)::BIGINT
+                   AS gap_permille
+        FROM b
+    """
+
+
+QUERIES["classifier_calibration"] = q_classifier_calibration
+
+ORACLES = {
+    "logreg_quality": _oracle(),
+    "classifier_calibration": _calibration_oracle(),
+}
