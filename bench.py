@@ -130,6 +130,12 @@ BENCH_QUERIES = [
     "k_anonymity",
     "dedup_pair_audit",
     "source_term_lift",
+    "tool_retry_stats",
+    "prefix_dedup",
+    "substring_dup_spans",
+    "margin_mining",
+    "classifier_calibration",
+    "preference_pairs",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

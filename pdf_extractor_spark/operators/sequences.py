@@ -19,7 +19,7 @@ Scale shapes:
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .windows import _events, _user_order
@@ -245,3 +245,113 @@ def _bt_oracle() -> str:
 
 
 ORACLES["bradley_terry"] = _bt_oracle()
+
+
+# Candidate-batch size for preference-pair construction: doc_id div
+# PREF_GROUP plays the "N sampled responses to one prompt" batch an RLHF
+# collection pipeline scores together.
+PREF_GROUP = 8
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction — the (chosen, rejected) dataset step
+    every DPO/RLHF fine-tune needs (Rafailov et al. 2023 consume exactly
+    this shape; bradley_terry is the downstream FIT over such pairs, this
+    op is the upstream BUILDER): within each candidate batch, the
+    top-scored document becomes ``chosen`` and the bottom-scored becomes
+    ``rejected``, with a fully deterministic composite score and explicit
+    tie-breaks (score desc, doc_id asc for chosen; score asc, doc_id desc
+    for rejected) so both engines pick identical pairs. Score is the
+    integer composite 1000*n_words + alpha-permille — the Gopher-style
+    length gate with an alpha-density refinement, all exact arithmetic.
+
+    Scale shape: one pure map for the score, two per-group window passes
+    (group key is unbounded -> parallel), one equi self-pairing via
+    groupBy-free join of the two rank-1 frames on the group key. Batches
+    with a single candidate emit nothing (no degenerate pairs)."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_words = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    n_alpha = F.length(F.regexp_replace("text", r"[^\p{L}]+", ""))
+    base = docs.select(
+        "doc_id",
+        F.expr(f"div(doc_id, {PREF_GROUP})").alias("grp"),
+        n_words.cast("long").alias("nw"),
+        n_alpha.cast("long").alias("na"),
+        n_chars.cast("long").alias("nc"),
+    )
+    scored = base.select(
+        "doc_id",
+        "grp",
+        (
+            F.lit(1000) * F.col("nw")
+            + F.expr("div(na * 1000, greatest(nc, 1))")
+        ).cast("long").alias("score"),
+    )
+    wb = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("doc_id"))
+    ww = Window.partitionBy("grp").orderBy(F.asc("score"), F.desc("doc_id"))
+    ranked = scored.withColumn("rk_b", F.row_number().over(wb)).withColumn(
+        "rk_w", F.row_number().over(ww)
+    )
+    chosen = ranked.where(F.col("rk_b") == 1).select(
+        "grp",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score").alias("chosen_score"),
+    )
+    rejected = ranked.where(F.col("rk_w") == 1).select(
+        "grp",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        chosen.join(rejected, "grp")
+        .where(F.col("chosen_id") != F.col("rejected_id"))
+        .select(
+            "grp",
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias(
+                "score_gap"
+            ),
+        )
+    )
+
+
+QUERIES["preference_pairs"] = q_preference_pairs
+
+ORACLES["preference_pairs"] = f"""
+    WITH base AS (
+        SELECT doc_id,
+               doc_id // {PREF_GROUP} AS grp,
+               len(list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> ''))::BIGINT AS nw,
+               length(regexp_replace(text, '[^\\p{{L}}]+', '', 'g'))::BIGINT
+                   AS na,
+               length(text)::BIGINT AS nc
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, grp,
+               (1000 * nw + (na * 1000) // greatest(nc, 1))::BIGINT AS score
+        FROM base
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY score DESC, doc_id ASC) AS rk_b,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY score ASC, doc_id DESC) AS rk_w
+        FROM scored
+    )
+    SELECT c.grp,
+           c.doc_id AS chosen_id,
+           r.doc_id AS rejected_id,
+           c.score AS chosen_score,
+           r.score AS rejected_score,
+           (c.score - r.score)::BIGINT AS score_gap
+    FROM (SELECT * FROM ranked WHERE rk_b = 1) c
+    JOIN (SELECT * FROM ranked WHERE rk_w = 1) r USING (grp)
+    WHERE c.doc_id <> r.doc_id
+"""
