@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "margin_mining",
     "classifier_calibration",
     "preference_pairs",
+    "action_trie_profile",
+    "ngram_novelty",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -109,15 +109,10 @@ def q_tool_retry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_retry_stats(_events(spark, sf_dir))
 
 
-def prefix_dedup(ev: DataFrame) -> DataFrame:
-    """Per key: the deepest shared action prefix (capped at
-    MAX_PREFIX_DEPTH) and the number of keys sharing it.
-
-    Construction: per key the ordered type array (stable sort via
-    sort_array over (ep, event_id, type) structs — the repo's W5 idiom),
-    one row per prefix depth (bounded explode), md5 prefix digests,
-    a (depth, digest) count, and an equi-join back. Keys sharing no
-    prefix report depth 0."""
+def _prefix_frame(ev: DataFrame) -> DataFrame:
+    """(user_id, d, h): one md5 prefix digest per key per depth 1..
+    min(len, MAX_PREFIX_DEPTH) — the shared trie substrate of
+    prefix_dedup and the trie profile."""
     seqs = (
         ev.groupBy("user_id")
         .agg(
@@ -132,7 +127,7 @@ def prefix_dedup(ev: DataFrame) -> DataFrame:
             ).alias("types"),
         )
     )
-    pref = seqs.select(
+    return seqs.select(
         "user_id",
         F.explode(F.expr("sequence(1, size(types))")).alias("d"),
         "types",
@@ -141,6 +136,18 @@ def prefix_dedup(ev: DataFrame) -> DataFrame:
         F.col("d").cast("long").alias("d"),
         F.md5(F.expr("concat_ws('|', slice(types, 1, d))")).alias("h"),
     )
+
+
+def prefix_dedup(ev: DataFrame) -> DataFrame:
+    """Per key: the deepest shared action prefix (capped at
+    MAX_PREFIX_DEPTH) and the number of keys sharing it.
+
+    Construction: per key the ordered type array (stable sort via
+    sort_array over (ep, event_id, type) structs — the repo's W5 idiom),
+    one row per prefix depth (bounded explode), md5 prefix digests,
+    a (depth, digest) count, and an equi-join back. Keys sharing no
+    prefix report depth 0."""
+    pref = _prefix_frame(ev)
     shared = (
         pref.groupBy("d", "h")
         .agg(F.count(F.lit(1)).alias("n_users"))
@@ -234,3 +241,56 @@ QUERIES = {
     "tool_retry_stats": q_tool_retry_stats,
     "prefix_dedup": q_prefix_dedup,
 }
+
+
+def action_trie_profile(ev: DataFrame) -> DataFrame:
+    """The trie fan-out curve of the action streams: at each prefix depth
+    d (1..MAX_PREFIX_DEPTH), how many conversations are still active
+    (have >= d actions), how many DISTINCT action prefixes they spread
+    over, and the integer-permille diversity ratio. Low diversity at
+    depth d means conversations are near-clones up to d actions — the
+    corpus-level statistic behind prefix-aware dedup/weighting decisions
+    (prefix_dedup answers the same question per conversation; this is the
+    dataset-card view).
+
+    Scale shape: one bounded explode (<= MAX_PREFIX_DEPTH rows per key)
+    + one depth-keyed hash aggregate with map-side combine over md5
+    digests; output is <= MAX_PREFIX_DEPTH rows."""
+    pref = _prefix_frame(ev)
+    return (
+        pref.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.countDistinct("h").alias("n_prefixes"),
+        )
+        .withColumn(
+            "diversity_permille",
+            F.expr("div(n_prefixes * 1000, n_active)"),
+        )
+    )
+
+
+def q_action_trie_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form over the driver events table."""
+    return action_trie_profile(_events(spark, sf_dir))
+
+
+ORACLES["action_trie_profile"] = f"""
+    WITH arr AS (
+        SELECT user_id,
+               (list(event_type ORDER BY ts, event_id))[1:{MAX_PREFIX_DEPTH}]
+                   AS types
+        FROM events GROUP BY user_id
+    ), pref AS (
+        SELECT user_id, dd.d AS d,
+               md5(array_to_string(types[1:dd.d], '|')) AS h
+        FROM arr,
+             LATERAL (SELECT unnest(range(1, len(types) + 1)) AS d) dd
+    )
+    SELECT d, count(*) AS n_active,
+           count(DISTINCT h)::BIGINT AS n_prefixes,
+           (count(DISTINCT h) * 1000) // count(*) AS diversity_permille
+    FROM pref GROUP BY d
+"""
+
+QUERIES["action_trie_profile"] = q_action_trie_profile

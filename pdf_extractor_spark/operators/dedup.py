@@ -1531,3 +1531,95 @@ ORACLES["substring_dup_spans"] = f"""
 """
 
 QUERIES["substring_dup_spans"] = q_substring_dup_spans
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-aware n-gram novelty — the memorization/leakage audit for an
+    INCREMENTALLY ingested corpus (cf. the train/test overlap analyses of
+    Lee et al. 2022 §6 and the GPT-3 appendix): treating doc_id order as
+    ingestion order, each document reports how many of its SUB_W-token
+    rolling windows already occurred in any EARLIER document, and the
+    integer-permille novelty ratio. A late document with low novelty is a
+    rehash of already-ingested text — exactly what an order-aware dedup
+    or an eval-set contamination review wants ranked first.
+
+    Distinct from substring_dup_spans (symmetric duplication, span
+    geometry) and contamination_check (vs a fixed benchmark set): this is
+    directional (earlier-wins) and corpus-internal.
+
+    Scale shape: one window explode (shared construction with
+    substring_dup_spans, localCheckpointed once), one digest-keyed
+    min(doc_id) aggregate with map-side combine (the first-occurrence
+    index — at production scale this is the persisted artifact an
+    incremental pipeline maintains, dedup_incremental-style), and one
+    equi-join back; per-doc rollup is a doc-keyed hash aggregate. Nothing
+    quadratic; a corpus-hot window inflates only the count aggregate."""
+    from . import load, spread_for_cpu_map
+
+    docs = spread_for_cpu_map(load(spark, sf_dir, "documents"))
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            "toks",
+        )
+        .where(F.col("n_tokens") >= SUB_W)
+    )
+    wins = base.select(
+        "doc_id",
+        F.posexplode(
+            _token_window_hashes(F.col("toks"), F.size("toks"))
+        ).alias("s", "h"),
+    ).localCheckpoint(eager=True)
+    first_seen = wins.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        wins.join(first_seen, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(
+                (F.col("first_doc") < F.col("doc_id")).cast("long")
+            ).alias("n_seen_before"),
+        )
+        .withColumn(
+            "novelty_permille",
+            F.expr("div((n_windows - n_seen_before) * 1000, n_windows)"),
+        )
+    )
+
+
+ORACLES["ngram_novelty"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), base AS (
+        SELECT doc_id, len(t)::BIGINT AS n_tokens, t
+        FROM toks WHERE len(t) >= {SUB_W}
+    ), w AS (
+        SELECT doc_id, ss.s AS s,
+               md5(array_to_string(t[ss.s + 1: ss.s + {SUB_W}], ' ')) AS h
+        FROM base,
+             LATERAL (SELECT unnest(range(0, n_tokens - {SUB_W - 1}))
+                      AS s) ss
+    ), first_seen AS (
+        SELECT h, min(doc_id) AS first_doc FROM w GROUP BY h
+    )
+    , per_doc AS (
+        SELECT w.doc_id,
+               count(*) AS n_windows,
+               sum((f.first_doc < w.doc_id)::BIGINT)::BIGINT
+                   AS n_seen_before
+        FROM w JOIN first_seen f USING (h)
+        GROUP BY w.doc_id
+    )
+    SELECT doc_id, n_windows, n_seen_before,
+           ((n_windows - n_seen_before) * 1000) // n_windows
+               AS novelty_permille
+    FROM per_doc
+"""
+
+QUERIES["ngram_novelty"] = q_ngram_novelty

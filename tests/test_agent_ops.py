@@ -120,3 +120,21 @@ def test_adapter_ordering_matches_turn_idx(spark):
     assert types == ["user", "assistant", "search"]
     # (ep, event_id) must be a complete ordering key per conversation
     assert ev.select(F.countDistinct("event_id")).first()[0] == 3
+
+
+def test_action_trie_profile_fanout(spark):
+    from pdf_extractor_spark.operators.agent import action_trie_profile
+
+    # 4 convs: all start 'a' (depth-1 diversity 1/4); two continue 'a,b',
+    # one 'a,c', one stops -> depth-2: 3 active, 2 distinct prefixes.
+    ev = _ev(spark, [
+        (1, 0, 0, "a"), (1, 1, 1, "b"),
+        (2, 0, 0, "a"), (2, 1, 1, "b"),
+        (3, 0, 0, "a"), (3, 1, 1, "c"),
+        (4, 0, 0, "a"),
+    ])
+    got = {r["d"]: r for r in action_trie_profile(ev).collect()}
+    assert got[1]["n_active"] == 4 and got[1]["n_prefixes"] == 1
+    assert got[1]["diversity_permille"] == 250
+    assert got[2]["n_active"] == 3 and got[2]["n_prefixes"] == 2
+    assert got[2]["diversity_permille"] == 666

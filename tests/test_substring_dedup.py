@@ -71,3 +71,23 @@ def test_distant_runs_stay_separate_islands(spark):
     )
     assert starts == [0, 20]
     assert starts[1] - starts[0] > SUB_W  # island boundary fires
+
+
+def test_ngram_novelty_is_directional(spark, tmp_path):
+    """Earlier doc keeps full novelty; the later copy reports the overlap."""
+    from pdf_extractor_spark.operators.dedup import q_ngram_novelty
+
+    shared = " ".join(f"a{i}" for i in range(10))  # 3 windows
+    d1 = shared + " " + " ".join(f"u{i}" for i in range(10))
+    d2 = " ".join(f"v{i}" for i in range(10)) + " " + shared
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    ).write.parquet(sf + "/documents.parquet")
+    got = {r["doc_id"]: r for r in q_ngram_novelty(spark, sf).collect()}
+    assert got[1]["n_seen_before"] == 0
+    assert got[1]["novelty_permille"] == 1000
+    # doc 2: 13 windows, the 3 inside the shared run were seen in doc 1
+    assert got[2]["n_windows"] == 13
+    assert got[2]["n_seen_before"] == 3
+    assert got[2]["novelty_permille"] == (10 * 1000) // 13
