@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "preference_pairs",
     "action_trie_profile",
     "ngram_novelty",
+    "tokenizer_fertility",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -329,3 +329,67 @@ def _encode_oracle(n_merges: int = N_MERGES) -> str:
 
 QUERIES = {"bpe_fit": q_bpe_fit, "bpe_encode": q_bpe_encode}
 ORACLES = {"bpe_fit": _bpe_oracle(), "bpe_encode": _encode_oracle()}
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — tokens per 1000 words under the
+    LEARNED BPE vocabulary. The multilingual-fairness statistic (cf. the
+    fertility tables of Rust et al., ACL 2021 and the XGLM/BLOOM tokenizer
+    analyses): a tokenizer trained on a skewed mix fragments
+    under-represented languages into more tokens per word, which taxes
+    their effective context length and training compute. Integer permille
+    so both engines agree exactly.
+
+    Scale shape: rides bpe_encode (vocab broadcast + one doc-keyed
+    regroup), one doc-keyed equi-join to the language column, and a final
+    hash aggregate over the tiny language domain."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    enc = bpe_encode(docs)
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).cast("long").alias("n_words"),
+    )
+    return (
+        enc.join(words, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .withColumn(
+            "fertility_permille",
+            F.expr("div(n_tokens * 1000, n_words)"),
+        )
+    )
+
+
+def _fertility_oracle() -> str:
+    return f"""
+    WITH enc AS ({_encode_oracle()}),
+    words AS (
+        SELECT doc_id, lang,
+               len(list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> ''))::BIGINT AS n_words
+        FROM documents
+    ), agg AS (
+        SELECT w.lang,
+               count(*) AS n_docs,
+               sum(w.n_words)::BIGINT AS n_words,
+               sum(e.n_tokens)::BIGINT AS n_tokens
+        FROM enc e JOIN words w USING (doc_id)
+        GROUP BY 1
+    )
+    SELECT lang, n_docs, n_words, n_tokens,
+           (n_tokens * 1000) // n_words AS fertility_permille
+    FROM agg
+    """
+
+
+QUERIES["tokenizer_fertility"] = q_tokenizer_fertility
+ORACLES["tokenizer_fertility"] = _fertility_oracle()
