@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "action_trie_profile",
     "ngram_novelty",
     "tokenizer_fertility",
+    "fim_transform",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

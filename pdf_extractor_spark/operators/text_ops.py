@@ -703,3 +703,113 @@ QUERIES = {
     "levenshtein_pairs": q_levenshtein_pairs,
     "jaccard_pairs": q_jaccard_pairs,
 }
+
+
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"): each
+    document splits into (prefix, middle, suffix) at two DETERMINISTIC
+    content-derived points (md5-hash arithmetic — no RNG, repartition- and
+    backfill-stable, the holdout_split discipline) and is re-serialized in
+    PSM or SPM sentinel order, the 50/50 mode mix the paper trains on.
+    All three parts are non-empty by construction (a in [1, n-2], b in
+    [a+1, n-1]). Docs under 3 tokens pass through untransformable and are
+    excluded (the FIM rate in production is < 1.0 anyway).
+
+    Output: doc_id, mode, n_prefix/n_middle/n_suffix, fim_text.
+
+    Scale shape: a pure per-row map over the scan — zero shuffle, zero
+    Python; the transform composes with token_packing downstream."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    base = docs.select(
+        "doc_id",
+        toks.alias("t"),
+        F.size(toks).cast("long").alias("n"),
+        F.md5("text").alias("h"),
+    ).where(F.col("n") >= 3)
+    h1 = F.expr("conv(substring(h, 1, 8), 16, 10)").cast("long")
+    h2 = F.expr("conv(substring(h, 9, 8), 16, 10)").cast("long")
+    h3 = F.expr("conv(substring(h, 17, 8), 16, 10)").cast("long")
+    split = base.select(
+        "doc_id",
+        "t",
+        "n",
+        (F.lit(1) + h1 % (F.col("n") - 2)).alias("a"),
+        h2.alias("h2"),
+        F.when(h3 % 2 == 0, F.lit("psm")).otherwise(F.lit("spm")).alias(
+            "mode"
+        ),
+    ).select(
+        "doc_id",
+        "t",
+        "n",
+        "a",
+        "mode",
+        (F.col("a") + 1 + F.col("h2") % (F.col("n") - F.col("a") - 1)).alias(
+            "b"
+        ),
+    )
+    pre = F.expr("array_join(slice(t, 1, a), ' ')")
+    mid = F.expr("array_join(slice(t, a + 1, b - a), ' ')")
+    suf = F.expr("array_join(slice(t, b + 1, n - b), ' ')")
+    psm = F.concat(
+        F.lit("<PRE> "), pre, F.lit(" <SUF> "), suf, F.lit(" <MID> "), mid
+    )
+    spm = F.concat(
+        F.lit("<SUF> "), suf, F.lit(" <PRE> "), pre, F.lit(" <MID> "), mid
+    )
+    return split.select(
+        "doc_id",
+        "mode",
+        F.col("a").alias("n_prefix"),
+        (F.col("b") - F.col("a")).alias("n_middle"),
+        (F.col("n") - F.col("b")).alias("n_suffix"),
+        F.when(F.col("mode") == "psm", psm).otherwise(spm).alias("fim_text"),
+    )
+
+
+QUERIES["fim_transform"] = q_fim_transform
+
+ORACLES["fim_transform"] = """
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS t,
+               md5(text) AS h
+        FROM documents
+    ), sized AS (
+        SELECT doc_id, t, len(t)::BIGINT AS n,
+               ('0x' || substring(h, 1, 8))::BIGINT AS h1,
+               ('0x' || substring(h, 9, 8))::BIGINT AS h2,
+               ('0x' || substring(h, 17, 8))::BIGINT AS h3
+        FROM base WHERE len(t) >= 3
+    ), split AS (
+        SELECT doc_id, t, n,
+               1 + h1 % (n - 2) AS a,
+               CASE WHEN h3 % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode,
+               h2
+        FROM sized
+    ), ab AS (
+        SELECT doc_id, t, n, a, mode,
+               a + 1 + h2 % (n - a - 1) AS b
+        FROM split
+    ), parts AS (
+        SELECT doc_id, mode, a, b, n,
+               array_to_string(t[1:a], ' ') AS pre,
+               array_to_string(t[a + 1:b], ' ') AS mid,
+               array_to_string(t[b + 1:n], ' ') AS suf
+        FROM ab
+    )
+    SELECT doc_id, mode,
+           a AS n_prefix,
+           (b - a)::BIGINT AS n_middle,
+           (n - b)::BIGINT AS n_suffix,
+           CASE WHEN mode = 'psm'
+                THEN '<PRE> ' || pre || ' <SUF> ' || suf || ' <MID> ' || mid
+                ELSE '<SUF> ' || suf || ' <PRE> ' || pre || ' <MID> ' || mid
+           END AS fim_text
+    FROM parts
+"""
