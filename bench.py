@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "ngram_novelty",
     "tokenizer_fertility",
     "fim_transform",
+    "unicode_anomalies",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -813,3 +813,99 @@ ORACLES["fim_transform"] = """
            END AS fim_text
     FROM parts
 """
+
+
+# Unicode anomaly classes every scraped-text pipeline audits: invisible
+# zero-width characters (dedup/tokenizer poison and a known watermark
+# channel), raw control bytes (mojibake/binary bleed), explicit bidi
+# override marks (Trojan Source, Boucher & Anderson 2021), and U+FFFD
+# replacement chars (decode damage). Patterns are built from the literal
+# characters so the Java-regex and RE2 forms are identical char classes.
+_ZW = "​‌‍﻿"
+_BIDI = "‪‫‬‭‮⁦⁧⁨⁩"
+# escape form, not literal bytes: a raw NUL inside a SQL string literal is
+# unparseable; \\x escapes mean the same class to Java regex and RE2
+_CTRL = "\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F"
+
+
+def q_unicode_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unicode anomaly audit over a deterministically tainted
+    fixture column (the parse_number_csv convention: the driver corpus is
+    clean ASCII, so the query synthesizes the hazard in-plan — every
+    doc_id % 7 == 0 doc gets a zero-width space spliced after its first
+    character, every doc_id % 11 == 0 doc a trailing RLO override mark,
+    and doc_id % 77 == 0 docs get both). Counts per class via the
+    length-minus-stripped idiom (pure JVM regexp, one map), plus the
+    boolean flag a quarantine filter keys on.
+
+    Scale shape: a pure per-row map — zero shuffle, zero Python."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    tainted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.substring("text", 1, 1),
+            F.lit("​"),
+            F.expr("substring(text, 2)"),
+        ),
+    ).otherwise(F.col("text"))
+    tainted = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(tainted, F.lit("‮"))
+    ).otherwise(tainted)
+
+    def count_cls(col, chars):
+        return (
+            F.length(col) - F.length(F.regexp_replace(col, f"[{chars}]", ""))
+        ).cast("long")
+
+    t = tainted
+    out = docs.select(
+        "doc_id",
+        count_cls(t, _ZW).alias("n_zero_width"),
+        count_cls(t, _BIDI).alias("n_bidi_marks"),
+        count_cls(t, _CTRL).alias("n_control"),
+        count_cls(t, "�").alias("n_replacement"),
+    )
+    return out.withColumn(
+        "is_anomalous",
+        (
+            F.col("n_zero_width")
+            + F.col("n_bidi_marks")
+            + F.col("n_control")
+            + F.col("n_replacement")
+            > 0
+        ).cast("long"),
+    )
+
+
+QUERIES["unicode_anomalies"] = q_unicode_anomalies
+
+ORACLES["unicode_anomalies"] = f"""
+    WITH tainted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN t2 || '‮' ELSE t2 END
+                   AS t
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN substring(text, 1, 1) || '​'
+                             || substring(text, 2)
+                        ELSE text END AS t2
+            FROM documents
+        )
+    )
+    SELECT doc_id,
+           (length(t) - length(regexp_replace(t, '[{_ZW}]', '', 'g')))::BIGINT
+               AS n_zero_width,
+           (length(t) - length(regexp_replace(t, '[{_BIDI}]', '', 'g')))::BIGINT
+               AS n_bidi_marks,
+           (length(t) - length(regexp_replace(t, '[{_CTRL}]', '', 'g')))::BIGINT
+               AS n_control,
+           (length(t) - length(regexp_replace(t, '[�]', '', 'g')))::BIGINT
+               AS n_replacement,
+           ((length(t) - length(regexp_replace(t, '[{_ZW}{_BIDI}{_CTRL}�]',
+                                               '', 'g'))) > 0)::BIGINT
+               AS is_anomalous
+    FROM tainted
+"""
