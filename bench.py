@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "tokenizer_fertility",
     "fim_transform",
     "unicode_anomalies",
+    "tool_latency_quantiles",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

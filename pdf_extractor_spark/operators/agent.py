@@ -294,3 +294,72 @@ ORACLES["action_trie_profile"] = f"""
 """
 
 QUERIES["action_trie_profile"] = q_action_trie_profile
+
+
+_LAT_QUANTILES = (50, 90, 99)
+
+
+def tool_latency_quantiles(ev: DataFrame) -> DataFrame:
+    """Per-tool inter-action latency distribution: for every action, its
+    latency is the microsecond gap since the key's previous action; per
+    action type, exact nearest-rank p50/p90/p99 of those gaps (type-1,
+    rank ceil(q*n/100) — the length_quantiles idiom, all-integer so both
+    engines agree). The per-tool latency/SLO panel of the retry stats.
+
+    Scale shape: one per-key lag window (unbounded parallel key), then
+    one window shuffle keyed on the tiny tool domain for the rank — the
+    exact-replay form; at 100 TB the twin is approx_percentile (t-digest,
+    partial-mergeable), as documented for length_quantiles."""
+    w = _user_order()
+    gaps = ev.select(
+        "event_type",
+        "event_id",
+        (F.col("ep") - F.lag("ep").over(w)).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("gap_us", "event_id")
+    wn = Window.partitionBy("event_type")
+    d = gaps.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n * {q} + 99) div 100"),
+                F.col("gap_us"),
+            )
+        ).alias(f"p{q}_us")
+        for q in _LAT_QUANTILES
+    ]
+    return d.groupBy(F.col("event_type").alias("tool")).agg(
+        F.max("n").alias("n_gaps"), *aggs
+    )
+
+
+def q_tool_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form over the driver events table."""
+    return tool_latency_quantiles(_events(spark, sf_dir))
+
+
+ORACLES["tool_latency_quantiles"] = f"""
+    WITH gaps AS (
+        SELECT event_type, event_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), d AS (
+        SELECT event_type, gap_us,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY gap_us, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM gaps WHERE gap_us IS NOT NULL
+    )
+    SELECT event_type AS tool, max(n) AS n_gaps,
+           {", ".join(
+               f"max(CASE WHEN rn = (n * {q} + 99) // 100 "
+               f"THEN gap_us END) AS p{q}_us"
+               for q in _LAT_QUANTILES
+           )}
+    FROM d GROUP BY event_type
+"""
+
+QUERIES["tool_latency_quantiles"] = q_tool_latency_quantiles
