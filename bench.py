@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "fim_transform",
     "unicode_anomalies",
     "tool_latency_quantiles",
+    "url_canonicalize",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

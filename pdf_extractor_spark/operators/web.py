@@ -290,3 +290,177 @@ ORACLES = {
         FROM deg d JOIN topA a ON a.tgt = d.tgt
     """,
 }
+
+
+# --- URL canonicalization ----------------------------------------------------
+# The crawl-dedup normalizer: the same resource reached via case variants,
+# default ports, tracking parameters, reordered query strings, fragments, or
+# trailing slashes must collapse to ONE canonical key before any URL-level
+# dedup or frontier scheduling. Fixture URLs are synthesized deterministically
+# from doc_id (the URL_EXPR convention) with every hazard injected.
+
+MESSY_URL_EXPR = (
+    "concat("
+    " CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END, '://',"
+    " CASE WHEN doc_id % 2 = 0"
+    "      THEN concat('Site', doc_id % 20, '.Example.COM')"
+    "      ELSE concat('site', doc_id % 20, '.example.com') END,"
+    " CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,"
+    " '/a/doc-', doc_id % 50,"
+    " CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,"
+    " '?',"
+    " CASE WHEN doc_id % 2 = 0 THEN concat('b=2&a=', doc_id % 50)"
+    "      ELSE concat('a=', doc_id % 50, '&b=2') END,"
+    " CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END,"
+    " CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END)"
+)
+
+_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
+
+
+def url_canonicalize(docs_with_url: DataFrame) -> DataFrame:
+    """(doc_id, url) -> (doc_id, url, url_canon, n_variants): lowercase
+    scheme/host, drop default ports and fragments, strip tracking params,
+    sort the surviving query params, trim trailing path slashes, then
+    count how many corpus URLs share each canonical form.
+
+    String surgery uses only substring_index/split/sort primitives with
+    exact DuckDB twins (split_part/list_sort) — no parse_url, which DuckDB
+    lacks. Scale shape: the normalization is a pure per-row map; the
+    variant count is one canonical-key hash aggregate (map-side combine)
+    joined back equi-keyed — a hot canonical URL ships a count, not its
+    rows."""
+    nofrag = F.substring_index("url", "#", 1)
+    base = F.substring_index(nofrag, "?", 1)
+    query = F.when(
+        nofrag.contains("?"), F.substring_index(nofrag, "?", -1)
+    ).otherwise(F.lit(""))
+    scheme = F.lower(F.substring_index(base, "://", 1))
+    rest = F.substring_index(base, "://", -1)
+    hostport = F.substring_index(rest, "/", 1)
+    # path within rest: everything after the hostport prefix
+    path = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 20))
+    host = F.lower(F.substring_index(hostport, ":", 1))
+    port = F.when(
+        hostport.contains(":"), F.substring_index(hostport, ":", -1)
+    ).otherwise(F.lit(""))
+    keep_port = ~(
+        (port == "")
+        | ((scheme == "https") & (port == "443"))
+        | ((scheme == "http") & (port == "80"))
+    )
+    norm_path = F.regexp_replace(path, "/+$", "")
+    norm_path = F.when(norm_path == "", F.lit("/")).otherwise(norm_path)
+    drop = " OR ".join(
+        f"p LIKE '{pfx}%'" for pfx in _TRACKING_PREFIXES
+    )
+    kept = F.expr(
+        "array_join(sort_array(filter(split(q, '&'),"
+        f" p -> p <> '' AND NOT ({drop}))), '&')"
+    )
+    with_parts = docs_with_url.select(
+        "doc_id",
+        "url",
+        scheme.alias("s"),
+        host.alias("h"),
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(
+            F.lit("")
+        ).alias("prt"),
+        norm_path.alias("p"),
+        query.alias("q"),
+    ).select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.col("s"), F.lit("://"), F.col("h"), F.col("prt"), F.col("p"),
+            F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(
+                F.lit("")
+            ),
+        ).alias("url_canon"),
+    )
+    counts = with_parts.groupBy("url_canon").agg(
+        F.count(F.lit(1)).alias("n_variants")
+    )
+    return with_parts.join(counts, "url_canon").select(
+        "doc_id", "url", "url_canon", "n_variants"
+    )
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(MESSY_URL_EXPR).alias("url")
+    )
+    return url_canonicalize(docs)
+
+
+QUERIES["url_canonicalize"] = q_url_canonicalize
+
+_DROP_DUCK = " OR ".join(
+    f"p LIKE '{pfx}%'" for pfx in _TRACKING_PREFIXES
+)
+
+ORACLES["url_canonicalize"] = f"""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END
+               || '://'
+               || CASE WHEN doc_id % 2 = 0
+                       THEN 'Site' || (doc_id % 20) || '.Example.COM'
+                       ELSE 'site' || (doc_id % 20) || '.example.com' END
+               || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+               || '/a/doc-' || (doc_id % 50)
+               || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+               || '?'
+               || CASE WHEN doc_id % 2 = 0
+                       THEN 'b=2&a=' || (doc_id % 50)
+                       ELSE 'a=' || (doc_id % 50) || '&b=2' END
+               || CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed'
+                       ELSE '' END
+               || CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END
+                   AS url
+        FROM documents
+    ), parts AS (
+        SELECT doc_id, url,
+               split_part(split_part(url, '#', 1), '?', 1) AS base,
+               CASE WHEN contains(split_part(url, '#', 1), '?')
+                    THEN split_part(split_part(url, '#', 1), '?', 2)
+                    ELSE '' END AS q
+        FROM raw
+    ), comps AS (
+        SELECT doc_id, url, q,
+               lower(split_part(base, '://', 1)) AS s,
+               split_part(split_part(base, '://', 2), '/', 1) AS hostport,
+               substring(split_part(base, '://', 2),
+                         length(split_part(split_part(base, '://', 2),
+                                           '/', 1)) + 1) AS path
+        FROM parts
+    ), norm AS (
+        SELECT doc_id, url,
+               s,
+               lower(split_part(hostport, ':', 1)) AS h,
+               CASE WHEN NOT contains(hostport, ':') THEN ''
+                    WHEN s = 'https'
+                         AND split_part(hostport, ':', 2) = '443' THEN ''
+                    WHEN s = 'http'
+                         AND split_part(hostport, ':', 2) = '80' THEN ''
+                    ELSE ':' || split_part(hostport, ':', 2) END AS prt,
+               CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                    ELSE regexp_replace(path, '/+$', '') END AS p,
+               array_to_string(
+                   list_sort(list_filter(string_split(q, '&'),
+                       p -> p <> '' AND NOT ({_DROP_DUCK}))), '&') AS kept
+        FROM comps
+    ), canon AS (
+        SELECT doc_id, url,
+               s || '://' || h || prt || p
+               || CASE WHEN kept <> '' THEN '?' || kept ELSE '' END
+                   AS url_canon
+        FROM norm
+    ), counts AS (
+        SELECT url_canon, count(*) AS n_variants FROM canon GROUP BY 1
+    )
+    SELECT c.doc_id, c.url, c.url_canon, n.n_variants
+    FROM canon c JOIN counts n USING (url_canon)
+"""
