@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "unicode_anomalies",
     "tool_latency_quantiles",
     "url_canonicalize",
+    "adjacent_dup_collapse",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

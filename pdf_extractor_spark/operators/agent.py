@@ -363,3 +363,60 @@ ORACLES["tool_latency_quantiles"] = f"""
 """
 
 QUERIES["tool_latency_quantiles"] = q_tool_latency_quantiles
+
+
+def adjacent_dup_collapse(ev: DataFrame, content_col: str = "content") -> DataFrame:
+    """Adjacent duplicate-content collapse — the chat-log cleaner: an agent
+    stuck in a loop (or a client retrying a send) emits consecutive turns
+    with IDENTICAL content; training corpora collapse those runs to one
+    turn. Per key: events seen, events collapsed (same content digest as
+    the immediate predecessor within RETRY_WINDOW), events kept. Content
+    compares by md5 digest so the lag window carries fixed-width keys,
+    never the payload text.
+
+    Distinct from tool_retry_stats (same TYPE re-issued — a behavioral
+    signal) and dedup_exact (corpus-global content identity): this is
+    positional, within-stream, window-bounded."""
+    w = _user_order()
+    d = F.md5(F.coalesce(F.col(content_col), F.lit("")))
+    gap = F.col("ep") - F.lag("ep").over(w)
+    dup = (
+        (d == F.lag(d).over(w))
+        & (gap <= RETRY_WINDOW_SECONDS * 1_000_000)
+    ).cast("long")
+    flagged = ev.select("user_id", dup.alias("is_dup"))
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_dup").alias("n_collapsed"),
+        )
+        .withColumn("n_kept", F.col("n_events") - F.col("n_collapsed"))
+    )
+
+
+def q_adjacent_dup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form over the driver events table (``props`` plays the
+    turn content)."""
+    return adjacent_dup_collapse(_events(spark, sf_dir), content_col="props")
+
+
+ORACLES["adjacent_dup_collapse"] = f"""
+    WITH seq AS (
+        SELECT user_id,
+               CASE WHEN md5(coalesce(props, ''))
+                         = lag(md5(coalesce(props, ''))) OVER w
+                     AND epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         <= {RETRY_WINDOW_SECONDS * 1_000_000}
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           sum(is_dup)::BIGINT AS n_collapsed,
+           (count(*) - sum(is_dup))::BIGINT AS n_kept
+    FROM seq GROUP BY user_id
+"""
+
+QUERIES["adjacent_dup_collapse"] = q_adjacent_dup_collapse

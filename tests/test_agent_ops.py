@@ -138,3 +138,24 @@ def test_action_trie_profile_fanout(spark):
     assert got[1]["diversity_permille"] == 250
     assert got[2]["n_active"] == 3 and got[2]["n_prefixes"] == 2
     assert got[2]["diversity_permille"] == 666
+
+
+def test_adjacent_dup_collapse_counts_runs(spark):
+    from pdf_extractor_spark.operators.agent import adjacent_dup_collapse
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: x, x (dup), x (dup), y, x (NOT dup of y)
+            (1, 0, 0, "x"), (1, 1, 10_000_000, "x"),
+            (1, 2, 20_000_000, "x"), (1, 3, 30_000_000, "y"),
+            (1, 4, 40_000_000, "x"),
+            # user 2: same content but 400s apart -> outside window
+            (2, 0, 0, "z"), (2, 1, 400_000_000, "z"),
+        ],
+        "user_id long, event_id long, ep long, content string",
+    )
+    got = {r["user_id"]: r for r in adjacent_dup_collapse(ev).collect()}
+    assert got[1]["n_events"] == 5
+    assert got[1]["n_collapsed"] == 2
+    assert got[1]["n_kept"] == 3
+    assert got[2]["n_collapsed"] == 0
