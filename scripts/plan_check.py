@@ -50,6 +50,10 @@ RULES = {
     # the cascade is a pure map: scan -> filter -> ONE Arrow UDF, no shuffle
     "lattice_stream_cascade": ([r"ArrowEvalPython"], [r"Exchange"]),
     "token_windows": ([], [r"Exchange", r"ArrowEvalPython"]),
+    # pure per-row transforms: a shuffle or Python node appearing here
+    # means the map decomposed wrongly
+    "fim_transform": ([], [r"Exchange", r"ArrowEvalPython"]),
+    "unicode_anomalies": ([], [r"Exchange", r"ArrowEvalPython"]),
     # round-3 curation ops: thresholds/offsets must ride broadcast joins;
     # the repetition rollup must stay pure hash aggregation (no windows)
     "mixture_resample": ([r"BroadcastHashJoin"], [r"SortMergeJoin"]),
