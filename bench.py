@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "tool_latency_quantiles",
     "url_canonicalize",
     "adjacent_dup_collapse",
+    "source_quantile_norm",
+    "token_budget_select",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -7,7 +7,7 @@ F3 (sampling), F5-F18 subset (detectors), X2 (extract_numbers).
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.expressions import (
@@ -908,4 +908,120 @@ ORACLES["unicode_anomalies"] = f"""
                                                '', 'g'))) > 0)::BIGINT
                AS is_anomalous
     FROM tainted
+"""
+
+
+# Per-source token budget for the selection op: the "data mixing under a
+# compute budget" knob — each source may contribute at most this many
+# tokens, filled best-quality-first.
+SOURCE_TOKEN_BUDGET = 1000
+
+
+def q_source_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of quality scores — the CCNet
+    trick (Wenzek et al. 2020 filter per-language by perplexity QUANTILE,
+    not absolute value): a global threshold over-prunes sources whose
+    score distribution sits lower. Each doc gets its within-source rank
+    percentile (integer permille, ties broken by doc_id) so downstream
+    gates compare like with like.
+
+    Scale shape: one window per source (unbounded parallel key) — never a
+    global sort."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    n_words = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    scored = docs.select(
+        "doc_id", "source", n_words.cast("long").alias("score")
+    )
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    wn = Window.partitionBy("source")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            F.expr("div(rn * 1000, n)").alias("pct_permille"),
+        )
+    )
+
+
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained data selection: each source contributes its
+    best-quality documents until its token budget fills (greedy by
+    (score desc, doc_id) — the deterministic survey-propagation-free form
+    of "select the best N tokens per domain" every mixture recipe ends
+    with). A document is selected iff the running token total INCLUDING
+    it fits the budget; the first over-budget doc and everything after it
+    drop (no partial documents).
+
+    Scale shape: one per-source ordered window (running sum) — parallel
+    across sources; never a global sort. At 100 TB the budgets come from
+    the mixture table (temperature_mixture) and this op consumes its
+    output."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    n_words = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        n_words.cast("long").alias("n_tokens"),
+        n_words.cast("long").alias("score"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return scored.withColumn("cum_tokens", F.sum("n_tokens").over(w)).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_tokens",
+        (F.col("cum_tokens") <= SOURCE_TOKEN_BUDGET).cast("long").alias(
+            "selected"
+        ),
+    )
+
+
+QUERIES["source_quantile_norm"] = q_source_quantile_norm
+QUERIES["token_budget_select"] = q_token_budget_select
+
+_NW_DUCK = (
+    "len(list_filter(regexp_split_to_array(text, '\\s+'), "
+    "x -> x <> ''))::BIGINT"
+)
+
+ORACLES["source_quantile_norm"] = f"""
+    WITH scored AS (
+        SELECT doc_id, source, {_NW_DUCK} AS score FROM documents
+    ), r AS (
+        SELECT doc_id, source, score,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY score, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM scored
+    )
+    SELECT doc_id, source, score, (rn * 1000) // n AS pct_permille
+    FROM r
+"""
+
+ORACLES["token_budget_select"] = f"""
+    WITH scored AS (
+        SELECT doc_id, source, {_NW_DUCK} AS n_tokens, {_NW_DUCK} AS score
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source
+                                   ORDER BY score DESC, doc_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, source, n_tokens,
+           cum_tokens::BIGINT AS cum_tokens,
+           (cum_tokens <= {SOURCE_TOKEN_BUDGET})::BIGINT AS selected
+    FROM c
 """
