@@ -53,18 +53,25 @@ RETRY_WINDOW_SECONDS = 300
 MAX_PREFIX_DEPTH = 12
 
 
-def events_from_transcripts(transcripts: DataFrame) -> DataFrame:
+def events_from_transcripts(
+    transcripts: DataFrame, keep_text: bool = False
+) -> DataFrame:
     """Adapt the BASELINE.json transcript shape (conv_id, turn_idx, role,
-    tool, ts) to the action-stream contract both operators consume: the
-    conversation is the key, turn order is the complete ordering key, and
-    the action type is the tool name when present else the role. Pure
-    column projection — no shuffle."""
-    return transcripts.select(
+    tool, ts) to the action-stream contract the agent operators consume:
+    the conversation is the key, turn order is the complete ordering key,
+    and the action type is the tool name when present else the role. Pure
+    column projection — no shuffle. ``keep_text`` carries the turn text
+    as ``content`` for the content-keyed operators
+    (adjacent_dup_collapse)."""
+    cols = [
         F.hash("conv_id").cast("bigint").alias("user_id"),
         F.col("turn_idx").cast("bigint").alias("event_id"),
         (F.col("turn_idx").cast("bigint") * 1_000_000).alias("ep"),
         F.coalesce("tool", "role").alias("event_type"),
-    )
+    ]
+    if keep_text:
+        cols.append(F.col("text").alias("content"))
+    return transcripts.select(*cols)
 
 
 def tool_retry_stats(ev: DataFrame) -> DataFrame:
