@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "adjacent_dup_collapse",
     "source_quantile_norm",
     "token_budget_select",
+    "rate_spike_detect",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -547,3 +547,91 @@ ORACLES["shipping_priority"] = f"""
     FROM g ORDER BY revenue_u4 DESC, l_orderkey
     LIMIT {Q3_TOP_K}
 """
+
+
+# Rate-spike detection: an hour is a SPIKE when its event count is at
+# least SPIKE_NUM/SPIKE_DEN times the trailing SPIKE_LOOKBACK-hour mean
+# (with the full lookback present) — integer cross-multiplied, no float
+# ratio. 3x over the trailing 24h mean is the standard pager rule.
+SPIKE_LOOKBACK = 24
+SPIKE_NUM = 3
+SPIKE_DEN = 1
+
+
+def q_rate_spike_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate spike detection per type — the drift/incident monitor a
+    warehouse runs over its ingest stream: hourly counts (the mergeable
+    partial state every rollup already maintains), a trailing
+    SPIKE_LOOKBACK-hour window sum via a RANGE frame over the hour bucket
+    (gaps count as zero hours BY CONSTRUCTION of the range frame — silent
+    hours simply contribute nothing to the sum while still widening the
+    denominator), and the cross-multiplied spike predicate
+    cnt * LOOKBACK >= trailing_sum * NUM/DEN. Hours without the full
+    lookback report is_spike = 0 (cold start is not an incident).
+
+    Scale shape: one map-side-combined hash aggregate onto calendar-
+    bounded (type, hour) state + one per-type RANGE window over that tiny
+    frame — the hourly_spine_ffill layout; the raw corpus is touched once."""
+    from pyspark.sql import Window
+
+    hourly = _hourly_partials(_with_ep(_events_agg(spark, sf_dir))).select(
+        "event_type", "hour_b", F.col("n").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_b")
+        .rangeBetween(-SPIKE_LOOKBACK, -1)
+    )
+    trailing = hourly.withColumn(
+        "trail_sum", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    return trailing.select(
+        "event_type",
+        "hour_b",
+        "cnt",
+        F.col("trail_sum").cast("long").alias("trail_sum"),
+        (
+            (F.col("hour_b") - F.first("hour_b").over(
+                Window.partitionBy("event_type").orderBy("hour_b")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ) >= SPIKE_LOOKBACK)
+            & (
+                F.col("cnt") * SPIKE_LOOKBACK * SPIKE_DEN
+                >= F.col("trail_sum") * SPIKE_NUM
+            )
+        ).cast("long").alias("is_spike"),
+    )
+
+
+def _events_agg(spark, sf_dir):
+    from . import load
+
+    return load(spark, sf_dir, "events")
+
+
+QUERIES["rate_spike_detect"] = q_rate_spike_detect
+
+ORACLES["rate_spike_detect"] = f"""
+    WITH hourly AS (
+        SELECT event_type,
+               {floordiv_duck('epoch_us(ts)', 3600000000)} AS hour_b,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), t AS (
+        SELECT event_type, hour_b, cnt,
+               coalesce(sum(cnt) OVER w, 0) AS trail_sum,
+               first_value(hour_b) OVER (PARTITION BY event_type
+                                         ORDER BY hour_b
+                                         ROWS UNBOUNDED PRECEDING) AS h0
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_b
+                     RANGE BETWEEN {SPIKE_LOOKBACK} PRECEDING
+                               AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_b, cnt,
+           trail_sum::BIGINT AS trail_sum,
+           (hour_b - h0 >= {SPIKE_LOOKBACK}
+            AND cnt * {SPIKE_LOOKBACK * SPIKE_DEN}
+                >= trail_sum * {SPIKE_NUM})::BIGINT AS is_spike
+    FROM t
+"""
