@@ -62,11 +62,22 @@ def events_from_transcripts(
     and the action type is the tool name when present else the role. Pure
     column projection — no shuffle. ``keep_text`` carries the turn text
     as ``content`` for the content-keyed operators
-    (adjacent_dup_collapse)."""
+    (adjacent_dup_collapse).
+
+    Two review-hardened choices: the key is xxhash64 (the manifest.py
+    convention — a 32-bit hash would collide and silently interleave two
+    conversations at ~100k-conv scale), and ``ep`` derives from the REAL
+    turn timestamp via the timezone-safe timestampdiff idiom
+    (windows._events) so retry windows and latency quantiles measure wall
+    time, not turn counts; turn_idx stays the within-timestamp
+    tiebreaker."""
     cols = [
-        F.hash("conv_id").cast("bigint").alias("user_id"),
+        F.xxhash64("conv_id").alias("user_id"),
         F.col("turn_idx").cast("bigint").alias("event_id"),
-        (F.col("turn_idx").cast("bigint") * 1_000_000).alias("ep"),
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', cast(ts as timestamp_ntz))"
+        ).alias("ep"),
         F.coalesce("tool", "role").alias("event_type"),
     ]
     if keep_text:
@@ -134,6 +145,9 @@ def _prefix_frame(ev: DataFrame) -> DataFrame:
             ).alias("types"),
         )
     )
+    # length-prefixed elements before joining: a bare '|' join is ambiguous
+    # when an action type itself contains '|' (namespaced tool names) —
+    # ["a|b","c"] and ["a","b|c"] must NOT share a digest
     return seqs.select(
         "user_id",
         F.explode(F.expr("sequence(1, size(types))")).alias("d"),
@@ -141,7 +155,12 @@ def _prefix_frame(ev: DataFrame) -> DataFrame:
     ).select(
         "user_id",
         F.col("d").cast("long").alias("d"),
-        F.md5(F.expr("concat_ws('|', slice(types, 1, d))")).alias("h"),
+        F.md5(
+            F.expr(
+                "concat_ws('|', transform(slice(types, 1, d),"
+                " x -> concat(cast(length(x) as string), ':', x)))"
+            )
+        ).alias("h"),
     )
 
 
@@ -153,8 +172,16 @@ def prefix_dedup(ev: DataFrame) -> DataFrame:
     sort_array over (ep, event_id, type) structs — the repo's W5 idiom),
     one row per prefix depth (bounded explode), md5 prefix digests,
     a (depth, digest) count, and an equi-join back. Keys sharing no
-    prefix report depth 0."""
-    pref = _prefix_frame(ev)
+    prefix report depth 0.
+
+    The prefix frame is localCheckpointed once (the dedup.py signature
+    idiom): the count, the join-back probe side, and the user universe
+    all read it — without the checkpoint the groupBy+collect_list subtree
+    would run three times (the CLAUDE.md self-join rule). The count
+    output is one ROW per (depth, digest) joined back equi-keyed — a
+    universally shared depth-1 prefix ships a count, never a collected
+    id list, so no skew bomb."""
+    pref = _prefix_frame(ev).localCheckpoint(eager=True)
     shared = (
         pref.groupBy("d", "h")
         .agg(F.count(F.lit(1)).alias("n_users"))
@@ -167,7 +194,8 @@ def prefix_dedup(ev: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max(F.struct("d", "n_users")).alias("m"))
     )
-    users = ev.select("user_id").distinct()
+    # every key has a depth-1 row -> the user universe reads the checkpoint
+    users = pref.where(F.col("d") == 1).select("user_id")
     return users.join(best, "user_id", "left").select(
         "user_id",
         F.coalesce(F.col("m.d"), F.lit(0)).cast("long").alias(
@@ -223,7 +251,8 @@ ORACLES = {
             FROM events GROUP BY user_id
         ), pref AS (
             SELECT user_id, dd.d AS d,
-                   md5(array_to_string(types[1:dd.d], '|')) AS h
+                   md5(array_to_string(list_transform(types[1:dd.d],
+                   x -> length(x)::VARCHAR || ':' || x), '|')) AS h
             FROM arr,
                  LATERAL (SELECT unnest(range(1, len(types) + 1)) AS d) dd
         ), shared AS (
@@ -290,7 +319,8 @@ ORACLES["action_trie_profile"] = f"""
         FROM events GROUP BY user_id
     ), pref AS (
         SELECT user_id, dd.d AS d,
-               md5(array_to_string(types[1:dd.d], '|')) AS h
+               md5(array_to_string(list_transform(types[1:dd.d],
+                   x -> length(x)::VARCHAR || ':' || x), '|')) AS h
         FROM arr,
              LATERAL (SELECT unnest(range(1, len(types) + 1)) AS d) dd
     )

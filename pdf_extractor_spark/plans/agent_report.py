@@ -34,9 +34,6 @@ from ..operators.agent import (
     tool_retry_stats,
 )
 
-_OUT = "section string, key string, metric string, value long"
-
-
 def _tall(df: DataFrame, section: str, key_col, metrics: list) -> DataFrame:
     pairs = ", ".join(f"'{m}', cast({m} as long)" for m in metrics)
     return df.select(
@@ -47,9 +44,15 @@ def _tall(df: DataFrame, section: str, key_col, metrics: list) -> DataFrame:
 
 
 def agent_report(transcripts: DataFrame) -> DataFrame:
-    """Transcripts -> the tall data-card frame (see module docstring)."""
-    ev = events_from_transcripts(transcripts)
-    evc = events_from_transcripts(transcripts, keep_text=True)
+    """Transcripts -> the tall data-card frame (see module docstring).
+
+    The adapted stream is localCheckpointed ONCE and every section reads
+    it — without this, the five-branch union would re-run the source
+    lineage (a generator's mapInPandas, a remote scan) five times."""
+    evc = events_from_transcripts(
+        transcripts, keep_text=True
+    ).localCheckpoint(eager=True)
+    ev = evc.select("user_id", "event_id", "ep", "event_type")
 
     retry = _tall(
         tool_retry_stats(ev),

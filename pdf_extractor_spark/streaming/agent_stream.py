@@ -15,11 +15,14 @@ last_ep would compare against the wrong predecessor). Out-of-order
 replays belong on the batch path, where the window over (ep, event_id)
 is order-free.
 
-Quiescent keys are evicted via processing-time timeout; eviction loses
-nothing because increments were already emitted (worst case: the first
-event after a long silence can no longer be classified as a retry —
-which the RETRY_WINDOW gap rule would reject anyway whenever the silence
-exceeds the window)."""
+Quiescent keys are evicted via processing-time timeout. Eviction is
+exactness-safe ONLY when wall-clock silence implies event-time silence:
+a key evicted after QUIESCENT_EVICT_MS of wall time whose NEXT event has
+an event-time gap <= RETRY_WINDOW (a producer flushing a long-buffered
+backlog) loses that one retry classification. QUIESCENT_EVICT_MS is
+therefore set well above RETRY_WINDOW (6x) so the loss window requires
+both multi-minute producer buffering AND a sub-window event gap; exact
+replays of buffered history belong on the batch path."""
 from __future__ import annotations
 
 from collections import defaultdict
@@ -34,7 +37,8 @@ from ..operators.agent import RETRY_WINDOW_SECONDS
 INCR_SCHEMA = "tool string, n_calls long, n_retries long, n_recoveries long"
 STATE_SCHEMA = "last_ep long, last_type string"
 
-QUIESCENT_EVICT_MS = 5 * 60 * 1000
+# 6x the event-time retry window (see module docstring's eviction contract)
+QUIESCENT_EVICT_MS = 6 * RETRY_WINDOW_SECONDS * 1000
 _WIN_US = RETRY_WINDOW_SECONDS * 1_000_000
 
 
