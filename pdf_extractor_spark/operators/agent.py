@@ -67,17 +67,27 @@ def events_from_transcripts(
     Two review-hardened choices: the key is xxhash64 (the manifest.py
     convention — a 32-bit hash would collide and silently interleave two
     conversations at ~100k-conv scale), and ``ep`` derives from the REAL
-    turn timestamp via the timezone-safe timestampdiff idiom
-    (windows._events) so retry windows and latency quantiles measure wall
+    turn timestamp so retry windows and latency quantiles measure wall
     time, not turn counts; turn_idx stays the within-timestamp
-    tiebreaker."""
+    tiebreaker. The ep idiom branches on the stored type: an instant
+    (TIMESTAMP_LTZ, the transcripts_df shape) converts via unix_micros —
+    tz-independent and monotonic across DST, where an LTZ→NTZ cast
+    renders in session-local wall time and goes backwards over a
+    fall-back transition; a naive TIMESTAMP_NTZ (the driver-parquet
+    shape) uses the windows._events timestampdiff idiom, which never
+    consults the session zone."""
+    ts_type = transcripts.schema["ts"].dataType.typeName()
+    if ts_type == "timestamp_ntz":
+        ep = F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    else:
+        ep = F.unix_micros(F.col("ts").cast("timestamp"))
     cols = [
         F.xxhash64("conv_id").alias("user_id"),
         F.col("turn_idx").cast("bigint").alias("event_id"),
-        F.expr(
-            "timestampdiff(MICROSECOND, "
-            "TIMESTAMP_NTZ '1970-01-01 00:00:00', cast(ts as timestamp_ntz))"
-        ).alias("ep"),
+        ep.alias("ep"),
         F.coalesce("tool", "role").alias("event_type"),
     ]
     if keep_text:
@@ -417,10 +427,14 @@ def adjacent_dup_collapse(ev: DataFrame, content_col: str = "content") -> DataFr
     w = _user_order()
     d = F.md5(F.coalesce(F.col(content_col), F.lit("")))
     gap = F.col("ep") - F.lag("ep").over(w)
-    dup = (
+    # when/otherwise, not cast: the first event of a key has NULL lag, and
+    # NULL.cast(long) stays NULL — a single-event key would then sum to
+    # NULL n_collapsed where the oracle's CASE..ELSE 0 yields 0.
+    dup = F.when(
         (d == F.lag(d).over(w))
-        & (gap <= RETRY_WINDOW_SECONDS * 1_000_000)
-    ).cast("long")
+        & (gap <= RETRY_WINDOW_SECONDS * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
     flagged = ev.select("user_id", dup.alias("is_dup"))
     return (
         flagged.groupBy("user_id")

@@ -574,7 +574,9 @@ def q_rate_spike_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame — the hourly_spine_ffill layout; the raw corpus is touched once."""
     from pyspark.sql import Window
 
-    hourly = _hourly_partials(_with_ep(_events_agg(spark, sf_dir))).select(
+    from . import load
+
+    hourly = _hourly_partials(_with_ep(load(spark, sf_dir, "events"))).select(
         "event_type", "hour_b", F.col("n").alias("cnt")
     )
     w = (
@@ -601,12 +603,6 @@ def q_rate_spike_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("is_spike"),
     )
-
-
-def _events_agg(spark, sf_dir):
-    from . import load
-
-    return load(spark, sf_dir, "events")
 
 
 QUERIES["rate_spike_detect"] = q_rate_spike_detect

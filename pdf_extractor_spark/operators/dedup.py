@@ -1405,6 +1405,30 @@ def _token_window_hashes(toks, n):
     return F.slice(win, 1, F.greatest(n - (SUB_W - 1), F.lit(0)))
 
 
+def _window_frame(docs: DataFrame) -> DataFrame:
+    """Shared SUB_W rolling-window frame over documents: one row per
+    token window as (doc_id, n_tokens, s, h). localCheckpointed eagerly
+    because every consumer reads it at least twice (the hash-occurrence
+    aggregate and the join back)."""
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            "toks",
+        )
+        .where(F.col("n_tokens") >= SUB_W)
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(
+            _token_window_hashes(F.col("toks"), F.size("toks"))
+        ).alias("s", "h"),
+    ).localCheckpoint(eager=True)
+
+
 def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication spans (the ExactSubstr dedup of Lee et
     al. 2022, re-expressed for Spark): every SUB_W-token rolling window is
@@ -1429,24 +1453,7 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from . import load, spread_for_cpu_map
 
-    docs = spread_for_cpu_map(load(spark, sf_dir, "documents"))
-    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
-    base = (
-        docs.select("doc_id", toks.alias("toks"))
-        .select(
-            "doc_id",
-            F.size("toks").cast("long").alias("n_tokens"),
-            "toks",
-        )
-        .where(F.col("n_tokens") >= SUB_W)
-    )
-    wins = base.select(
-        "doc_id",
-        "n_tokens",
-        F.posexplode(
-            _token_window_hashes(F.col("toks"), F.size("toks"))
-        ).alias("s", "h"),
-    ).localCheckpoint(eager=True)
+    wins = _window_frame(spread_for_cpu_map(load(spark, sf_dir, "documents")))
     hot = (
         wins.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -1556,23 +1563,9 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic; a corpus-hot window inflates only the count aggregate."""
     from . import load, spread_for_cpu_map
 
-    docs = spread_for_cpu_map(load(spark, sf_dir, "documents"))
-    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
-    base = (
-        docs.select("doc_id", toks.alias("toks"))
-        .select(
-            "doc_id",
-            F.size("toks").cast("long").alias("n_tokens"),
-            "toks",
-        )
-        .where(F.col("n_tokens") >= SUB_W)
-    )
-    wins = base.select(
-        "doc_id",
-        F.posexplode(
-            _token_window_hashes(F.col("toks"), F.size("toks"))
-        ).alias("s", "h"),
-    ).localCheckpoint(eager=True)
+    wins = _window_frame(
+        spread_for_cpu_map(load(spark, sf_dir, "documents"))
+    ).drop("n_tokens")
     first_seen = wins.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     return (
         wins.join(first_seen, "h")

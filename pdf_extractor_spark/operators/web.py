@@ -332,8 +332,12 @@ def url_canonicalize(docs_with_url: DataFrame) -> DataFrame:
     rows."""
     nofrag = F.substring_index("url", "#", 1)
     base = F.substring_index(nofrag, "?", 1)
+    # Everything after the FIRST '?' — '?' is legal inside a query string,
+    # so substring_index(..., '?', -1) (after the LAST one) would silently
+    # drop middle segments.
     query = F.when(
-        nofrag.contains("?"), F.substring_index(nofrag, "?", -1)
+        nofrag.contains("?"),
+        F.substring(nofrag, F.length(base) + 2, F.lit(1 << 20)),
     ).otherwise(F.lit(""))
     scheme = F.lower(F.substring_index(base, "://", 1))
     rest = F.substring_index(base, "://", -1)
@@ -351,8 +355,10 @@ def url_canonicalize(docs_with_url: DataFrame) -> DataFrame:
     )
     norm_path = F.regexp_replace(path, "/+$", "")
     norm_path = F.when(norm_path == "", F.lit("/")).otherwise(norm_path)
+    # startswith, not LIKE: '_' is a LIKE single-char wildcard, so
+    # "LIKE 'utm_%'" would also strip legitimate params like 'utmost='.
     drop = " OR ".join(
-        f"p LIKE '{pfx}%'" for pfx in _TRACKING_PREFIXES
+        f"startswith(p, '{pfx}')" for pfx in _TRACKING_PREFIXES
     )
     kept = F.expr(
         "array_join(sort_array(filter(split(q, '&'),"
@@ -398,7 +404,7 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["url_canonicalize"] = q_url_canonicalize
 
 _DROP_DUCK = " OR ".join(
-    f"p LIKE '{pfx}%'" for pfx in _TRACKING_PREFIXES
+    f"starts_with(p, '{pfx}')" for pfx in _TRACKING_PREFIXES
 )
 
 ORACLES["url_canonicalize"] = f"""
@@ -425,7 +431,9 @@ ORACLES["url_canonicalize"] = f"""
         SELECT doc_id, url,
                split_part(split_part(url, '#', 1), '?', 1) AS base,
                CASE WHEN contains(split_part(url, '#', 1), '?')
-                    THEN split_part(split_part(url, '#', 1), '?', 2)
+                    THEN substring(split_part(url, '#', 1),
+                                   length(split_part(
+                                       split_part(url, '#', 1), '?', 1)) + 2)
                     ELSE '' END AS q
         FROM raw
     ), comps AS (

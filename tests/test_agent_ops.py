@@ -159,3 +159,19 @@ def test_adjacent_dup_collapse_counts_runs(spark):
     assert got[1]["n_collapsed"] == 2
     assert got[1]["n_kept"] == 3
     assert got[2]["n_collapsed"] == 0
+
+
+def test_adjacent_dup_collapse_single_event_key(spark):
+    # A key with exactly one event: lag is NULL, and the dup flag must
+    # resolve to 0 (the oracle's CASE..ELSE 0), never NULL-propagate into
+    # the rollup sums.
+    from pdf_extractor_spark.operators.agent import adjacent_dup_collapse
+
+    ev = spark.createDataFrame(
+        [(1, 0, 0, "only")],
+        "user_id long, event_id long, ep long, content string",
+    )
+    [row] = adjacent_dup_collapse(ev).collect()
+    assert row["n_events"] == 1
+    assert row["n_collapsed"] == 0
+    assert row["n_kept"] == 1

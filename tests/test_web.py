@@ -60,3 +60,21 @@ def test_port_and_deep_subdomain(spark):
     # parse_url strips the path/query; the port stays out of HOST
     assert out[0]["host"] == "a.b.c.example.org"
     assert out[0]["domain"] == "example.org"
+
+
+def test_url_canonicalize_multi_question_mark_and_utm_prefix(spark):
+    # '?' is legal inside a query string: everything after the FIRST '?'
+    # is the query, and a middle segment must not be dropped. 'utmost' is
+    # a legitimate param — only exact 'utm_'-prefixed params are tracking.
+    from pdf_extractor_spark.operators.web import url_canonicalize
+
+    docs = spark.createDataFrame(
+        [
+            (0, "https://h.example.org/p?a=1?b=2"),
+            (1, "https://h.example.org/p?utmost=1&utm_source=feed&a=1"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r["url_canon"] for r in url_canonicalize(docs).collect()}
+    assert out[0] == "https://h.example.org/p?a=1?b=2"
+    assert out[1] == "https://h.example.org/p?a=1&utmost=1"
