@@ -1025,3 +1025,142 @@ ORACLES["token_budget_select"] = f"""
            (cum_tokens <= {SOURCE_TOKEN_BUDGET})::BIGINT AS selected
     FROM c
 """
+
+
+# --- DSIR importance selection ------------------------------------------------
+# Data Selection with Importance Resampling (Xie et al., NeurIPS 2023): score
+# every raw document by how target-like its hashed n-gram profile is, then
+# resample with probability proportional to the (normalized) importance
+# weight. The production recipe selects pre-training data that matches a
+# small high-quality target corpus (e.g. wiki+books) without training a
+# classifier. This build is the exact-integer twin: per-bucket weights are
+# smoothed integer count ratios rather than log-probability ratios (the
+# real thing sums float log ratios — unreplayable bit-for-bit across
+# engines), which preserves the method's ordering behavior on the fixture
+# corpus and keeps the whole operator inside the repo's integer-exactness
+# rules.
+
+DSIR_BUCKETS = 1024  # hashed-gram feature space (10k-100k in production)
+DSIR_SCALE = 1_000_000  # fixed-point scale for the per-bucket count ratio
+DSIR_TARGET_MOD = 11  # every 11th doc plays the high-quality target corpus
+
+
+def dsir_select(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, is_target, n_grams, importance, avg_w,
+    keep): hashed-unigram DSIR selection. Bucket weights are
+    w_b = (target_count_b + 1) * SCALE DIV (raw_count_b + 1) — an
+    add-one-smoothed target/raw ratio in fixed point; a document's
+    importance is the sum of its gram instances' bucket weights, and the
+    keep decision resamples proportionally to the per-gram average weight
+    via the repo's stable-md5-bucket threshold (cross-multiplied
+    DECIMAL(38,0) — overflow-safe, content-stable across runs/engines/
+    cluster sizes, no RNG).
+
+    Scale shape: the gram explode is corpus-linear (the same stream every
+    MinHash system pays); bucket counts are ONE combined aggregate (ct and
+    cr from a single pass, map-side combined) onto a DSIR_BUCKETS-bounded
+    frame that broadcasts back onto the gram stream; the doc rollup is a
+    doc-keyed hash aggregate; normalization is a 1-row max broadcast. No
+    windows, no skew (bucket cardinality is capped by construction), and
+    the only corpus-sized shuffle is the doc-keyed rollup."""
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    grams = docs.select(
+        "doc_id",
+        (F.col("doc_id") % DSIR_TARGET_MOD == 0)
+        .cast("long")
+        .alias("is_target"),
+        F.explode(toks).alias("g"),
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+        % DSIR_BUCKETS,
+    )
+    # ct and cr in one pass: target grams are a subset of raw grams, so
+    # the target count rides the same aggregate as a conditional sum.
+    bw = grams.groupBy("b").agg(
+        F.sum("is_target").alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    w = bw.select(
+        "b", F.expr(f"(ct + 1) * {DSIR_SCALE} DIV (cr + 1)").alias("w")
+    )
+    scored = (
+        grams.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.max("is_target").alias("is_target"),
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("w").alias("importance"),
+        )
+        .withColumn("avg_w", F.expr("importance DIV n_grams"))
+    )
+    mx = scored.agg(F.max("avg_w").alias("max_w"))
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        scored.crossJoin(F.broadcast(mx))
+        .withColumn("bucket", bucket)
+        .select(
+            "doc_id",
+            "is_target",
+            "n_grams",
+            "importance",
+            "avg_w",
+            (
+                F.col("bucket").cast("decimal(38,0)") * F.col("max_w")
+                < F.col("avg_w").cast("decimal(38,0)") * F.lit(_BUCKET_SPACE)
+            )
+            .cast("long")
+            .alias("keep"),
+        )
+    )
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load
+
+    return dsir_select(load(spark, sf_dir, "documents"))
+
+
+QUERIES["dsir_select"] = q_dsir_select
+
+ORACLES["dsir_select"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {DSIR_TARGET_MOD} = 0
+                    THEN 1 ELSE 0 END AS is_target,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, is_target,
+               ('0x' || substring(md5(u.g), 1, 8))::BIGINT
+                   % {DSIR_BUCKETS} AS b
+        FROM toks, LATERAL (SELECT unnest(t) AS g) u
+    ), bw AS (
+        SELECT b,
+               ((sum(is_target) + 1) * {DSIR_SCALE}
+                   // (count(*) + 1))::BIGINT AS w
+        FROM grams GROUP BY b
+    ), scored AS (
+        SELECT doc_id,
+               max(is_target)::BIGINT AS is_target,
+               count(*) AS n_grams,
+               sum(w)::BIGINT AS importance
+        FROM grams JOIN bw USING (b)
+        GROUP BY doc_id
+    ), sc2 AS (
+        SELECT doc_id, is_target, n_grams, importance,
+               importance // n_grams AS avg_w
+        FROM scored
+    ), mx AS (
+        SELECT max(avg_w) AS max_w FROM sc2
+    )
+    SELECT doc_id, is_target, n_grams, importance, avg_w,
+           CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                     ::HUGEINT * max_w
+                     < avg_w::HUGEINT * {_BUCKET_SPACE}
+                THEN 1 ELSE 0 END::BIGINT AS keep
+    FROM sc2, mx
+"""

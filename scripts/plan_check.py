@@ -72,6 +72,9 @@ RULES = {
     # host stats are bounded by distinct hosts -> broadcast back; the keep
     # decision is a pure integer map (no windows, no Python)
     "url_host_filter": ([r"BroadcastHashJoin"], [r"SortMergeJoin", r"\bWindow\b", r"ArrowEvalPython"]),
+    # DSIR: bucket weights are DSIR_BUCKETS-bounded -> broadcast onto the
+    # gram stream; selection is windowless integer arithmetic
+    "dsir_select": ([r"BroadcastHashJoin"], [r"SortMergeJoin", r"\bWindow\b", r"ArrowEvalPython"]),
     # PQ encode is a pure map after the fit (1-row broadcast codebook);
     # ADC recall must keep the salted two-stage shortlist + broadcast LUTs
     "pq_codes": ([], [r"SortMergeJoin", r"\bWindow\b", r"ArrowEvalPython"]),
