@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "source_quantile_norm",
     "token_budget_select",
     "rate_spike_detect",
+    "dsir_select",
+    "split_leakage",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

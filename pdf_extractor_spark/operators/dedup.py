@@ -1616,3 +1616,75 @@ ORACLES["ngram_novelty"] = f"""
 """
 
 QUERIES["ngram_novelty"] = q_ngram_novelty
+
+def q_split_leakage(spark: SparkSession, sf_dir: str, observation=None) -> DataFrame:
+    """Train/holdout leakage audit: embedding near-dup pairs that CROSS the
+    deterministic train/val/test boundary — the "eval contamination via
+    near-duplicates" number model-card data sections report (cf. Lee et al.
+    2022 §6's train/test overlap analysis, SemDeDup's cross-split check).
+    Composes two certified pieces: ``embedding_cosine_pairs`` (label-blocked,
+    sign-bucket refined, hard-capped pair generation — never a self-join)
+    and ``holdout_split_expr`` (content-stable md5-bucket split).
+
+    Each side's split is a pure expression over the pair's own id — NO join
+    back to the corpus: the split is a function of the id hash, so at 100 TB
+    the audit costs one extra projection over the (tiny) pair frame instead
+    of two corpus-sized broadcast joins. Output: every cross-split near-dup
+    pair with both splits and whether it leaks the train set into an eval
+    split (``leaks_train``)."""
+    from . import load
+    from .text_ops import holdout_split_expr
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    pairs = embedding_cosine_pairs(emb, observation)
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            "sim",
+            holdout_split_expr(F.col("vec_a")).alias("split_a"),
+            holdout_split_expr(F.col("vec_b")).alias("split_b"),
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .withColumn(
+            "leaks_train",
+            (F.col("split_a") == "train") | (F.col("split_b") == "train"),
+        )
+    )
+
+
+def _split_leakage_oracle() -> str:
+    from .text_ops import SPLIT_TEST_PCT, SPLIT_VAL_PCT
+
+    lo, hi = SPLIT_VAL_PCT, SPLIT_VAL_PCT + SPLIT_TEST_PCT
+    return f"""
+    WITH pairs AS ({ORACLES["dedup_embedding_cosine"]}
+    ), b AS (
+        SELECT vec_a, vec_b, sim,
+               ('0x' || substring(md5(vec_a::VARCHAR), 1, 4))::BIGINT
+                   % 100 AS ba,
+               ('0x' || substring(md5(vec_b::VARCHAR), 1, 4))::BIGINT
+                   % 100 AS bb
+        FROM pairs
+    ), s AS (
+        SELECT vec_a, vec_b, sim,
+               CASE WHEN ba < {lo} THEN 'val'
+                    WHEN ba < {hi} THEN 'test'
+                    ELSE 'train' END AS split_a,
+               CASE WHEN bb < {lo} THEN 'val'
+                    WHEN bb < {hi} THEN 'test'
+                    ELSE 'train' END AS split_b
+        FROM b
+    )
+    SELECT vec_a, vec_b, sim, split_a, split_b,
+           (split_a = 'train' OR split_b = 'train') AS leaks_train
+    FROM s WHERE split_a <> split_b
+"""
+
+
+ORACLES["split_leakage"] = _split_leakage_oracle()
+QUERIES["split_leakage"] = q_split_leakage
