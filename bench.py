@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "rate_spike_detect",
     "dsir_select",
     "split_leakage",
+    "bitext_clean",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

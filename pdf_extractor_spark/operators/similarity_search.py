@@ -1097,3 +1097,134 @@ ORACLES["margin_mining"] = f"""
     SELECT x_id AS src_id, y_id AS tgt_id, s AS sim_fp, margin_2k
     FROM b WHERE rb = 1
 """
+
+# WMT/CCMatrix-style bitext cleaning gates (cf. Wenzek et al. / the shared
+# WMT parallel-corpus filtering tasks): token-length floor, length-ratio
+# cap, cross-language requirement, and a word-overlap copy detector
+# (a "translation" sharing most of its source's words is untranslated).
+BITEXT_MIN_TOKENS = 5
+BITEXT_MAX_RATIO = 2
+BITEXT_MAX_OVERLAP_PERMILLE = 600
+
+
+def q_bitext_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext filtering over the mined margin pairs — the cleaning step
+    every parallel-corpus pipeline (WMT filtering tasks, CCMatrix/CCAligned)
+    runs between mining and training. Each mined (src, tgt) pair joins its
+    document text (doc_id == vec_id, the corpus convention) and passes four
+    independent gates, each reported so the audit shows WHY a pair dropped:
+
+    - gate_lang: a real bitext pair crosses languages;
+    - gate_len: both sides >= BITEXT_MIN_TOKENS whitespace tokens;
+    - gate_ratio: length ratio <= BITEXT_MAX_RATIO (integer-exact compare,
+      no division);
+    - gate_copy: distinct-word overlap (integer permille Jaccard) <=
+      BITEXT_MAX_OVERLAP_PERMILLE — catches copies/transliterations that
+      cosine mining scores highly.
+
+    Scale shape: the mined pair frame is tiny relative to the corpus (one
+    best target per source batch), so BOTH text joins broadcast the pair
+    side into a documents scan — zero shuffles, and the second join
+    broadcasts the already-enriched pairs. Gates are pure JVM expressions;
+    the word sets come from one split per side (never inside a per-element
+    lambda)."""
+    from . import load
+
+    pairs = margin_pairs(_emb(spark, sf_dir), src_cap=MINE_SRC_CAP)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    side = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.array_distinct(toks).alias("wset"),
+        F.size(toks).cast("long").alias("n_tok"),
+    )
+    a = side.select(
+        F.col("doc_id").alias("src_id"),
+        F.col("lang").alias("src_lang"),
+        F.col("wset").alias("src_wset"),
+        F.col("n_tok").alias("src_tok"),
+    )
+    b = side.select(
+        F.col("doc_id").alias("tgt_id"),
+        F.col("lang").alias("tgt_lang"),
+        F.col("wset").alias("tgt_wset"),
+        F.col("n_tok").alias("tgt_tok"),
+    )
+    enriched = a.join(F.broadcast(pairs), "src_id")
+    j = b.join(F.broadcast(enriched), "tgt_id")
+    inter = F.size(F.array_intersect("src_wset", "tgt_wset")).cast("long")
+    uni = F.size(F.array_union("src_wset", "tgt_wset")).cast("long")
+    overlap = F.when(F.col("uni_c") == 0, F.lit(1000).cast("long")).otherwise(
+        F.expr("div(1000 * inter_c, uni_c)")
+    )
+    j = j.withColumn("inter_c", inter).withColumn("uni_c", uni).withColumn(
+        "overlap_permille", overlap
+    )
+    gate_lang = F.col("src_lang") != F.col("tgt_lang")
+    gate_len = (F.col("src_tok") >= BITEXT_MIN_TOKENS) & (
+        F.col("tgt_tok") >= BITEXT_MIN_TOKENS
+    )
+    gate_ratio = F.greatest("src_tok", "tgt_tok") <= F.lit(
+        BITEXT_MAX_RATIO
+    ) * F.least("src_tok", "tgt_tok")
+    gate_copy = F.col("overlap_permille") <= BITEXT_MAX_OVERLAP_PERMILLE
+    return j.select(
+        "src_id",
+        "tgt_id",
+        "sim_fp",
+        "margin_2k",
+        "src_lang",
+        "tgt_lang",
+        "src_tok",
+        "tgt_tok",
+        "overlap_permille",
+        gate_lang.alias("gate_lang"),
+        gate_len.alias("gate_len"),
+        gate_ratio.alias("gate_ratio"),
+        gate_copy.alias("gate_copy"),
+        (gate_lang & gate_len & gate_ratio & gate_copy).alias("kept"),
+    )
+
+
+QUERIES["bitext_clean"] = q_bitext_clean
+
+ORACLES["bitext_clean"] = f"""
+    WITH mined AS ({ORACLES["margin_mining"]}
+    ), d AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), s AS (
+        SELECT doc_id, lang, list_distinct(t) AS wset,
+               len(t)::BIGINT AS n_tok
+        FROM d
+    ), j AS (
+        SELECT m.src_id, m.tgt_id, m.sim_fp, m.margin_2k,
+               a.lang AS src_lang, b.lang AS tgt_lang,
+               a.n_tok AS src_tok, b.n_tok AS tgt_tok,
+               len(list_intersect(a.wset, b.wset))::BIGINT AS inter_c,
+               len(list_distinct(list_concat(a.wset, b.wset)))::BIGINT
+                   AS uni_c
+        FROM mined m
+        JOIN s a ON m.src_id = a.doc_id
+        JOIN s b ON m.tgt_id = b.doc_id
+    ), g AS (
+        SELECT *,
+               CASE WHEN uni_c = 0 THEN 1000::BIGINT
+                    ELSE (1000 * inter_c) // uni_c END AS overlap_permille,
+               (src_lang <> tgt_lang) AS gate_lang,
+               (src_tok >= {BITEXT_MIN_TOKENS}
+                AND tgt_tok >= {BITEXT_MIN_TOKENS}) AS gate_len,
+               (greatest(src_tok, tgt_tok)
+                <= {BITEXT_MAX_RATIO} * least(src_tok, tgt_tok)) AS gate_ratio
+        FROM j
+    )
+    SELECT src_id, tgt_id, sim_fp, margin_2k, src_lang, tgt_lang,
+           src_tok, tgt_tok, overlap_permille,
+           gate_lang, gate_len, gate_ratio,
+           (overlap_permille <= {BITEXT_MAX_OVERLAP_PERMILLE}) AS gate_copy,
+           (gate_lang AND gate_len AND gate_ratio
+            AND overlap_permille <= {BITEXT_MAX_OVERLAP_PERMILLE}) AS kept
+    FROM g
+"""
