@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "split_leakage",
     "bitext_clean",
+    "span_corruption",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

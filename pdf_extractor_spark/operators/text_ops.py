@@ -1164,3 +1164,161 @@ ORACLES["dsir_select"] = f"""
                 THEN 1 ELSE 0 END::BIGINT AS keep
     FROM sc2, mx
 """
+
+# T5-style span corruption (Raffel et al. 2020 §3.1.4; UL2's R-denoiser):
+# fixed token windows of SPAN_W, each corrupted with probability 1/SPAN_DEN
+# (md5-hash arithmetic, no RNG), masking the first SPAN_L tokens behind a
+# numbered sentinel. ~SPAN_L/(SPAN_W*SPAN_DEN) of tokens mask (~9.4%),
+# mean span SPAN_L — the paper's regime at deterministic, backfill-stable
+# span positions.
+SPAN_W = 8
+SPAN_L = 3
+SPAN_DEN = 4
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption training transform: every document re-serializes as
+    (inputs_text, targets_text) with numbered sentinels <X_k> replacing the
+    masked spans in the inputs and introducing them in the targets — the
+    denoising objective T5/UL2 pretrains on. Window w of a document is
+    corrupted iff md5(md5(text) || ':' || w) % SPAN_DEN == 0: content-
+    derived and deterministic (the holdout_split/fim_transform discipline),
+    so the same document always produces byte-identical training examples
+    across runs, engines, and partitionings.
+
+    Scale shape: a pure per-row map over the scan — zero shuffle, zero
+    Python. The serialization is ONE linear fold (``F.aggregate``) over the
+    window index sequence with a (inp, tgt, k, masked) struct accumulator:
+    per element it slices a bounded SPAN_W window off the materialized
+    token array, so per-doc work is O(n_tokens) flat — no nested
+    aggregate-inside-lambda (the interpreted-HOF trap measured at ~100x in
+    cdc_chunk_dedup). Composes with token_packing downstream."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    base = docs.select(
+        "doc_id",
+        toks.alias("t"),
+        F.size(toks).cast("long").alias("n"),
+        F.md5("text").alias("h"),
+    ).where(F.col("n") >= 1)
+    n_win = F.expr(f"div(n + {SPAN_W - 1}, {SPAN_W})")
+    seq = F.sequence(F.lit(0).cast("long"), n_win - 1)
+
+    def step(acc, w):
+        win = F.slice(F.col("t"), (w * SPAN_W + 1).cast("int"), SPAN_W)
+        corr = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("h"), F.lit(":"), w.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % SPAN_DEN
+            == 0
+        )
+        masked = F.slice(win, 1, SPAN_L)
+        kept = F.slice(win, SPAN_L + 1, SPAN_W)
+        sentinel = F.concat(
+            F.lit("<X_"), acc.getField("k").cast("string"), F.lit(">")
+        )
+        piece_inp = F.when(
+            corr,
+            F.when(
+                F.size(kept) > 0,
+                F.concat(sentinel, F.lit(" "), F.array_join(kept, " ")),
+            ).otherwise(sentinel),
+        ).otherwise(F.array_join(win, " "))
+        piece_tgt = F.concat(sentinel, F.lit(" "), F.array_join(masked, " "))
+        join_inp = F.when(
+            acc.getField("inp") == "", piece_inp
+        ).otherwise(F.concat(acc.getField("inp"), F.lit(" "), piece_inp))
+        join_tgt = F.when(
+            ~corr, acc.getField("tgt")
+        ).when(
+            acc.getField("tgt") == "", piece_tgt
+        ).otherwise(F.concat(acc.getField("tgt"), F.lit(" "), piece_tgt))
+        return F.struct(
+            join_inp.alias("inp"),
+            join_tgt.alias("tgt"),
+            (acc.getField("k") + corr.cast("long")).alias("k"),
+            (acc.getField("masked") + F.when(corr, F.size(masked)).otherwise(0).cast("long")).alias("masked"),
+        )
+
+    init = F.struct(
+        F.lit("").alias("inp"),
+        F.lit("").alias("tgt"),
+        F.lit(0).cast("long").alias("k"),
+        F.lit(0).cast("long").alias("masked"),
+    )
+    folded = base.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.aggregate(seq, init, step).alias("acc"),
+    )
+    return folded.select(
+        "doc_id",
+        "n_tokens",
+        F.col("acc.k").alias("n_spans"),
+        F.col("acc.masked").alias("n_masked"),
+        F.col("acc.inp").alias("inputs_text"),
+        F.col("acc.tgt").alias("targets_text"),
+    )
+
+
+QUERIES["span_corruption"] = q_span_corruption
+
+ORACLES["span_corruption"] = f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS t,
+               md5(text) AS h
+        FROM documents
+    ), sized AS (
+        SELECT doc_id, t, h, len(t)::BIGINT AS n
+        FROM base WHERE len(t) >= 1
+    ), wins AS (
+        SELECT doc_id, n, ww.w,
+               t[ww.w * {SPAN_W} + 1 : ww.w * {SPAN_W} + {SPAN_W}] AS win,
+               (('0x' || substring(md5(h || ':' || ww.w), 1, 8))::BIGINT
+                    % {SPAN_DEN} = 0) AS corr
+        FROM sized,
+             LATERAL (SELECT unnest(range(0, (n + {SPAN_W - 1}) // {SPAN_W}))
+                      AS w) ww
+    ), numbered AS (
+        SELECT doc_id, n, w, win, corr,
+               coalesce(sum(corr::BIGINT) OVER (
+                   PARTITION BY doc_id ORDER BY w
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS k,
+               win[1 : {SPAN_L}] AS masked,
+               win[{SPAN_L} + 1 : {SPAN_W}] AS kept
+        FROM wins
+    ), pieces AS (
+        SELECT doc_id, n, w, corr, k,
+               CASE WHEN corr THEN
+                    CASE WHEN len(kept) > 0
+                         THEN '<X_' || k || '> ' || array_to_string(kept, ' ')
+                         ELSE '<X_' || k || '>' END
+                    ELSE array_to_string(win, ' ') END AS piece_inp,
+               CASE WHEN corr
+                    THEN '<X_' || k || '> ' || array_to_string(masked, ' ')
+                    END AS piece_tgt,
+               CASE WHEN corr THEN len(masked)::BIGINT ELSE 0 END AS n_mask
+        FROM numbered
+    )
+    SELECT doc_id,
+           any_value(n) AS n_tokens,
+           sum(corr::BIGINT)::BIGINT AS n_spans,
+           sum(n_mask)::BIGINT AS n_masked,
+           string_agg(piece_inp, ' ' ORDER BY w) AS inputs_text,
+           coalesce(string_agg(piece_tgt, ' ' ORDER BY w), '')
+               AS targets_text
+    FROM pieces
+    GROUP BY doc_id
+"""
