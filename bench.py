@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "split_leakage",
     "bitext_clean",
     "span_corruption",
+    "type_share_drift",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -631,3 +631,129 @@ ORACLES["rate_spike_detect"] = f"""
                 >= trail_sum * {SPIKE_NUM})::BIGINT AS is_spike
     FROM t
 """
+
+# --- Daily ingest-mix drift monitor -----------------------------------------
+# Total-variation distance between consecutive days' event-type share
+# vectors, kept exact by cross-multiplying instead of dividing:
+#   TVD(d, d-1) = 1/2 * sum_t |cnt_d[t]/N_d - cnt_prev[t]/N_prev|
+#               = sum_t |cnt_d[t]*N_prev - cnt_prev[t]*N_d| / (2*N_d*N_prev)
+# Alarm when the ppm-scaled ratio crosses DRIFT_PPM. 70000 ppm = 7% TVD,
+# roughly the median day-over-day sampling noise on the synthetic mix, so
+# both alarm states are exercised. Overflow: tvd_num <= 2*N_d*N_prev and
+# tvd_num*1e6 must fit bigint => holds to ~2M events/day; decimal(38,0) is
+# the documented widening past that (same analysis as q_pricing_summary).
+DRIFT_PPM = 70000
+
+
+def q_type_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor over the ingest mix — the daily job a
+    training-data pipeline runs to catch a source going sideways (a crawler
+    suddenly emitting 90% errors, a scraper dropping a content type). One
+    map-side-combined hash aggregate builds the (day, type) counts; each
+    day's share vector is packed into a map row; a lag window compares
+    consecutive days with integer cross-multiplied TVD.
+
+    Scale shape: the per-day frame is calendar-bounded (one row per day —
+    365/year regardless of corpus size), so the unpartitioned lag window
+    holds O(days) rows, never O(data) (same justification as the bounded
+    bucket window in packing.py:85). The raw corpus is touched exactly once
+    by the counting aggregate. Days with no prior day present (gaps in the
+    ingest calendar) are excluded: drift vs silence is a different alarm
+    (rate_spike_detect's job)."""
+    from pyspark.sql import Window
+
+    from . import load
+
+    daily = (
+        _with_ep(load(spark, sf_dir, "events"))
+        .select(
+            F.expr(floordiv_sql(floordiv_sql("ep", 3600000000), 24)).alias(
+                "day_b"
+            ),
+            "event_type",
+        )
+        .groupBy("day_b", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    perday = daily.groupBy("day_b").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m"),
+        F.sum("cnt").alias("n_day"),
+    )
+    w = Window.orderBy("day_b")
+    lagged = perday.select(
+        "day_b",
+        "m",
+        "n_day",
+        F.lag("m").over(w).alias("m_prev"),
+        F.lag("n_day").over(w).alias("n_prev"),
+        F.lag("day_b").over(w).alias("prev_b"),
+    ).filter(F.col("prev_b") == F.col("day_b") - 1)
+    # Union support of the two days; types absent from both contribute 0.
+    keys = F.array_union(F.map_keys("m"), F.map_keys("m_prev"))
+    tvd_num = F.aggregate(
+        keys,
+        F.lit(0).cast("long"),
+        lambda acc, k: acc
+        + F.abs(
+            F.coalesce(F.element_at(F.col("m"), k), F.lit(0))
+            * F.col("n_prev")
+            - F.coalesce(F.element_at(F.col("m_prev"), k), F.lit(0))
+            * F.col("n_day")
+        ),
+    )
+    out = lagged.select(
+        "day_b",
+        F.col("n_day").cast("long").alias("n_day"),
+        F.col("n_prev").cast("long").alias("n_prev"),
+        tvd_num.alias("tvd_num"),
+        (F.lit(2) * F.col("n_day") * F.col("n_prev"))
+        .cast("long")
+        .alias("tvd_den"),
+    )
+    return out.select(
+        "day_b",
+        "n_day",
+        "n_prev",
+        "tvd_num",
+        "tvd_den",
+        F.expr("(tvd_num * 1000000) div tvd_den").alias("tvd_ppm"),
+        (F.col("tvd_num") * 1000000 >= F.col("tvd_den") * DRIFT_PPM)
+        .cast("long")
+        .alias("is_drift"),
+    )
+
+
+QUERIES["type_share_drift"] = q_type_share_drift
+
+_DAY_DUCK = floordiv_duck(floordiv_duck("epoch_us(ts)", 3600000000), 24)
+
+ORACLES["type_share_drift"] = f"""
+    WITH daily AS (
+        SELECT {_DAY_DUCK} AS day_b, event_type, count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2
+    ), days AS (
+        SELECT day_b, sum(cnt)::BIGINT AS n_day FROM daily GROUP BY 1
+    ), consec AS (
+        SELECT d.day_b, d.n_day, p.n_day AS n_prev, p.day_b AS prev_b
+        FROM days d JOIN days p ON p.day_b = d.day_b - 1
+    ), terms AS (
+        SELECT c.day_b, c.n_day, c.n_prev,
+               abs(coalesce(cur.cnt, 0) * c.n_prev
+                   - coalesce(prv.cnt, 0) * c.n_day) AS term
+        FROM consec c
+        CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+        LEFT JOIN daily cur
+          ON cur.day_b = c.day_b AND cur.event_type = t.event_type
+        LEFT JOIN daily prv
+          ON prv.day_b = c.prev_b AND prv.event_type = t.event_type
+    )
+    SELECT day_b, n_day, n_prev,
+           sum(term)::BIGINT AS tvd_num,
+           (2 * n_day * n_prev)::BIGINT AS tvd_den,
+           ((sum(term) * 1000000) // (2 * n_day * n_prev))::BIGINT AS tvd_ppm,
+           (sum(term) * 1000000 >= 2 * n_day * n_prev * {DRIFT_PPM})::BIGINT
+               AS is_drift
+    FROM terms GROUP BY day_b, n_day, n_prev
+"""

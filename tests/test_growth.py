@@ -83,3 +83,42 @@ def test_hourly_spine_fills_gaps_with_locf(spark, tmp_path):
     assert got[lo + 1] == (1, 500)
     assert got[lo + 2] == (1, 500)
     assert got[lo + 3] == (0, 700)
+
+
+def test_type_share_drift_exact_tvd(spark, tmp_path):
+    """Hand-computed TVD on a 3-day corpus, including a type that vanishes
+    (union-support term with a zero side) and a calendar gap (day 3 absent
+    -> day 4 excluded: no prior day, drift-vs-silence is rate_spike's job)."""
+    import datetime
+
+    from pdf_extractor_spark.operators.aggregates import q_type_share_drift
+
+    base = datetime.datetime(2024, 1, 1)
+    # day 0: 2 click, 2 view (N=4); day 1: 3 click, 1 error (N=4);
+    # day 3: 1 view (N=1) — day 2 silent, so day 3 has no consecutive prior
+    rows = [
+        (0, base, 1, "click", 1.0),
+        (1, base + datetime.timedelta(hours=1), 1, "click", 1.0),
+        (2, base + datetime.timedelta(hours=2), 1, "view", 1.0),
+        (3, base + datetime.timedelta(hours=3), 1, "view", 1.0),
+        (4, base + datetime.timedelta(days=1), 1, "click", 1.0),
+        (5, base + datetime.timedelta(days=1, hours=1), 1, "click", 1.0),
+        (6, base + datetime.timedelta(days=1, hours=2), 1, "click", 1.0),
+        (7, base + datetime.timedelta(days=1, hours=3), 1, "error", 1.0),
+        (8, base + datetime.timedelta(days=3), 1, "view", 1.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {r["day_b"]: r for r in q_type_share_drift(spark, str(tmp_path)).collect()}
+    day0 = 19723  # 2024-01-01 as epoch days
+    # only day 1 has a consecutive prior day
+    assert set(got) == {day0 + 1}
+    r = got[day0 + 1]
+    # terms (cnt_d * N_prev - cnt_prev * N_d), N_d = N_prev = 4:
+    #   click |3*4 - 2*4| = 4; view |0*4 - 2*4| = 8; error |1*4 - 0*4| = 4
+    assert (r["tvd_num"], r["tvd_den"]) == (16, 32)
+    # TVD = 16/32 = 0.5 -> 500000 ppm >= 70000 -> drift
+    assert (r["tvd_ppm"], r["is_drift"]) == (500000, 1)
