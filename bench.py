@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "bitext_clean",
     "span_corruption",
     "type_share_drift",
+    "blocklist_filter",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -1327,3 +1327,99 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "repetition_filters": q_repetition_filters,
 }
+
+
+# --- Blocklist (C4 badwords) gate --------------------------------------------
+# The C4 pipeline drops any page containing a term from the "List of Dirty,
+# Naughty, Obscene or Otherwise Bad Words" (Raffel et al. 2020 §2.2). A bare
+# any-hit rule is too blunt for a corpus where flagged terms also occur in
+# legitimate prose, so production filters (Dolma, FineWeb) rate-threshold
+# instead: drop when hits exceed BLOCKLIST_PERMILLE of the token stream OR
+# any single term from the hard sublist appears. Terms here stand in for the
+# real list (synthetic corpus vocabulary); the mechanism is list-agnostic.
+BLOCKLIST_SOFT = ("slow", "big")       # rate-limited terms
+BLOCKLIST_HARD = ("crash", "panic")    # any-hit terms (absent in corpus:
+                                       # the zero-hit path stays exercised)
+BLOCKLIST_PERMILLE = 60
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate: tokenize on non-alpha runs, count soft- and
+    hard-list hits, keep unless the soft rate crosses BLOCKLIST_PERMILLE or
+    any hard term appears; zero-token docs drop (strict < makes 0 < 0 false —
+    a doc with no alphabetic tokens has nothing worth keeping). Counting is
+    cross-multiplied integer (hits*1000 vs n_tokens*permille) — no division
+    until the reported rate.
+
+    Scale shape: a pure per-row map (split + two array filters against
+    broadcast-literal lists, each a handful of entries); no shuffle, no
+    Python, corpus scanned once. The token split is ASCII [^a-z]+ on
+    lowered text — identical semantics in Java regex and RE2, so the oracle
+    needs no dialect shims."""
+    from . import load
+
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z]+"), lambda t: t != F.lit("")
+    )
+    soft = F.lit(list(BLOCKLIST_SOFT))
+    hard = F.lit(list(BLOCKLIST_HARD))
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(soft, t))).alias(
+            "n_soft_hits"
+        ),
+        F.size(F.filter(toks, lambda t: F.array_contains(hard, t))).alias(
+            "n_hard_hits"
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_soft_hits").cast("long").alias("n_soft_hits"),
+        F.col("n_hard_hits").cast("long").alias("n_hard_hits"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(F.expr("(n_soft_hits * 1000) div n_tokens"))
+        .cast("long")
+        .alias("soft_permille"),
+        (
+            (F.col("n_hard_hits") == 0)
+            & (
+                F.col("n_soft_hits") * 1000
+                < F.col("n_tokens") * BLOCKLIST_PERMILLE
+            )
+        )
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+QUERIES["blocklist_filter"] = q_blocklist_filter
+
+_BL_SOFT_DUCK = ", ".join(f"'{t}'" for t in BLOCKLIST_SOFT)
+_BL_HARD_DUCK = ", ".join(f"'{t}'" for t in BLOCKLIST_HARD)
+
+ORACLES["blocklist_filter"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), counted AS (
+        SELECT doc_id,
+               len(toks)::BIGINT AS n_tokens,
+               len(list_filter(toks, t -> t IN ({_BL_SOFT_DUCK})))::BIGINT
+                   AS n_soft_hits,
+               len(list_filter(toks, t -> t IN ({_BL_HARD_DUCK})))::BIGINT
+                   AS n_hard_hits
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, n_soft_hits, n_hard_hits,
+           (CASE WHEN n_tokens = 0 THEN 0
+                 ELSE (n_soft_hits * 1000) // n_tokens END)::BIGINT
+               AS soft_permille,
+           (n_hard_hits = 0
+            AND n_soft_hits * 1000 < n_tokens * {BLOCKLIST_PERMILLE})::BIGINT
+               AS keep
+    FROM counted
+"""
