@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "span_corruption",
     "type_share_drift",
     "blocklist_filter",
+    "interval_overlap_join",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an
@@ -167,6 +168,7 @@ CAP_OBSERVED = {
     "dedup_embedding_cosine",
     "semantic_dedup",
     "dedup_pair_audit",
+    "interval_overlap_join",
 }
 
 # v2: cache key versioned with the generator (round 3 added layout payloads)

@@ -491,3 +491,114 @@ QUERIES = {
     "base64_roundtrip": q_base64_roundtrip,
     "range_join_binned": q_range_join_binned,
 }
+
+
+# --- Interval-overlap self-join ----------------------------------------------
+# Bin width for the interval-overlap join (1h of microseconds) and the
+# pathological-user guard: a (user, hour-bin) group holds that user's
+# actions CONCURRENT within one wall-clock hour — physically small, but a
+# runaway bot could flood one bin, so the same DF-cut the dedup buckets use
+# applies (never binds on the driver corpora: max observed occupancy is 5).
+OVERLAP_BIN_US = 3_600_000_000
+MAX_OVERLAP_BIN_EVENTS = 64
+
+
+def q_interval_overlap_join(
+    spark: SparkSession, sf_dir: str, observation=None
+) -> DataFrame:
+    """Interval-interval overlap self-join — concurrent-action detection:
+    each event is an interval [start, start + duration) (duration = the
+    event's cents read as seconds); emit every same-user pair of events
+    whose intervals overlap, with the overlap length. The genomics /
+    ad-tech overlap-join shape, and the session-integrity audit a
+    transcript pipeline runs to find interleaved tool calls.
+
+    Scale shape: a raw overlap predicate is a per-user cross filter
+    (quadratic in a hot user's events). Instead each interval explodes to
+    the hour bins it covers, bins group by (user_id, bin) with collect_list
+    state bounded by per-user-per-hour concurrency (DF-cut at
+    MAX_OVERLAP_BIN_EVENTS, observable drops), and pairs generate IN-bucket
+    via the shared _bucket_pairs helper — no self-join, so the interval
+    subtree is computed once, and the corpus is scanned once. A pair
+    overlapping across many shared bins is emitted exactly once: only the
+    bin containing the later start claims it (both intervals necessarily
+    cover that instant). Zero-length intervals are dropped up front (an
+    empty interval overlaps nothing).
+
+    Output: user_id, id_lo, id_hi (event ids, lo < hi), ov_us."""
+    from . import load
+    from .dedup import _bucket_pairs, _capped_buckets
+    from ..functions.expressions import floordiv_sql
+
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " cast(ts as timestamp_ntz))"
+        ).alias("s"),
+        cents.alias("cents"),
+    ).where(F.col("cents") > 0).select(
+        "user_id",
+        "event_id",
+        "s",
+        (F.col("s") + F.col("cents") * 1_000_000).alias("e"),
+    )
+    binned = iv.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.expr(floordiv_sql("s", OVERLAP_BIN_US)),
+                F.expr(floordiv_sql("e - 1", OVERLAP_BIN_US)),
+            )
+        ).alias("bin"),
+        F.struct("event_id", "s", "e").alias("item"),
+    )
+    buckets = _capped_buckets(
+        binned.groupBy("user_id", "bin").agg(
+            F.sort_array(F.collect_list("item")).alias("ids")
+        ),
+        observation,
+        cap=MAX_OVERLAP_BIN_EVENTS,
+    )
+    pairs = buckets.select(
+        "user_id", "bin", F.explode(_bucket_pairs(F.col("ids"))).alias("p")
+    )
+    a, b = F.col("p.a"), F.col("p.b")
+    later_start = F.greatest(a["s"], b["s"])
+    return (
+        pairs.where((a["s"] < b["e"]) & (b["s"] < a["e"]))
+        .where(
+            F.col("bin")
+            == F.expr(floordiv_sql("greatest(p.a.s, p.b.s)", OVERLAP_BIN_US))
+        )
+        .select(
+            "user_id",
+            a["event_id"].alias("id_lo"),
+            b["event_id"].alias("id_hi"),
+            (F.least(a["e"], b["e"]) - later_start)
+            .cast("long")
+            .alias("ov_us"),
+        )
+    )
+
+
+QUERIES["interval_overlap_join"] = q_interval_overlap_join
+
+ORACLES["interval_overlap_join"] = """
+    WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s,
+               epoch_us(ts) + round(value * 100)::BIGINT * 1000000 AS e
+        FROM events
+        WHERE round(value * 100)::BIGINT > 0
+    )
+    SELECT a.user_id,
+           a.event_id AS id_lo,
+           b.event_id AS id_hi,
+           (least(a.e, b.e) - greatest(a.s, b.s))::BIGINT AS ov_us
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND a.s < b.e AND b.s < a.e
+"""
