@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "type_share_drift",
     "blocklist_filter",
     "interval_overlap_join",
+    "join_key_skew_profile",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

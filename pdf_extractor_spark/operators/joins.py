@@ -587,6 +587,98 @@ def q_interval_overlap_join(
 
 QUERIES["interval_overlap_join"] = q_interval_overlap_join
 
+
+# --- Join-key skew profiler ---------------------------------------------------
+SKEW_TOP_K = 20
+SKEW_SALT = 32
+
+
+def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile — the pre-join diagnostic every big shuffle
+    join should run first: per-key row counts on the fact side
+    (events.user_id), the global total and distinct-key count, and the
+    top-K heavy hitters with their permille share of all rows and their
+    ratio to the mean key frequency. The output is exactly what decides
+    the join strategy: xmean_permille >> 1000 on the head keys means the
+    hash shuffle will funnel those keys into single reducers — salt them
+    (salted_join_skew) or let AQE split them; a flat profile means a plain
+    shuffle join is fine.
+
+    Scale shape: one map-side-combined groupBy produces the per-key
+    counts (one row per distinct key crosses the shuffle); the global
+    scalars are a 1-row aggregate OVER the counts frame (never a second
+    corpus scan) cross-joined back as a broadcast; the top-K rank is the
+    salted two-stage form (partial rank per hash(key) % SKEW_SALT
+    partition, final rank over <= SKEW_SALT * SKEW_TOP_K survivors) — at
+    10^12 rows the distinct-key count is O(billions) and a single global
+    ORDER BY would be the bottleneck this very profiler exists to detect.
+
+    Overflow: cnt <= 10^12 so cnt * 1000 <= 10^15 fits BIGINT with 3
+    decimal orders to spare; the mean ratio divides by mean_cnt =
+    total_rows div n_keys (>= 1) instead of multiplying by n_keys, so no
+    term ever exceeds 10^15. Integer division truncates toward zero
+    identically in Spark `div` and DuckDB `//` (both operands positive).
+
+    Output: rk, user_id, cnt, share_permille, xmean_permille."""
+    from pyspark.sql import Window
+    from . import load
+
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    order = (F.desc("cnt"), F.asc("user_id"))
+    w_salt = Window.partitionBy("salt").orderBy(*order)
+    survivors = (
+        counts.withColumn(
+            "salt", F.pmod(F.xxhash64("user_id"), F.lit(SKEW_SALT))
+        )
+        .withColumn("rk", F.row_number().over(w_salt))
+        .where(F.col("rk") <= SKEW_TOP_K)
+        .drop("rk", "salt")
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= SKEW_TOP_K)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("rk").cast("long").alias("rk"),
+            "user_id",
+            "cnt",
+            F.expr("cnt * 1000 div total_rows").alias("share_permille"),
+            F.expr("cnt * 1000 div (total_rows div n_keys)").alias(
+                "xmean_permille"
+            ),
+        )
+    )
+
+
+QUERIES["join_key_skew_profile"] = q_join_key_skew_profile
+
+ORACLES["join_key_skew_profile"] = f"""
+    WITH counts AS (
+        SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY user_id
+    ), totals AS (
+        SELECT sum(cnt)::BIGINT AS total_rows, count(*)::BIGINT AS n_keys
+        FROM counts
+    ), ranked AS (
+        SELECT user_id, cnt,
+               row_number() OVER (ORDER BY cnt DESC, user_id) AS rk
+        FROM counts
+    )
+    SELECT rk::BIGINT AS rk, user_id, cnt,
+           (cnt * 1000) // total_rows AS share_permille,
+           (cnt * 1000) // (total_rows // n_keys) AS xmean_permille
+    FROM ranked, totals
+    WHERE rk <= {SKEW_TOP_K}
+"""
+
 ORACLES["interval_overlap_join"] = """
     WITH iv AS (
         SELECT user_id, event_id, epoch_us(ts) AS s,

@@ -198,7 +198,8 @@ RULES = {
 # salted partial rank + the small final rank) and a pmod salt in the plan —
 # one Window would be a single/few-task global sort at 100 TB.
 TWO_STAGE_RANK = ["vocab_top_ngrams", "inverted_index", "stratified_sample",
-                  "cluster_top_terms", "bm25_top_k", "shipping_priority"]
+                  "cluster_top_terms", "bm25_top_k", "shipping_priority",
+                  "join_key_skew_profile"]
 
 
 def plan_of(df) -> str:
