@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "blocklist_filter",
     "interval_overlap_join",
     "join_key_skew_profile",
+    "groupwise_trend",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -757,3 +757,91 @@ ORACLES["type_share_drift"] = f"""
                AS is_drift
     FROM terms GROUP BY day_b, n_day, n_prev
 """
+
+
+# --- Group-wise linear trend (sufficient-statistics regression) ---------------
+TREND_EPOCH = "2024-01-01"  # fixed x origin: keeps day indexes small integers
+
+
+def q_groupwise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend — the drift detector's regression
+    form: for every (user_id, event_type), the slope of value-cents over
+    the day index, fit by ordinary least squares computed ENTIRELY from
+    sufficient statistics (n, Sx, Sy, Sxx, Sxy). slope = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2), emitted as truncated ppm alongside the raw stats so
+    consumers can derive intercept/R^2 without a second scan.
+
+    Scale shape: the entire fit is ONE map-side-combinable groupBy — the
+    five sufficient statistics are plain sums, so partial aggregation
+    collapses each mapper's group contribution to a single row before the
+    shuffle, and no per-group sort, window, or collect_list state exists.
+    This is the pattern for ANY per-group closed-form model at 10^12 rows
+    (variance, covariance, OLS, Welford moments): ship the moments, not
+    the rows.
+
+    Overflow: x <= ~3*10^4 (day index from the fixed epoch), y <= 10^7
+    cents, so per-row xy <= 3*10^11 and n*Sxy <= n^2 * 3*10^11 — BIGINT-
+    safe to n ~ 5*10^3 rows per group after the *10^6 ppm scale; past
+    that cast the five sums to decimal(38,0) before the slope arithmetic
+    (the pricing_summary idiom). Degenerate groups (all events on one
+    day) have zero denominator: slope_ppm is NULL via nullif on both
+    engines. Truncating integer division toward zero is identical in
+    Spark ``div`` and DuckDB ``//`` including negative numerators
+    (CLAUDE.md); no calendar flooring is involved so the floordiv pair is
+    not needed.
+
+    Output: user_id, event_type, n, sx, sy, sxx, sxy, slope_ppm."""
+    from . import load
+
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit(TREND_EPOCH).cast("date")
+        )
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    g = d.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return g.select(
+        "user_id",
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        F.expr(
+            "(n * sxy - sx * sy) * 1000000"
+            " div nullif(n * sxx - sx * sx, 0)"
+        ).alias("slope_ppm"),
+    )
+
+
+QUERIES["groupwise_trend"] = q_groupwise_trend
+
+ORACLES["groupwise_trend"] = f"""
+    WITH d AS (
+        SELECT user_id, event_type,
+               date_diff('day', DATE '{TREND_EPOCH}', ts::DATE)::BIGINT AS x,
+               round(value * 100)::BIGINT AS y
+        FROM events
+    ), g AS (
+        SELECT user_id, event_type, count(*)::BIGINT AS n,
+               sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+        FROM d GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type, n, sx, sy, sxx, sxy,
+           (n * sxy - sx * sy) * 1000000
+               // nullif(n * sxx - sx * sx, 0) AS slope_ppm
+    FROM g
+"""
