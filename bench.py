@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "interval_overlap_join",
     "join_key_skew_profile",
     "groupwise_trend",
+    "lateness_audit",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -839,3 +839,122 @@ ORACLES["asof_join_events"] = """
     FROM probe p ASOF LEFT JOIN build b
       ON p.user_id = b.user_id AND p.e >= b.e
 """
+
+
+# --- Event-time lateness audit -------------------------------------------------
+# Bucket edges in microseconds: the watermark-delay decision grid.
+LATE_BUCKETS = [
+    (0, "on_time"),
+    (60_000_000, "le_1m"),
+    (600_000_000, "le_10m"),
+    (3_600_000_000, "le_1h"),
+    (86_400_000_000, "le_1d"),
+]
+
+
+def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness audit — the measurement that picks a Structured
+    Streaming ``withWatermark`` delay: per user, each event's lateness is
+    how far its event time sits BEHIND the running maximum event time in
+    arrival order (event_id = the ingest sequence); the global histogram
+    of lateness buckets plus each bucket's worst case tells you exactly
+    what fraction of events a candidate watermark would drop. An event at
+    the running max (or first for its user) is on time; lateness > 0
+    means a watermark shorter than it arrives too late for that event.
+
+    Scale shape: one keyed window (user_id, ordered by ingest id) computes
+    the running max — the same shuffle any per-user sessionization already
+    pays — then a 6-row global histogram via map-side-combined groupBy.
+    No global sort, no quantile pass: the bucket grid replaces an exact
+    percentile (the SCALE.md hist_percentiles argument) and is what you
+    act on anyway (watermarks are picked from a menu, not a p-value).
+
+    The driver corpus is PERFECTLY ordered (zero inversions), so the late
+    tail the audit exists to measure is synthesized the way joins.py
+    synthesizes cells from part: a deterministic delay schedule keyed on
+    event_id shifts a subset of event times backward relative to arrival
+    order — 1-in-7 by up to 88 s, 1-in-31 by 50 min–4.2 h, 1-in-101 by
+    ~28 h — mirrored branch-for-branch in the oracle.
+
+    Output: bucket, label, cnt, max_late_us."""
+    ev = _events(spark, sf_dir)
+    delay = (
+        F.when(
+            F.col("event_id") % 7 == 0,
+            (F.col("event_id") % 89) * 1_000_000,
+        )
+        .when(
+            F.col("event_id") % 31 == 0,
+            (F.col("event_id") % 5 + 1) * F.lit(3_000_000_000),
+        )
+        .when(F.col("event_id") % 101 == 0, F.lit(100_000_000_000))
+        .otherwise(F.lit(0))
+    )
+    ev = ev.withColumn("evt", F.col("ep") - delay)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.greatest(
+        F.coalesce(F.max("evt").over(w) - F.col("evt"), F.lit(0)), F.lit(0)
+    )
+    bucket = F.lit(len(LATE_BUCKETS))
+    label = F.lit("gt_1d")
+    for i, (edge, name) in reversed(list(enumerate(LATE_BUCKETS))):
+        bucket = F.when(F.col("late_us") <= edge, F.lit(i)).otherwise(bucket)
+        label = F.when(F.col("late_us") <= edge, F.lit(name)).otherwise(label)
+    return (
+        ev.select(late.alias("late_us"))
+        .select(
+            bucket.cast("long").alias("bucket"),
+            label.alias("label"),
+            "late_us",
+        )
+        .groupBy("bucket", "label")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("late_us").alias("max_late_us"),
+        )
+    )
+
+
+QUERIES["lateness_audit"] = q_lateness_audit
+
+ORACLES["lateness_audit"] = """
+    WITH e AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) - CASE
+                   WHEN event_id % 7 = 0 THEN (event_id % 89) * 1000000
+                   WHEN event_id % 31 = 0
+                       THEN (event_id % 5 + 1) * 3000000000
+                   WHEN event_id % 101 = 0 THEN 100000000000
+                   ELSE 0 END AS evt
+        FROM events
+    ), d AS (
+        SELECT greatest(coalesce(
+                   max(evt) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) - evt, 0), 0) AS late_us
+        FROM e
+    ), b AS (
+        SELECT late_us,
+               CASE WHEN late_us <= 0 THEN 0
+                    WHEN late_us <= 60000000 THEN 1
+                    WHEN late_us <= 600000000 THEN 2
+                    WHEN late_us <= 3600000000 THEN 3
+                    WHEN late_us <= 86400000000 THEN 4
+                    ELSE 5 END AS bucket,
+               CASE WHEN late_us <= 0 THEN 'on_time'
+                    WHEN late_us <= 60000000 THEN 'le_1m'
+                    WHEN late_us <= 600000000 THEN 'le_10m'
+                    WHEN late_us <= 3600000000 THEN 'le_1h'
+                    WHEN late_us <= 86400000000 THEN 'le_1d'
+                    ELSE 'gt_1d' END AS label
+        FROM d
+    )
+    SELECT bucket::BIGINT AS bucket, label, count(*)::BIGINT AS cnt,
+           max(late_us)::BIGINT AS max_late_us
+    FROM b GROUP BY bucket, label
+"""
