@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "join_key_skew_profile",
     "groupwise_trend",
     "lateness_audit",
+    "sequence_grammar",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

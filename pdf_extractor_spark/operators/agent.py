@@ -471,3 +471,102 @@ ORACLES["adjacent_dup_collapse"] = f"""
 """
 
 QUERIES["adjacent_dup_collapse"] = q_adjacent_dup_collapse
+
+
+# --- Sequence grammar audit ----------------------------------------------------
+def sequence_grammar_audit(ev: DataFrame) -> DataFrame:
+    """Sequence-grammar validation — the transcript schema-validation
+    stage in action-stream form: every per-key event sequence is checked
+    against a literal transition grammar and each key gets a verdict row
+    (violation count, first offending position and kind, valid flag).
+    For the driver events table the grammar is the funnel contract; bound
+    through ``events_from_transcripts`` the same checks read as role
+    alternation (a conversation must open with a user turn, a tool result
+    must follow a tool call, two consecutive errors are a storm).
+
+    Rules, in precedence order (first match names the violation):
+      bad_start       first event of a key is neither signup nor view
+      dup_signup      signup appears mid-stream
+      blind_purchase  purchase whose predecessor is not view/click/purchase
+      error_storm     two consecutive errors
+
+    Scale shape: one keyed lag/row_number window (the sessionize shuffle)
+    and one map-side-combined groupBy back to one row per key; the first
+    offender is min/min_by with a FILTER clause — no sort of the full
+    sequence, no collect_list state."""
+    w = _user_order()
+    prev = F.lag("event_type").over(w)
+    cur = F.col("event_type")
+    kind = (
+        F.when(
+            prev.isNull() & ~cur.isin("signup", "view"), F.lit("bad_start")
+        )
+        .when(prev.isNotNull() & (cur == "signup"), F.lit("dup_signup"))
+        .when(
+            prev.isNotNull()
+            & (cur == "purchase")
+            & ~prev.isin("view", "click", "purchase"),
+            F.lit("blind_purchase"),
+        )
+        .when((cur == "error") & (prev == "error"), F.lit("error_storm"))
+    )
+    d = ev.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("pos"),
+        kind.alias("kind"),
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("kind").alias("n_violations"),
+        F.expr("min(pos) FILTER (WHERE kind IS NOT NULL)").alias(
+            "first_bad_pos"
+        ),
+        F.expr("min_by(kind, pos) FILTER (WHERE kind IS NOT NULL)").alias(
+            "first_bad_kind"
+        ),
+        F.expr("cast(count(kind) = 0 as bigint)").alias("is_valid"),
+    )
+
+
+def q_sequence_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form over the driver events table (event_type plays the
+    action/role name)."""
+    return sequence_grammar_audit(_events(spark, sf_dir))
+
+
+ORACLES["sequence_grammar"] = """
+    WITH s AS (
+        SELECT user_id,
+               row_number() OVER w AS pos,
+               event_type,
+               lag(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), k AS (
+        SELECT user_id, pos,
+               CASE
+                   WHEN prev IS NULL
+                        AND event_type NOT IN ('signup', 'view')
+                       THEN 'bad_start'
+                   WHEN prev IS NOT NULL AND event_type = 'signup'
+                       THEN 'dup_signup'
+                   WHEN prev IS NOT NULL AND event_type = 'purchase'
+                        AND prev NOT IN ('view', 'click', 'purchase')
+                       THEN 'blind_purchase'
+                   WHEN event_type = 'error' AND prev = 'error'
+                       THEN 'error_storm'
+               END AS kind
+        FROM s
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           count(kind)::BIGINT AS n_violations,
+           (min(pos) FILTER (WHERE kind IS NOT NULL))::BIGINT
+               AS first_bad_pos,
+           arg_min(kind, pos) FILTER (WHERE kind IS NOT NULL)
+               AS first_bad_kind,
+           (count(kind) = 0)::BIGINT AS is_valid
+    FROM k GROUP BY user_id
+"""
+
+QUERIES["sequence_grammar"] = q_sequence_grammar
