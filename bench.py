@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "groupwise_trend",
     "lateness_audit",
     "sequence_grammar",
+    "json_extract_profile",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -382,3 +382,81 @@ def _k_anonymity_oracle() -> str:
 
 
 ORACLES["k_anonymity"] = _k_anonymity_oracle()
+
+
+# --- Semi-structured JSON extraction profile -----------------------------------
+JSON_CENTS_MIN_VALUE = 5.0  # rows at or below this omit the cents field
+
+
+def q_json_extract_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion: a nested JSON event envelope is
+    synthesized in-plan with ``to_json`` (id, type, optional cents, a tags
+    array — nullable fields vary by row, the way joins.py synthesizes
+    cells from part), then parsed BACK with JVM-side ``get_json_object``
+    path extraction and profiled per event type: field-presence counts,
+    an id round-trip fidelity count, and typed min/max/sum over the
+    extracted values. This is the landing-zone audit every JSON ingest
+    runs before committing a schema: which fields are present how often,
+    do the types parse, do the keys survive.
+
+    The oracle is deliberately NOT a string comparison: DuckDB computes
+    the expected extraction results directly from the base columns, so
+    the query only matches if Spark's construct-then-parse pipeline is
+    semantically lossless (null fields omitted by to_json surface as
+    NULL paths; array indexing and long casts round-trip exactly).
+
+    Scale shape: construction + parsing are pure per-row JVM projections
+    (zero Python, zero shuffle); the profile is one map-side-combined
+    groupBy over a 5-value type domain. Output: event_type, n, n_id_ok,
+    n_cents, sum_cents, min_tag, max_tag."""
+    from . import load
+
+    ev = load(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("value") > JSON_CENTS_MIN_VALUE,
+        F.round(F.col("value") * 100).cast("long"),
+    )
+    js = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.col("event_type").alias("type"),
+            cents.alias("cents"),
+            F.array(
+                F.col("user_id"), F.pmod(F.col("user_id"), F.lit(7))
+            ).alias("tags"),
+        )
+    )
+    p = ev.select("event_type", "event_id", js.alias("js")).select(
+        "event_type",
+        "event_id",
+        F.get_json_object("js", "$.id").cast("long").alias("jid"),
+        F.get_json_object("js", "$.cents").cast("long").alias("jcents"),
+        F.get_json_object("js", "$.tags[1]").cast("long").alias("jtag"),
+    )
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("jid") == F.col("event_id")).cast("long")).alias(
+            "n_id_ok"
+        ),
+        F.count("jcents").alias("n_cents"),
+        F.sum("jcents").alias("sum_cents"),
+        F.min("jtag").alias("min_tag"),
+        F.max("jtag").alias("max_tag"),
+    )
+
+
+QUERIES["json_extract_profile"] = q_json_extract_profile
+
+ORACLES["json_extract_profile"] = f"""
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           count(*)::BIGINT AS n_id_ok,
+           (count(*) FILTER (WHERE value > {JSON_CENTS_MIN_VALUE}))::BIGINT
+               AS n_cents,
+           (sum(round(value * 100)::BIGINT)
+                FILTER (WHERE value > {JSON_CENTS_MIN_VALUE}))::BIGINT
+               AS sum_cents,
+           min(((user_id % 7) + 7) % 7)::BIGINT AS min_tag,
+           max(((user_id % 7) + 7) % 7)::BIGINT AS max_tag
+    FROM events GROUP BY event_type
+"""
