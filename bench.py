@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "lateness_audit",
     "sequence_grammar",
     "json_extract_profile",
+    "expectation_suite",
+    "ab_uplift",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -845,3 +845,118 @@ ORACLES["groupwise_trend"] = f"""
                // nullif(n * sxx - sx * sx, 0) AS slope_ppm
     FROM g
 """
+
+
+# --- Deterministic A/B experiment readout --------------------------------------
+AB_EXPERIMENT = "exp1"  # salt: assignment is per-experiment, not global
+AB_CONVERT_VALUE = 150.0  # conversion = a purchase above this (high-value)
+
+
+def q_ab_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment readout: every user is assigned to
+    control/treatment by hashing an experiment-salted id (first 4 hex
+    chars of md5, the holdout_split idiom — content-stable across runs,
+    engines, and cluster sizes, and independent across experiments
+    because of the salt; no RNG), the per-user conversion flag is
+    whether the user ever purchased, and the single output row carries
+    both arms' user counts, converted counts, integer-permille conversion
+    rates, and their difference (the uplift readout an experimentation
+    platform prints).
+
+    Scale shape: one per-user groupBy (map-side combined max of a 0/1
+    flag), then a 1-row conditional-sum aggregate — assignment is a pure
+    projection so the whole readout costs exactly the sessionize shuffle.
+    Permille arithmetic is integer div; uplift subtracts the two permille
+    values so no negative-division semantics are involved.
+
+    Output: n_control, conv_control, permille_control, n_treatment,
+    conv_treatment, permille_treatment, uplift_permille."""
+    from . import load
+
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > AB_CONVERT_VALUE)
+            ).cast("long")
+        ).alias("converted")
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(AB_EXPERIMENT + ":"),
+                    F.col("user_id").cast("string"),
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    d = per_user.select((bucket % 2 == 1).alias("t"), "converted")
+    return (
+        d.agg(
+            F.sum(F.when(~F.col("t"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_control"),
+            F.sum(F.when(~F.col("t"), F.col("converted")).otherwise(0))
+            .cast("long")
+            .alias("conv_control"),
+            F.sum(F.when(F.col("t"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_treatment"),
+            F.sum(F.when(F.col("t"), F.col("converted")).otherwise(0))
+            .cast("long")
+            .alias("conv_treatment"),
+        )
+        .select(
+            "n_control",
+            "conv_control",
+            F.expr("conv_control * 1000 div nullif(n_control, 0)").alias(
+                "permille_control"
+            ),
+            "n_treatment",
+            "conv_treatment",
+            F.expr("conv_treatment * 1000 div nullif(n_treatment, 0)").alias(
+                "permille_treatment"
+            ),
+            F.expr(
+                "conv_treatment * 1000 div nullif(n_treatment, 0)"
+                " - conv_control * 1000 div n_control"
+            ).alias("uplift_permille"),
+        )
+    )
+
+
+QUERIES["ab_uplift"] = q_ab_uplift
+
+ORACLES["ab_uplift"] = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase'
+                             AND value > {AB_CONVERT_VALUE}
+                        THEN 1 ELSE 0 END) AS converted,
+               ('0x' || substring(
+                    md5('{AB_EXPERIMENT}:' || user_id::VARCHAR), 1, 4)
+               )::BIGINT % 2 = 1 AS t
+        FROM events GROUP BY user_id
+    ), a AS (
+        SELECT (count(*) FILTER (WHERE NOT t))::BIGINT AS n_control,
+               (coalesce(sum(converted) FILTER (WHERE NOT t), 0))::BIGINT
+                   AS conv_control,
+               (count(*) FILTER (WHERE t))::BIGINT AS n_treatment,
+               (coalesce(sum(converted) FILTER (WHERE t), 0))::BIGINT
+                   AS conv_treatment
+        FROM per_user
+    )
+    SELECT n_control, conv_control,
+           conv_control * 1000 // nullif(n_control, 0) AS permille_control,
+           n_treatment, conv_treatment,
+           conv_treatment * 1000 // nullif(n_treatment, 0) AS permille_treatment,
+           conv_treatment * 1000 // nullif(n_treatment, 0)
+               - conv_control * 1000 // nullif(n_control, 0) AS uplift_permille
+    FROM a
+"""

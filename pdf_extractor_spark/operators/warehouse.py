@@ -460,3 +460,121 @@ ORACLES["json_extract_profile"] = f"""
            max(((user_id % 7) + 7) % 7)::BIGINT AS max_tag
     FROM events GROUP BY event_type
 """
+
+
+# --- Data-quality expectation suite --------------------------------------------
+EXPECT_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+EXPECT_VALUE_MAX = 1000.0
+
+
+def q_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality expectation suite (Schelter et al.,
+    VLDB'18 — public AWS research): declarative constraints evaluated as
+    aggregates, one verdict row per check with the raw numerator/
+    denominator, an integer permille, and a passed flag:
+
+      completeness_props   props is never NULL
+      uniqueness_event_id  event_id is unique (exact distinct count)
+      domain_event_type    event_type within the accepted domain
+      range_value          value within [0, EXPECT_VALUE_MAX]
+      ri_orders_customer   every orders.o_custkey exists in customer
+
+    Scale shape: the four row-level checks fold into ONE aggregate pass
+    over events (a single scan no matter how many checks — the Deequ
+    trick), unpivoted to rows with ``stack``; the referential check is a
+    broadcast LEFT ANTI join on the dimension (missing keys counted, not
+    listed). Exact countDistinct shuffles one row per distinct key; at
+    10^12 rows swap in approx_count_distinct and a tolerance, or keep
+    exact — it is one hash groupBy either way. Output: check_name, num,
+    den, permille, passed."""
+    from . import load
+
+    ev = load(spark, sf_dir, "events")
+    dom = ", ".join(f"'{t}'" for t in EXPECT_EVENT_TYPES)
+    a = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("props").alias("c_props"),
+        F.countDistinct("event_id").alias("u_eid"),
+        F.sum(
+            F.col("event_type").isin(*EXPECT_EVENT_TYPES).cast("long")
+        ).alias("c_dom"),
+        F.sum(
+            (
+                (F.col("value") >= 0) & (F.col("value") <= EXPECT_VALUE_MAX)
+            ).cast("long")
+        ).alias("c_rng"),
+    )
+    row_checks = a.select(
+        F.expr(
+            "stack(4,"
+            " 'completeness_props', c_props,"
+            " 'uniqueness_event_id', u_eid,"
+            " 'domain_event_type', c_dom,"
+            " 'range_value', c_rng) as (check_name, num)"
+        ),
+        F.col("n").alias("den"),
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    missing = (
+        orders.join(
+            F.broadcast(cust),
+            orders.o_custkey == cust.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_missing"))
+    )
+    ri = (
+        orders.agg(F.count(F.lit(1)).alias("den"))
+        .crossJoin(F.broadcast(missing))
+        .select(
+            F.lit("ri_orders_customer").alias("check_name"),
+            (F.col("den") - F.col("n_missing")).alias("num"),
+            "den",
+        )
+    )
+    return row_checks.unionByName(ri).select(
+        "check_name",
+        "num",
+        "den",
+        F.expr("num * 1000 div den").alias("permille"),
+        F.expr("cast(num = den as bigint)").alias("passed"),
+    )
+
+
+QUERIES["expectation_suite"] = q_expectation_suite
+
+ORACLES["expectation_suite"] = f"""
+    WITH a AS (
+        SELECT count(*)::BIGINT AS n,
+               count(props)::BIGINT AS c_props,
+               count(DISTINCT event_id)::BIGINT AS u_eid,
+               (count(*) FILTER (WHERE event_type IN
+                   ('click', 'view', 'purchase', 'signup', 'error')
+               ))::BIGINT AS c_dom,
+               (count(*) FILTER (WHERE value >= 0
+                    AND value <= {EXPECT_VALUE_MAX}))::BIGINT AS c_rng
+        FROM events
+    ), ri AS (
+        SELECT 'ri_orders_customer' AS check_name,
+               (count(*) FILTER (WHERE c.c_custkey IS NOT NULL))::BIGINT
+                   AS num,
+               count(*)::BIGINT AS den
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ), rows_ AS (
+        SELECT 'completeness_props' AS check_name, c_props AS num, n AS den
+        FROM a
+        UNION ALL
+        SELECT 'uniqueness_event_id', u_eid, n FROM a
+        UNION ALL
+        SELECT 'domain_event_type', c_dom, n FROM a
+        UNION ALL
+        SELECT 'range_value', c_rng, n FROM a
+        UNION ALL
+        SELECT check_name, num, den FROM ri
+    )
+    SELECT check_name, num, den,
+           num * 1000 // den AS permille,
+           (num = den)::BIGINT AS passed
+    FROM rows_
+"""
