@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "json_extract_profile",
     "expectation_suite",
     "ab_uplift",
+    "cusum_changepoint",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

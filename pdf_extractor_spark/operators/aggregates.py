@@ -960,3 +960,137 @@ ORACLES["ab_uplift"] = f"""
                - conv_control * 1000 // nullif(n_control, 0) AS uplift_permille
     FROM a
 """
+
+
+# --- CUSUM change-point detection ----------------------------------------------
+# The injected drift the detector must find (the lateness_audit pattern:
+# the driver corpus is stationary by construction, so the monitored signal
+# gets a deterministic level shift, mirrored in the oracle).
+CUSUM_SHIFT_TYPE = "error"
+CUSUM_SHIFT_DAY = 18
+CUSUM_SHIFT_ADD = 40
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection (Page 1954) over the daily event-count
+    series per event type — the monitor that catches a persistent small
+    level shift the 3x rate_spike rule never sees: S_i = max(0, S_{i-1} +
+    x_i - baseline - k) with allowance k = baseline/20 and alarm threshold
+    h = one full baseline day; the first day S crosses h is the change point. The
+    baseline is the first 7 days' mean (integer div — causal, no future
+    data). The driver corpus is stationary, so a deterministic +40/day
+    shift is injected into the 'error' series from day 18 (the
+    lateness_audit synthesis pattern) — exactly one series must alarm.
+
+    Scale shape: daily counts are one map-side-combined groupBy; the
+    sequential recurrence folds over a per-type array bounded by the
+    CALENDAR (30 rows/month regardless of corpus size — the rate_spike
+    argument), via one flat HOF aggregate with a struct accumulator (no
+    nested HOFs, per the cdc_chunk_dedup lesson). The oracle replays the
+    fold as a recursive CTE keyed on row_number, so day gaps cannot
+    desynchronize the two engines. Output: event_type, n_days, base,
+    max_cusum, alarm_day, alarmed."""
+    from . import load
+
+    ev = load(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit(TREND_EPOCH).cast("date")
+    ).cast("long")
+    daily = (
+        ev.groupBy("event_type", day.alias("day"))
+        .agg(F.count(F.lit(1)).alias("raw"))
+        .select(
+            "event_type",
+            "day",
+            (
+                F.col("raw")
+                + F.when(
+                    (F.col("event_type") == CUSUM_SHIFT_TYPE)
+                    & (F.col("day") >= CUSUM_SHIFT_DAY),
+                    CUSUM_SHIFT_ADD,
+                ).otherwise(0)
+            ).alias("x"),
+        )
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("days")
+    )
+    with_base = arr.withColumn(
+        "base",
+        F.expr("aggregate(slice(days, 1, 7), 0L, (a, d) -> a + d.x) div 7"),
+    )
+    fold = F.expr(
+        "aggregate(days,"
+        " struct(cast(0 as long) as s, cast(0 as long) as mx,"
+        "        cast(null as long) as alarm),"
+        " (acc, d) -> struct("
+        "   greatest(0L, acc.s + d.x - base - base div 20) as s,"
+        "   greatest(acc.mx,"
+        "            greatest(0L, acc.s + d.x - base - base div 20)) as mx,"
+        "   coalesce(acc.alarm,"
+        "     case when greatest(0L, acc.s + d.x - base - base div 20)"
+        "               > base then d.day end) as alarm))"
+    )
+    return with_base.select(
+        "event_type",
+        F.size("days").cast("long").alias("n_days"),
+        "base",
+        fold["mx"].alias("max_cusum"),
+        # -1 sentinel, not NULL: a nullable int column round-trips through
+        # the oracle gate's pandas frame as float64 (the asof precedent)
+        F.coalesce(fold["alarm"], F.lit(-1)).cast("long").alias("alarm_day"),
+        fold["alarm"].isNotNull().cast("long").alias("alarmed"),
+    )
+
+
+QUERIES["cusum_changepoint"] = q_cusum_changepoint
+
+ORACLES["cusum_changepoint"] = f"""
+    WITH RECURSIVE d0 AS (
+        SELECT event_type,
+               date_diff('day', DATE '{TREND_EPOCH}', ts::DATE)::BIGINT
+                   AS day
+        FROM events
+    ), daily AS (
+        SELECT event_type, day,
+               count(*)::BIGINT
+               + CASE WHEN event_type = '{CUSUM_SHIFT_TYPE}'
+                       AND day >= {CUSUM_SHIFT_DAY}
+                      THEN {CUSUM_SHIFT_ADD} ELSE 0 END AS x
+        FROM d0 GROUP BY 1, 2
+    ), seq AS (
+        SELECT event_type, day, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY day)
+                   AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_days
+        FROM daily
+    ), base AS (
+        SELECT event_type,
+               ((sum(x) FILTER (WHERE rn <= 7))::BIGINT) // 7 AS base
+        FROM seq GROUP BY event_type
+    ), c AS (
+        SELECT b.event_type, 0::BIGINT AS rn, 0::BIGINT AS s,
+               0::BIGINT AS mx, NULL::BIGINT AS alarm
+        FROM base b
+        UNION ALL
+        SELECT c.event_type, c.rn + 1,
+               greatest(0, c.s + q.x - b.base - b.base // 20),
+               greatest(c.mx,
+                        greatest(0, c.s + q.x - b.base - b.base // 20)),
+               coalesce(c.alarm,
+                   CASE WHEN greatest(0, c.s + q.x - b.base - b.base // 20)
+                             > b.base
+                        THEN q.day END)
+        FROM c
+        JOIN seq q ON q.event_type = c.event_type AND q.rn = c.rn + 1
+        JOIN base b ON b.event_type = c.event_type
+    )
+    SELECT c.event_type, q.n_days, b.base, c.mx AS max_cusum,
+           coalesce(c.alarm, -1)::BIGINT AS alarm_day,
+           (c.alarm IS NOT NULL)::BIGINT AS alarmed
+    FROM c
+    JOIN base b ON b.event_type = c.event_type
+    JOIN (SELECT DISTINCT event_type, n_days FROM seq) q
+      ON q.event_type = c.event_type
+    WHERE c.rn = q.n_days
+"""
