@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "expectation_suite",
     "ab_uplift",
     "cusum_changepoint",
+    "source_overlap_matrix",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -1688,3 +1688,86 @@ def _split_leakage_oracle() -> str:
 
 ORACLES["split_leakage"] = _split_leakage_oracle()
 QUERIES["split_leakage"] = q_split_leakage
+
+
+# --- Cross-source content-overlap matrix ---------------------------------------
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card source-overlap matrix: for every pair of sources, how
+    many distinct word 3-shingles they share, and the overlap coefficient
+    (shared / smaller source's shingle set, integer permille) — the
+    corpus-level view of cross-source contamination that doc-level dedup
+    pairs don't aggregate (which mirror of CommonCrawl duplicates which,
+    which source is a strict subset of another).
+
+    Scale shape: the shingle frame is distinct (source, shingle) — one
+    hash-groupBy; per-shingle source lists are BOUNDED BY THE SOURCE
+    COUNT (tens, not documents — no DF-cut needed, unlike doc-id
+    buckets), so in-bucket pair generation via the shared _bucket_pairs
+    helper is O(sources^2) per shingle worst case with a tiny constant;
+    per-source set sizes broadcast back for the containment divisor. No
+    self-join: the shingle subtree evaluates once.
+
+    Output: source_a, source_b, n_shared, containment_permille."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(word_shingles_expr(F.col("text"))).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    buckets = (
+        sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .where(F.size("srcs") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(_bucket_pairs(F.col("srcs"))).alias("p")
+    )
+    counts = pairs.groupBy(
+        F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+    ).agg(F.count(F.lit(1)).alias("n_shared"))
+    sz_a = sizes.select(
+        F.col("source").alias("source_a"), F.col("sz").alias("sz_a")
+    )
+    sz_b = sizes.select(
+        F.col("source").alias("source_b"), F.col("sz").alias("sz_b")
+    )
+    return (
+        counts.join(F.broadcast(sz_a), "source_a")
+        .join(F.broadcast(sz_b), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.expr("n_shared * 1000 div least(sz_a, sz_b)").alias(
+                "containment_permille"
+            ),
+        )
+    )
+
+
+QUERIES["source_overlap_matrix"] = q_source_overlap_matrix
+
+ORACLES["source_overlap_matrix"] = _DUCK_SHINGLES.replace(
+    "SELECT doc_id,", "SELECT doc_id, source,", 1
+).replace(
+    "SELECT doc_id,\n                   CASE",
+    "SELECT doc_id, source,\n                   CASE",
+).replace(
+    "SELECT doc_id, unnest(shingles) AS sh FROM sh",
+    "SELECT DISTINCT source, unnest(shingles) AS sh FROM sh",
+) + """
+    , sizes AS (
+        SELECT source, count(*)::BIGINT AS sz FROM ex GROUP BY source
+    ), shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*)::BIGINT AS n_shared
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           n_shared * 1000 // least(za.sz, zb.sz) AS containment_permille
+    FROM shared
+    JOIN sizes za ON za.source = source_a
+    JOIN sizes zb ON zb.source = source_b
+"""
