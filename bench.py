@@ -163,6 +163,8 @@ BENCH_QUERIES = [
     "ab_uplift",
     "cusum_changepoint",
     "source_overlap_matrix",
+    "coverage_gaps",
+    "join_cardinality_estimate",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -694,3 +694,89 @@ ORACLES["interval_overlap_join"] = """
       ON a.user_id = b.user_id AND a.event_id < b.event_id
      AND a.s < b.e AND b.s < a.e
 """
+
+
+# --- Join-cardinality estimator ------------------------------------------------
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from key histograms — the planner
+    arithmetic made explicit: for the lineitem |X| orders equi-join, the
+    exact output size is sum over shared keys of cnt_l * cnt_o, computable
+    from the two per-key count frames WITHOUT executing the join. Emits
+    the estimate alongside the key-overlap counts and the largest
+    single-key contribution (the skew bomb join_key_skew_profile ranks) —
+    at 10^12 rows you run THIS (or its sketch form) before committing to
+    a shuffle join; the companion skew profile decides how to shuffle.
+
+    Scale shape: two map-side-combined groupBys (one row per distinct key
+    each) and one equi-join of the count frames — the fact tables are
+    scanned once each and never joined row-to-row. The same frames feed a
+    CMS/HLL sketch at the extreme scale; exact is one hash-groupBy here.
+
+    Overflow: per-key products are cnt_l * cnt_o <= 10^6 * 10^6 at
+    pathological skew; the SUM is cast decimal(38,0) before aggregation
+    (the pricing_summary idiom) so the estimate survives any skew.
+
+    Output: n_keys_left, n_keys_right, n_keys_both, est_rows,
+    max_key_rows."""
+    from . import load
+
+    lc = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt_l"))
+    )
+    oc = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt_o"))
+    )
+    both = lc.join(oc, "k")
+    prod = (
+        F.col("cnt_l").cast("decimal(38,0)")
+        * F.col("cnt_o").cast("decimal(38,0)")
+    )
+    totals = both.agg(
+        F.count(F.lit(1)).alias("n_keys_both"),
+        F.sum(prod).cast("decimal(38,0)").alias("est_rows"),
+        F.max(prod).cast("decimal(38,0)").alias("max_key_rows"),
+    )
+    nl = lc.agg(F.count(F.lit(1)).alias("n_keys_left"))
+    nr = oc.agg(F.count(F.lit(1)).alias("n_keys_right"))
+    return (
+        nl.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n_keys_left",
+            "n_keys_right",
+            "n_keys_both",
+            # string-cast the wide decimals (the pricing_summary idiom:
+            # DECIMAL(38,0) reaches pandas as float on the oracle side)
+            F.col("est_rows").cast("string").alias("est_rows"),
+            F.col("max_key_rows").cast("string").alias("max_key_rows"),
+        )
+    )
+
+
+QUERIES["join_cardinality_estimate"] = q_join_cardinality_estimate
+
+ORACLES["join_cardinality_estimate"] = """
+    WITH lc AS (
+        SELECT l_orderkey AS k, count(*)::BIGINT AS cnt_l
+        FROM lineitem GROUP BY 1
+    ), oc AS (
+        SELECT o_orderkey AS k, count(*)::BIGINT AS cnt_o
+        FROM orders GROUP BY 1
+    ), both_ AS (
+        SELECT count(*)::BIGINT AS n_keys_both,
+               sum(cnt_l::DECIMAL(38,0) * cnt_o::DECIMAL(38,0))
+                   ::DECIMAL(38,0) AS est_rows,
+               max(cnt_l::DECIMAL(38,0) * cnt_o::DECIMAL(38,0))
+                   ::DECIMAL(38,0) AS max_key_rows
+        FROM lc JOIN oc USING (k)
+    )
+    SELECT (SELECT count(*)::BIGINT FROM lc) AS n_keys_left,
+           (SELECT count(*)::BIGINT FROM oc) AS n_keys_right,
+           n_keys_both, est_rows::VARCHAR AS est_rows,
+           max_key_rows::VARCHAR AS max_key_rows
+    FROM both_
+"""

@@ -578,3 +578,89 @@ ORACLES["expectation_suite"] = f"""
            (num = den)::BIGINT AS passed
     FROM rows_
 """
+
+
+# --- Ingest-coverage gap audit (backfill planner) -------------------------------
+COVERAGE_EPOCH = "2024-01-01"
+
+
+def q_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-coverage audit / backfill planner: for every user, which
+    days inside the corpus's global [min_day, max_day] window have NO
+    events, compressed into contiguous gap runs — the exact list a
+    backfill scheduler consumes (n missing partitions, how many distinct
+    holes, the longest outage). Users with full coverage emit no row.
+
+    Scale shape: the expected spine is users x sequence(lo, hi) — one
+    explode per user keyed by a 1-row broadcast bounds aggregate, linear
+    in users x days (never a per-day query loop); missing cells come from
+    one left-anti equi-join against the distinct present pairs; runs
+    compress via the classic day - row_number() grouping (one keyed
+    window, no iteration). At 10^12 rows the spine stays proportional to
+    |keys| x |days| — the partition catalog, not the fact data.
+
+    Output: user_id, n_missing_days, n_gap_runs, longest_gap."""
+    from pyspark.sql import Window
+    from . import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit(COVERAGE_EPOCH).cast("date")
+        )
+        .cast("long")
+        .alias("day"),
+    )
+    present = ev.distinct()
+    bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    missing = spine.join(present, ["user_id", "day"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = missing.withColumn(
+        "grp", F.col("day") - F.row_number().over(w)
+    )
+    per_run = runs.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return per_run.groupBy("user_id").agg(
+        F.sum("len").alias("n_missing_days"),
+        F.count(F.lit(1)).alias("n_gap_runs"),
+        F.max("len").alias("longest_gap"),
+    )
+
+
+QUERIES["coverage_gaps"] = q_coverage_gaps
+
+ORACLES["coverage_gaps"] = f"""
+    WITH d AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '{COVERAGE_EPOCH}', ts::DATE)::BIGINT
+                   AS day
+        FROM events
+    ), b AS (
+        SELECT min(day) AS lo, max(day) AS hi FROM d
+    ), spine AS (
+        SELECT u.user_id, s.day
+        FROM (SELECT DISTINCT user_id FROM d) u, b,
+             LATERAL (SELECT unnest(range(b.lo, b.hi + 1)) AS day) s
+    ), miss AS (
+        SELECT sp.user_id, sp.day
+        FROM spine sp LEFT JOIN d
+          ON d.user_id = sp.user_id AND d.day = sp.day
+        WHERE d.user_id IS NULL
+    ), runs AS (
+        SELECT user_id, day,
+               day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                   AS grp
+        FROM miss
+    ), per_run AS (
+        SELECT user_id, grp, count(*)::BIGINT AS len
+        FROM runs GROUP BY 1, 2
+    )
+    SELECT user_id, sum(len)::BIGINT AS n_missing_days,
+           count(*)::BIGINT AS n_gap_runs, max(len)::BIGINT AS longest_gap
+    FROM per_run GROUP BY user_id
+"""
