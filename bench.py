@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "source_overlap_matrix",
     "coverage_gaps",
     "join_cardinality_estimate",
+    "scd2_asof",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -664,3 +664,45 @@ ORACLES["coverage_gaps"] = f"""
            count(*)::BIGINT AS n_gap_runs, max(len)::BIGINT AS longest_gap
     FROM per_run GROUP BY user_id
 """
+
+
+# --- SCD2 point-in-time (AS OF) reconstruction ----------------------------------
+# 2024-01-15 12:00:00 UTC in epoch microseconds: mid-corpus, so episodes
+# both before and after the instant exist.
+SCD2_ASOF_US = 1_705_320_000_000_000
+
+
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 dimension: the state of every user's
+    tier AS OF a fixed instant — the query a reproducible-training-run
+    audit asks ("which tier was this user in when the snapshot shipped").
+    A row qualifies when its [valid_from, valid_to] episode covers the
+    instant (open episodes via the OPEN_END sentinel); users whose first
+    purchase is later emit nothing, by definition of the dimension.
+
+    Scale shape: the history build is the scd2_user_tiers plan (two
+    per-user windows, no cross-user traffic); the as-of filter is a pure
+    predicate on the episode bounds — at warehouse scale it prunes to
+    ~|keys| rows regardless of history depth. Output: user_id, tier,
+    valid_from_us."""
+    from . import load
+
+    hist = scd2_history(load(spark, sf_dir, "events"))
+    asof = F.lit(SCD2_ASOF_US)
+    return hist.where(
+        (F.col("valid_from_us") <= asof)
+        & (
+            (F.col("valid_to_us") == OPEN_END)
+            | (F.col("valid_to_us") >= asof)
+        )
+    ).select("user_id", "tier", "valid_from_us")
+
+
+QUERIES["scd2_asof"] = q_scd2_asof
+
+ORACLES["scd2_asof"] = f"""
+    SELECT user_id, tier, valid_from_us
+    FROM ({{scd2}}) h
+    WHERE valid_from_us <= {SCD2_ASOF_US}
+      AND (valid_to_us = {OPEN_END} OR valid_to_us >= {SCD2_ASOF_US})
+""".format(scd2=ORACLES["scd2_user_tiers"])
