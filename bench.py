@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "coverage_gaps",
     "join_cardinality_estimate",
     "scd2_asof",
+    "wav_payload_stats",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -134,3 +134,21 @@ def ahash_bmp(payload: bytes, bits: int = AHASH_BITS):
         if grays[j] * n > s:
             hv |= 1 << j
     return hv, w, h
+
+
+def wav_data_chunk(payload: bytes) -> Optional[bytes]:
+    """The raw data-chunk bytes of a RIFF/WAVE container (the PCM sample
+    stream), via the same chunk walk as :func:`parse_wav`. Returns None
+    for non-WAV or data-less containers. Used by the payload-stats kernel
+    — the step PAST header decode: arithmetic over the samples
+    themselves."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"data":
+            return payload[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    return None

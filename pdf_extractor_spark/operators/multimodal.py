@@ -357,3 +357,86 @@ ORACLES["image_ahash_dedup"] = f"""
     SELECT doc_id, w AS width, h AS height, ahash, n_same_hash
     FROM bits JOIN b USING (doc_id) JOIN cnt USING (ahash)
 """
+
+
+# --- WAV payload (sample-stream) statistics --------------------------------------
+PAYLOAD_STATS_SCHEMA = (
+    "doc_id bigint, n_data_bytes bigint, sum_bytes bigint,"
+    " max_byte bigint, n_rest bigint"
+)
+REST_BYTE = 32  # the space byte: the synthesized stream's silence point
+
+
+def wav_payload_stats(binary_df: DataFrame) -> DataFrame:
+    """The step PAST header decode: locate the RIFF data chunk (shared
+    chunk walk in kernels/media.py) and compute statistics over the PCM
+    sample stream itself — count, sum, max, and how many samples sit at
+    the rest point. A real audio featurizer (RMS, VAD) is exactly this
+    shape: Arrow batches of bytes in, numpy over the sample buffer, typed
+    rows out. Non-WAV payloads yield no row (the kernel dispatches on
+    magic, never on synthesis parameters)."""
+    import numpy as np
+
+    from ..kernels.media import wav_data_chunk
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = wav_data_chunk(bytes(payload))
+                if data is None:
+                    continue
+                a = np.frombuffer(data, dtype=np.uint8)
+                rows.append((
+                    int(doc_id),
+                    int(a.size),
+                    int(a.sum(dtype=np.int64)),
+                    int(a.max()) if a.size else -1,
+                    int((a == REST_BYTE).sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_data_bytes", "sum_bytes", "max_byte",
+                    "n_rest",
+                ],
+            )
+
+    return binary_df.mapInPandas(run, schema=PAYLOAD_STATS_SCHEMA)
+
+
+def q_wav_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form: synthesize the WAV half of the corpus (even
+    doc_ids) and stat the sample streams. The oracle recomputes from the
+    source text's code points (the stream IS the utf-8 bytes; the corpus
+    is pure ASCII so code point = byte) — a green row proves the kernel
+    read the same bytes out of the container the writer put in."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    return wav_payload_stats(
+        synthesize_media(docs).select("doc_id", "payload")
+    )
+
+
+QUERIES["wav_payload_stats"] = q_wav_payload_stats
+
+ORACLES["wav_payload_stats"] = """
+    WITH d AS (
+        -- the writer truncates the sample stream to whole blocks
+        -- (block align = ch * 2); mirror before streaming the chars
+        SELECT doc_id, text,
+               length(text)
+                   - length(text) % ((((doc_id // 2) % 2) + 1) * 2) AS dl
+        FROM documents WHERE doc_id % 2 = 0
+    ), chars AS (
+        SELECT doc_id, ord(substring(text, i, 1)) AS c
+        FROM d, LATERAL (SELECT unnest(range(1, dl + 1)) AS i)
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_data_bytes,
+           sum(c)::BIGINT AS sum_bytes,
+           max(c)::BIGINT AS max_byte,
+           (count(*) FILTER (WHERE c = 32))::BIGINT AS n_rest
+    FROM chars GROUP BY doc_id
+"""
