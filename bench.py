@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "join_cardinality_estimate",
     "scd2_asof",
     "wav_payload_stats",
+    "cogroup_reconcile",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

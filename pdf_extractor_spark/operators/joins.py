@@ -780,3 +780,103 @@ ORACLES["join_cardinality_estimate"] = """
            max_key_rows::VARCHAR AS max_key_rows
     FROM both_
 """
+
+
+# --- Cogrouped reconciliation (cogroup + applyInPandas) --------------------------
+RECON_SCHEMA = (
+    "key bigint, n_events bigint, n_orders bigint, n_matched bigint,"
+    " sum_absdiff_cents bigint"
+)
+
+
+def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stream per-key reconciliation via COGROUP — the one Pandas-UDF
+    surface the rest of the suite doesn't exercise
+    (``df.groupby(k).cogroup(other.groupby(k)).applyInPandas``): purchase
+    events and order records meet per key WITHOUT a row-level join; the
+    kernel rank-matches the two sorted amount lists and sums the absolute
+    differences — the ledger-reconciliation shape (which bookings have no
+    matching order, how far apart are the matched amounts). Keys present
+    on either side emit a row (empty-side semantics are part of the
+    cogroup contract and pinned by the oracle's FULL OUTER form).
+
+    Scale shape: cogroup shuffles each input once on the key — exactly
+    the two keyed shuffles the equivalent rank-window SQL pays — and the
+    kernel sees one key's rows at a time (per-key state, never a
+    collected partition). Rank-matching equal values is order-insensitive
+    (|a-b| is identical among ties), so kernel sort and oracle
+    row_number agree without a tiebreak column.
+
+    Output: key, n_events, n_orders, n_matched, sum_absdiff_cents."""
+    import numpy as np
+    import pandas as pd
+
+    from . import load
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("key"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+    )
+    od = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+
+    def recon(key, epdf: pd.DataFrame, opdf: pd.DataFrame) -> pd.DataFrame:
+        a = np.sort(epdf["c"].to_numpy(dtype=np.int64))
+        b = np.sort(opdf["c"].to_numpy(dtype=np.int64))
+        n = min(a.size, b.size)
+        sad = int(np.abs(a[:n] - b[:n]).sum()) if n else 0
+        return pd.DataFrame(
+            [(int(key[0]), int(a.size), int(b.size), int(n), sad)],
+            columns=[
+                "key", "n_events", "n_orders", "n_matched",
+                "sum_absdiff_cents",
+            ],
+        )
+
+    return (
+        ev.groupby("key")
+        .cogroup(od.groupby("key"))
+        .applyInPandas(recon, schema=RECON_SCHEMA)
+    )
+
+
+QUERIES["cogroup_reconcile"] = q_cogroup_reconcile
+
+ORACLES["cogroup_reconcile"] = """
+    WITH e AS (
+        SELECT user_id AS key, round(value * 100)::BIGINT AS c,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY round(value * 100)::BIGINT
+               ) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ), o AS (
+        SELECT o_custkey AS key, round(o_totalprice * 100)::BIGINT AS c,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY round(o_totalprice * 100)::BIGINT
+               ) AS rn
+        FROM orders
+    ), ec AS (
+        SELECT key, count(*)::BIGINT AS n_events FROM e GROUP BY key
+    ), oc AS (
+        SELECT key, count(*)::BIGINT AS n_orders FROM o GROUP BY key
+    ), m AS (
+        SELECT e.key, count(*)::BIGINT AS n_matched,
+               sum(abs(e.c - o.c))::BIGINT AS sad
+        FROM e JOIN o ON e.key = o.key AND e.rn = o.rn
+        GROUP BY e.key
+    )
+    SELECT coalesce(ec.key, oc.key) AS key,
+           coalesce(n_events, 0)::BIGINT AS n_events,
+           coalesce(n_orders, 0)::BIGINT AS n_orders,
+           coalesce(n_matched, 0)::BIGINT AS n_matched,
+           coalesce(sad, 0)::BIGINT AS sum_absdiff_cents
+    FROM ec FULL OUTER JOIN oc ON ec.key = oc.key
+    LEFT JOIN m ON m.key = coalesce(ec.key, oc.key)
+"""
