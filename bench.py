@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "scd2_asof",
     "wav_payload_stats",
     "cogroup_reconcile",
+    "kcore_peel",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

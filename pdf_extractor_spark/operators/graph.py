@@ -502,3 +502,143 @@ ORACLES["triangle_count"] = f"""
             JOIN canon e2 ON e2.a = e1.a AND e2.b > e1.b
             JOIN canon e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles
 """
+
+
+# --- Bounded k-core peel ---------------------------------------------------------
+KCORE_K = 2
+KCORE_ROUNDS = 6
+KCORE_CORE = 50  # dense-core width of the dedicated peel fixture
+
+
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core decomposition (K = 2) over a dedicated core+tendril
+    fixture: each round drops every node whose degree in the surviving
+    subgraph is below K, then the edges with a dropped endpoint — the
+    peel that isolates the densely-connected community (spam rings,
+    citation cores) from chains and tendrils. The fixture is built for
+    the CASCADE (the shared link graphs are degree-uniform and peel
+    all-or-nothing): a least(n, 50)-node core wired at strides 1/3/7
+    (degree ~7) plus length-n/50 chains hanging off it — each round
+    erodes exactly one chain layer (one tip generation), so the per-round
+    counts show the peel front moving while the core survives untouched.
+    The registered form runs KCORE_ROUNDS fixed rounds and emits
+    per-round (n_active, n_edges) — at convergence the survivors ARE the
+    k-core, and the fixed unroll is what lets the oracle replay every
+    round exactly (the kmeans_fit contract: iteration count is part of
+    the op's definition).
+
+    Scale shape: one degree aggregation + two semi-join-shaped edge
+    filters per round over a localCheckpointed edge frame (lineage stays
+    O(1) across rounds, the components lesson); per-round work is
+    O(|E_r|), monotonically shrinking. Peel rounds at web scale run tens,
+    not thousands — each round is a full barrier anyway, so the fixed
+    bound is the honest formulation.
+
+    Output: round, n_active, n_edges."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n_row = docs.agg(F.count("*").alias("n"))
+    base = docs.crossJoin(F.broadcast(n_row)).withColumn(
+        "c", F.least(F.lit(KCORE_CORE), F.col("n"))
+    )
+    u = F.col("doc_id")
+    core = base.where(u < F.col("c"))
+    raw = None
+    for stride in (1, 3, 7):
+        e = core.select(
+            u.alias("src"), ((u + stride) % F.col("c")).alias("dst")
+        )
+        raw = e if raw is None else raw.union(e)
+    raw = raw.union(
+        base.where(u >= F.col("c")).select(
+            u.alias("src"), (u - F.col("c")).alias("dst")
+        )
+    )
+    edges = (
+        raw.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    stats = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("a").alias("v"))
+            .union(edges.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        active = deg.where(F.col("d") >= KCORE_K).select("v")
+        edges = (
+            edges.join(
+                active.withColumnRenamed("v", "a"), "a", "left_semi"
+            )
+            .join(active.withColumnRenamed("v", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        stats.append(
+            active.agg(F.count(F.lit(1)).alias("n_active"))
+            .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                "n_active",
+                "n_edges",
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+QUERIES["kcore_peel"] = q_kcore_peel
+
+
+def _kcore_oracle() -> str:
+    """Unrolled per-round replay of the bounded peel (every CTE pair
+    d{r}/e{r} is one peel round over the previous edge set)."""
+    sql = f"""
+    WITH docs AS MATERIALIZED (
+        SELECT doc_id,
+               least({KCORE_CORE}, (SELECT count(*) FROM documents)) AS c
+        FROM documents
+    ), raw AS (
+        SELECT doc_id AS src, (doc_id + 1) % c AS dst FROM docs
+            WHERE doc_id < c
+        UNION ALL
+        SELECT doc_id, (doc_id + 3) % c FROM docs WHERE doc_id < c
+        UNION ALL
+        SELECT doc_id, (doc_id + 7) % c FROM docs WHERE doc_id < c
+        UNION ALL
+        SELECT doc_id, doc_id - c FROM docs WHERE doc_id >= c
+    ), e0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw WHERE src <> dst
+    )"""
+    for r in range(1, KCORE_ROUNDS + 1):
+        p = r - 1
+        sql += f""", d{r} AS MATERIALIZED (
+        SELECT v, count(*)::BIGINT AS d FROM (
+            SELECT a AS v FROM e{p} UNION ALL SELECT b FROM e{p}
+        ) GROUP BY v
+    ), a{r} AS MATERIALIZED (
+        SELECT v FROM d{r} WHERE d >= {KCORE_K}
+    ), e{r} AS MATERIALIZED (
+        SELECT a, b FROM e{p}
+        WHERE a IN (SELECT v FROM a{r}) AND b IN (SELECT v FROM a{r})
+    )"""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {r}::BIGINT AS round,"
+        f" (SELECT count(*)::BIGINT FROM a{r}) AS n_active,"
+        f" (SELECT count(*)::BIGINT FROM e{r}) AS n_edges"
+        for r in range(1, KCORE_ROUNDS + 1)
+    )
+    return sql + "\n" + rows
+
+
+ORACLES["kcore_peel"] = _kcore_oracle()
