@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "wav_payload_stats",
     "cogroup_reconcile",
     "kcore_peel",
+    "rfm_features",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

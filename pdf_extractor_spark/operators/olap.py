@@ -347,3 +347,146 @@ ORACLES = {
                      RANGE BETWEEN {_WEEK_US} PRECEDING AND CURRENT ROW)
     """,
 }
+
+
+# --- RFM feature engineering ------------------------------------------------------
+RFM_EPOCH = "2024-01-01"
+
+
+def q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer features (recency / frequency / monetary) with exact
+    nearest-rank quartile scores: per user the days since last purchase
+    (vs the corpus's latest purchase day), purchase count, and cents sum;
+    each metric scored 1-4 against the corpus-wide quartile BOUNDARIES
+    (value at rank ceil(k*n/4), the length_quantiles type-1 form) rather
+    than a global ntile — boundaries are a 3-row broadcast, scoring is a
+    pure comparison map, and only the boundary computation ranks the
+    per-user frame (|users| rows, one window per metric via the melt;
+    approx_percentile is the documented 10^12-row twin, exactly as in
+    length_quantiles). rfm_code packs the three digits.
+
+    Output: user_id, r_days, f_cnt, m_cents, r_q, f_q, m_q, rfm_code."""
+    from . import load
+
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit(RFM_EPOCH).cast("date")
+    ).cast("long")
+    per_user = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(day).alias("last_day"),
+            F.count(F.lit(1)).alias("f_cnt"),
+            F.sum(F.expr(_CENTS).cast("long")).alias("m_cents"),
+        )
+    )
+    gmax = per_user.agg(F.max("last_day").alias("gmax"))
+    feats = per_user.crossJoin(F.broadcast(gmax)).select(
+        "user_id",
+        (F.col("gmax") - F.col("last_day")).alias("r_days"),
+        "f_cnt",
+        "m_cents",
+    )
+    melted = feats.select(
+        "user_id",
+        F.expr(
+            "stack(3, 'r', r_days, 'f', f_cnt, 'm', m_cents)"
+            " as (metric, v)"
+        ),
+    )
+    w = Window.partitionBy("metric").orderBy("v", "user_id")
+    wn = Window.partitionBy("metric")
+    ranked = melted.withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count(F.lit(1)).over(wn))
+    bounds = ranked.groupBy("metric").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr(f"({k} * n + 3) div 4"),
+                    F.col("v"),
+                )
+            ).alias(f"b{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+    q = (
+        F.lit(1)
+        + (F.col("v") > F.col("b1")).cast("long")
+        + (F.col("v") > F.col("b2")).cast("long")
+        + (F.col("v") > F.col("b3")).cast("long")
+    )
+    scored = (
+        melted.join(F.broadcast(bounds), "metric")
+        .select("user_id", "metric", q.alias("q"))
+        .groupBy("user_id")
+        .pivot("metric", ["r", "f", "m"])
+        .agg(F.max("q"))
+        .select(
+            "user_id",
+            F.col("r").alias("r_q"),
+            F.col("f").alias("f_q"),
+            F.col("m").alias("m_q"),
+        )
+    )
+    return feats.join(scored, "user_id").select(
+        "user_id",
+        "r_days",
+        "f_cnt",
+        "m_cents",
+        "r_q",
+        "f_q",
+        "m_q",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).alias(
+            "rfm_code"
+        ),
+    )
+
+
+QUERIES["rfm_features"] = q_rfm_features
+
+ORACLES["rfm_features"] = f"""
+    WITH p AS (
+        SELECT user_id,
+               max(date_diff('day', DATE '{RFM_EPOCH}', ts::DATE))::BIGINT
+                   AS last_day,
+               count(*)::BIGINT AS f_cnt,
+               sum(round(value * 100)::BIGINT)::BIGINT AS m_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), g AS (
+        SELECT max(last_day) AS gmax FROM p
+    ), f AS (
+        SELECT user_id, (gmax - last_day)::BIGINT AS r_days, f_cnt, m_cents
+        FROM p, g
+    ), m AS (
+        SELECT user_id, 'r' AS metric, r_days AS v FROM f
+        UNION ALL SELECT user_id, 'f', f_cnt FROM f
+        UNION ALL SELECT user_id, 'm', m_cents FROM f
+    ), rk AS (
+        SELECT *, row_number() OVER
+                   (PARTITION BY metric ORDER BY v, user_id) AS rn,
+               count(*) OVER (PARTITION BY metric) AS n
+        FROM m
+    ), b AS (
+        SELECT metric,
+               max(CASE WHEN rn = (1 * n + 3) // 4 THEN v END) AS b1,
+               max(CASE WHEN rn = (2 * n + 3) // 4 THEN v END) AS b2,
+               max(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS b3
+        FROM rk GROUP BY metric
+    ), s AS (
+        SELECT user_id, m.metric,
+               1 + (v > b1)::BIGINT + (v > b2)::BIGINT + (v > b3)::BIGINT
+                   AS q
+        FROM m JOIN b ON m.metric = b.metric
+    ), piv AS (
+        SELECT user_id,
+               max(CASE WHEN metric = 'r' THEN q END)::BIGINT AS r_q,
+               max(CASE WHEN metric = 'f' THEN q END)::BIGINT AS f_q,
+               max(CASE WHEN metric = 'm' THEN q END)::BIGINT AS m_q
+        FROM s GROUP BY user_id
+    )
+    SELECT f.user_id, r_days, f_cnt, m_cents, r_q, f_q, m_q,
+           (r_q * 100 + f_q * 10 + m_q)::BIGINT AS rfm_code
+    FROM f JOIN piv ON f.user_id = piv.user_id
+"""
