@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "cogroup_reconcile",
     "kcore_peel",
     "rfm_features",
+    "column_profile",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

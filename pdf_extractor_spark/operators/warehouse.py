@@ -706,3 +706,85 @@ ORACLES["scd2_asof"] = f"""
     WHERE valid_from_us <= {SCD2_ASOF_US}
       AND (valid_to_us = {OPEN_END} OR valid_to_us >= {SCD2_ASOF_US})
 """.format(scd2=ORACLES["scd2_user_tiers"])
+
+
+# --- Column-level profile ---------------------------------------------------------
+PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile — the discovery half of the Deequ pair
+    (expectation_suite is the checker; this is what you run FIRST to
+    decide which checks to write): one row per column with row count,
+    null count, exact distinct count, and min/max computed on the RAW
+    column then rendered as strings (one schema fits every column type;
+    rendering before aggregating would silently turn numeric min/max
+    lexicographic — '998' > '10000'). ts renders in full ISO micros;
+    value through integer cents so both engines print identically (raw
+    double repr differs across engines).
+
+    Scale shape: ALL columns profile in ONE aggregate pass over the scan
+    (count + conditional counts + min/max are plain aggregates;
+    count(DISTINCT col) per column plans as one Expand + hash aggregate —
+    the multi-distinct form Spark executes with partial aggregation),
+    then a stack to rows. At 10^12 rows swap exact distinct for
+    approx_count_distinct per column — same single-pass shape.
+
+    Output: col_name, n_rows, n_null, n_distinct, min_s, max_s."""
+    from . import load
+
+    ev = load(spark, sf_dir, "events")
+
+    def render(c, agg):
+        if c == "ts":
+            return F.date_format(agg, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        if c == "value":
+            return F.round(agg * 100).cast("long").cast("string")
+        return agg.cast("string")
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"),
+            F.countDistinct(c).alias(f"dist_{c}"),
+            render(c, F.min(F.col(c))).alias(f"min_{c}"),
+            render(c, F.max(F.col(c))).alias(f"max_{c}"),
+        ]
+    one = ev.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}"
+        for c in PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack})"
+            " as (col_name, n_null, n_distinct, min_s, max_s)"
+        ),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
+
+
+QUERIES["column_profile"] = q_column_profile
+
+
+def _column_profile_oracle() -> str:
+    def render(c, agg):
+        if c == "ts":
+            return f"strftime({agg}, '%Y-%m-%d %H:%M:%S.%f')"
+        if c == "value":
+            return f"round({agg} * 100)::BIGINT::VARCHAR"
+        return f"{agg}::VARCHAR"
+
+    parts = []
+    for c in PROFILE_COLS:
+        parts.append(f"""
+        SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+               (count(*) - count({c}))::BIGINT AS n_null,
+               count(DISTINCT {c})::BIGINT AS n_distinct,
+               {render(c, f'min({c})')} AS min_s,
+               {render(c, f'max({c})')} AS max_s
+        FROM events""")
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLES["column_profile"] = _column_profile_oracle()
