@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "kcore_peel",
     "rfm_features",
     "column_profile",
+    "gate_attrition",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -1423,3 +1423,108 @@ ORACLES["blocklist_filter"] = f"""
                AS keep
     FROM counted
 """
+
+
+# --- Curation-funnel attrition card ----------------------------------------------
+ATTRITION_MIN_CHARS = 50
+ATTRITION_MAX_CHARS = 100_000
+ATTRITION_LANGS = ("en", "de", "fr")
+
+
+def q_gate_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-funnel attrition card: per source, how many documents
+    survive each successive gate — length bounds, then the Gopher quality
+    rules, then the language allowlist — the Sankey numbers every
+    published dataset card reports (what fraction of each crawl source
+    the pipeline actually keeps, and which gate eats it). Gates are
+    CUMULATIVE (a doc must pass every earlier gate to count), so the
+    columns are monotone non-increasing left to right.
+
+    Scale shape: all gates evaluate in ONE pass over the scan (the gate
+    predicates are pure expressions — the same word_stats_exprs the
+    Gopher gate and curate() share), and the funnel is one map-side-
+    combined groupBy on source with conditional sums. Adding a gate adds
+    a column, never a scan. Output: source, n_docs, n_after_len,
+    n_after_gopher, n_after_lang, keep_permille."""
+    lines = F.filter(F.split("text", "\n"), lambda x: F.trim(x) != "")
+    d = _docs(spark, sf_dir).select(
+        "source",
+        "lang",
+        "n_chars",
+        *word_stats_exprs("text"),
+        F.size(lines).alias("n_lines"),
+        F.size(
+            F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+        ).alias("n_bullet_lines"),
+    )
+    len_ok = (F.col("n_chars") >= ATTRITION_MIN_CHARS) & (
+        F.col("n_chars") <= ATTRITION_MAX_CHARS
+    )
+    gopher_ok = (
+        (F.col("n_words") >= 5)
+        & (F.col("n_words") <= 100000)
+        & (F.col("sum_chars") >= 3 * F.col("n_words"))
+        & (F.col("sum_chars") <= 10 * F.col("n_words"))
+        & (5 * F.col("n_alpha_words") >= 4 * F.col("n_words"))
+        & (10 * F.col("n_bullet_lines") < 9 * F.col("n_lines"))
+    )
+    lang_ok = F.col("lang").isin(*ATTRITION_LANGS)
+    g1 = len_ok.cast("long")
+    g2 = (len_ok & gopher_ok).cast("long")
+    g3 = (len_ok & gopher_ok & lang_ok).cast("long")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(g1).alias("n_after_len"),
+            F.sum(g2).alias("n_after_gopher"),
+            F.sum(g3).alias("n_after_lang"),
+        )
+        .withColumn(
+            "keep_permille", F.expr("n_after_lang * 1000 div n_docs")
+        )
+    )
+
+
+QUERIES["gate_attrition"] = q_gate_attrition
+
+ORACLES["gate_attrition"] = f"""
+    WITH d AS (
+        SELECT source, lang, n_chars,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS ws,
+               list_filter(string_split(text, chr(10)),
+                           x -> trim(x) <> '') AS lines
+        FROM documents
+    ), c AS (
+        SELECT source, lang, n_chars,
+               len(ws) AS n_words,
+               coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+                   ::BIGINT AS sum_chars,
+               len(list_filter(ws, w -> regexp_matches(w, '\\p{{L}}')))
+                   AS n_alpha_words,
+               len(lines) AS n_lines,
+               len(list_filter(lines,
+                   ln -> regexp_matches(trim(ln), '^[-*•]')))
+                   AS n_bullet_lines
+        FROM d
+    ), f AS (
+        SELECT source,
+               (n_chars >= {ATTRITION_MIN_CHARS}
+                AND n_chars <= {ATTRITION_MAX_CHARS}) AS len_ok,
+               (n_words >= 5 AND n_words <= 100000
+                AND sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words
+                AND 5 * n_alpha_words >= 4 * n_words
+                AND 10 * n_bullet_lines < 9 * n_lines) AS gopher_ok,
+               lang IN ('en', 'de', 'fr') AS lang_ok
+        FROM c
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(len_ok::BIGINT)::BIGINT AS n_after_len,
+           sum((len_ok AND gopher_ok)::BIGINT)::BIGINT AS n_after_gopher,
+           sum((len_ok AND gopher_ok AND lang_ok)::BIGINT)::BIGINT
+               AS n_after_lang,
+           sum((len_ok AND gopher_ok AND lang_ok)::BIGINT)::BIGINT * 1000
+               // count(*) AS keep_permille
+    FROM f GROUP BY source
+"""
