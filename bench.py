@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "rfm_features",
     "column_profile",
     "gate_attrition",
+    "dispersion_index",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -1094,3 +1094,71 @@ ORACLES["cusum_changepoint"] = f"""
       ON q.event_type = c.event_type
     WHERE c.rn = q.n_days
 """
+
+
+# --- Dispersion (Fano) index -------------------------------------------------------
+def q_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano dispersion index of the per-type daily count series —
+    variance-to-mean in integer permille: a Poisson arrival stream sits
+    near 1000; far above means bursty traffic (bot storms, batch
+    replays), far below means rate-limited/shaped flow. Together with
+    cusum_changepoint (level shifts) and rate_spike_detect (spikes) this
+    completes the arrival-process monitoring triple — three different
+    questions over the same tiny rollup state.
+
+    All arithmetic from sufficient statistics (the groupwise_trend
+    pattern): fano_permille = (n*Σx² - (Σx)²) * 1000 div ((n-1) * Σx),
+    exact integers end to end, nullif-guarded for degenerate series
+    (n < 2 or an all-zero series). Daily counts are one map-side-combined
+    groupBy; the moments are a second tiny aggregate over the
+    calendar-bounded rollup. Output: event_type, n_days, sum_x, sum_xx,
+    fano_permille."""
+    from . import load
+
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit(TREND_EPOCH).cast("date")
+    ).cast("long")
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", day.alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("x").alias("sum_x"),
+            F.sum(F.col("x") * F.col("x")).alias("sum_xx"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "sum_x",
+            "sum_xx",
+            F.expr(
+                "(n_days * sum_xx - sum_x * sum_x) * 1000"
+                " div nullif((n_days - 1) * sum_x, 0)"
+            ).alias("fano_permille"),
+        )
+    )
+
+
+QUERIES["dispersion_index"] = q_dispersion_index
+
+ORACLES["dispersion_index"] = f"""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '{TREND_EPOCH}', ts::DATE) AS day,
+               count(*)::BIGINT AS x
+        FROM events GROUP BY 1, 2
+    ), g AS (
+        SELECT event_type, count(*)::BIGINT AS n_days,
+               sum(x)::BIGINT AS sum_x,
+               sum(x * x)::BIGINT AS sum_xx
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days, sum_x, sum_xx,
+           (n_days * sum_xx - sum_x * sum_x) * 1000
+               // nullif((n_days - 1) * sum_x, 0) AS fano_permille
+    FROM g
+"""
