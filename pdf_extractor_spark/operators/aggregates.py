@@ -971,6 +971,43 @@ CUSUM_SHIFT_DAY = 18
 CUSUM_SHIFT_ADD = 40
 
 
+def cusum_fold(daily: DataFrame) -> DataFrame:
+    """The CUSUM recurrence over a (event_type, day, x) daily frame — the
+    single definition shared by q_cusum_changepoint (batch, injected
+    shift) and streaming.cusum_stream (the monitor over the maintained
+    rollup store). One flat HOF aggregate with a struct accumulator over
+    a calendar-bounded per-type array."""
+    arr = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("days")
+    )
+    with_base = arr.withColumn(
+        "base",
+        F.expr("aggregate(slice(days, 1, 7), 0L, (a, d) -> a + d.x) div 7"),
+    )
+    fold = F.expr(
+        "aggregate(days,"
+        " struct(cast(0 as long) as s, cast(0 as long) as mx,"
+        "        cast(null as long) as alarm),"
+        " (acc, d) -> struct("
+        "   greatest(0L, acc.s + d.x - base - base div 20) as s,"
+        "   greatest(acc.mx,"
+        "            greatest(0L, acc.s + d.x - base - base div 20)) as mx,"
+        "   coalesce(acc.alarm,"
+        "     case when greatest(0L, acc.s + d.x - base - base div 20)"
+        "               > base then d.day end) as alarm))"
+    )
+    return with_base.select(
+        "event_type",
+        F.size("days").cast("long").alias("n_days"),
+        "base",
+        fold["mx"].alias("max_cusum"),
+        # -1 sentinel, not NULL: a nullable int column round-trips through
+        # the oracle gate's pandas frame as float64 (the asof precedent)
+        F.coalesce(fold["alarm"], F.lit(-1)).cast("long").alias("alarm_day"),
+        fold["alarm"].isNotNull().cast("long").alias("alarmed"),
+    )
+
+
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point detection (Page 1954) over the daily event-count
     series per event type — the monitor that catches a persistent small
@@ -1012,35 +1049,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("x"),
         )
     )
-    arr = daily.groupBy("event_type").agg(
-        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("days")
-    )
-    with_base = arr.withColumn(
-        "base",
-        F.expr("aggregate(slice(days, 1, 7), 0L, (a, d) -> a + d.x) div 7"),
-    )
-    fold = F.expr(
-        "aggregate(days,"
-        " struct(cast(0 as long) as s, cast(0 as long) as mx,"
-        "        cast(null as long) as alarm),"
-        " (acc, d) -> struct("
-        "   greatest(0L, acc.s + d.x - base - base div 20) as s,"
-        "   greatest(acc.mx,"
-        "            greatest(0L, acc.s + d.x - base - base div 20)) as mx,"
-        "   coalesce(acc.alarm,"
-        "     case when greatest(0L, acc.s + d.x - base - base div 20)"
-        "               > base then d.day end) as alarm))"
-    )
-    return with_base.select(
-        "event_type",
-        F.size("days").cast("long").alias("n_days"),
-        "base",
-        fold["mx"].alias("max_cusum"),
-        # -1 sentinel, not NULL: a nullable int column round-trips through
-        # the oracle gate's pandas frame as float64 (the asof precedent)
-        F.coalesce(fold["alarm"], F.lit(-1)).cast("long").alias("alarm_day"),
-        fold["alarm"].isNotNull().cast("long").alias("alarmed"),
-    )
+    return cusum_fold(daily)
 
 
 QUERIES["cusum_changepoint"] = q_cusum_changepoint
