@@ -192,6 +192,22 @@ RULES = {
     # (The 1-row corpus-total crossJoin IS a broadcast NLJ — logreg pattern.)
     "source_term_lift": ([r"HashAggregate", r"BroadcastHashJoin"],
                          [r"\bWindow\b", r"ArrowEvalPython"]),
+    # Deequ pair: one aggregate pass + broadcast anti-join RI check; the
+    # 1-row totals crossJoins are broadcast NLJs (allowed, logreg pattern).
+    "expectation_suite": ([r"HashAggregate", r"BroadcastHashJoin"],
+                          [r"SortMergeJoin", r"ArrowEvalPython"]),
+    # RFM: 9 boundary values broadcast back; scoring is a comparison map.
+    "rfm_features": ([r"BroadcastHashJoin"],
+                     [r"SortMergeJoin", r"ArrowEvalPython"]),
+    # backfill planner: spine anti-join + gap-run window, dims broadcast.
+    "coverage_gaps": ([r"BroadcastHashJoin", r"\bWindow\b"],
+                      [r"SortMergeJoin", r"ArrowEvalPython"]),
+    # planner arithmetic: count frames only — the fact tables never meet
+    # row-to-row (no SMJ pinned: at scale the key-frame join MAY sort-merge,
+    # which is correct; what matters is aggregates-before-join).
+    "join_cardinality_estimate": ([r"HashAggregate"], [r"ArrowEvalPython"]),
+    "ab_uplift": ([r"HashAggregate"],
+                  [r"SortMergeJoin", r"ArrowEvalPython"]),
 }
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the
