@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "column_profile",
     "gate_attrition",
     "dispersion_index",
+    "session_depth_histogram",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

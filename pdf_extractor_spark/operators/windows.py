@@ -958,3 +958,97 @@ ORACLES["lateness_audit"] = """
            max(late_us)::BIGINT AS max_late_us
     FROM b GROUP BY bucket, label
 """
+
+
+# --- Session-depth histogram (bounce rate) ---------------------------------------
+DEPTH_BUCKETS = ((1, "bounce"), (2, "d2"), (5, "d3_5"), (10, "d6_10"))
+
+
+def q_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth histogram + bounce rate: sessions cut with the W8
+    gap rule (the sessionize windows), each session's event count bucketed
+    (bounce / 2 / 3-5 / 6-10 / 11+), and every bucket's share of all
+    sessions in integer permille — the engagement-shape card (a corpus of
+    bounces trains nothing; a corpus of 11+ marathons skews long-context
+    sampling). Same two keyed windows sessionize already pays, one extra
+    map-side-combined groupBy pair. Output: bucket, label, n_sessions,
+    permille."""
+    ev = _events(spark, sf_dir)
+    w = _user_order()
+    gap = F.col("ep") - F.lag("ep").over(w)
+    sessions = (
+        ev.withColumn(
+            "is_new",
+            F.when(
+                gap.isNull() | (gap > SESSION_GAP_SECONDS * 1_000_000), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("depth"))
+    )
+    bucket = F.lit(len(DEPTH_BUCKETS))
+    label = F.lit("d11_plus")
+    for i, (edge, name) in reversed(list(enumerate(DEPTH_BUCKETS))):
+        bucket = F.when(F.col("depth") <= edge, F.lit(i)).otherwise(bucket)
+        label = F.when(F.col("depth") <= edge, F.lit(name)).otherwise(label)
+    counts = (
+        sessions.select(
+            bucket.cast("long").alias("bucket"), label.alias("label")
+        )
+        .groupBy("bucket", "label")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    total = counts.agg(F.sum("n_sessions").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        "label",
+        "n_sessions",
+        F.expr("n_sessions * 1000 div total").alias("permille"),
+    )
+
+
+QUERIES["session_depth_histogram"] = q_session_depth_histogram
+
+ORACLES["session_depth_histogram"] = f"""
+    WITH s AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                        > {SESSION_GAP_SECONDS * 1_000_000}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sid AS (
+        SELECT user_id,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ep, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM s
+    ), depths AS (
+        SELECT user_id, session_id, count(*)::BIGINT AS depth
+        FROM sid GROUP BY 1, 2
+    ), b AS (
+        SELECT CASE WHEN depth <= 1 THEN 0 WHEN depth <= 2 THEN 1
+                    WHEN depth <= 5 THEN 2 WHEN depth <= 10 THEN 3
+                    ELSE 4 END AS bucket,
+               CASE WHEN depth <= 1 THEN 'bounce' WHEN depth <= 2 THEN 'd2'
+                    WHEN depth <= 5 THEN 'd3_5' WHEN depth <= 10
+                    THEN 'd6_10' ELSE 'd11_plus' END AS label
+        FROM depths
+    ), counts AS (
+        SELECT bucket::BIGINT AS bucket, label,
+               count(*)::BIGINT AS n_sessions
+        FROM b GROUP BY 1, 2
+    )
+    SELECT bucket, label, n_sessions,
+           n_sessions * 1000 // (SELECT sum(n_sessions)::BIGINT FROM counts)
+               AS permille
+    FROM counts
+"""
