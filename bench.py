@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "gate_attrition",
     "dispersion_index",
     "session_depth_histogram",
+    "join_view_delta",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -788,3 +788,81 @@ def _column_profile_oracle() -> str:
 
 
 ORACLES["column_profile"] = _column_profile_oracle()
+
+
+# --- Incremental join-view maintenance ---------------------------------------------
+JOINVIEW_CUT = "1999-01-01"  # orders before this are the base; rest are the delta
+
+
+def q_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN-aggregate view — the MV-delta
+    algebra rollup_incremental proves for plain aggregates, extended
+    across a join: the view is revenue per nation (orders |X| customer
+    |X| nation), the orders table splits into a base and a delta batch at
+    a date cut, and the maintained result is base-partials MERGED with
+    delta-partials — where the delta only ever joins the (static,
+    broadcast) dimensions: DELTA(A) |X| B, never a recompute of A |X| B.
+    The oracle computes the view directly from everything, so a green row
+    IS the maintenance-equals-recompute invariant.
+
+    Scale shape: the delta path costs O(|delta|) join+agg work per batch;
+    partials merge on the tiny view key (nation). n_from_delta carries
+    provenance — the freshness audit a production MV publishes.
+
+    Output: n_name, n_orders, sum_cents, n_from_delta."""
+    from . import load
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def partials(part: DataFrame, from_delta: int) -> DataFrame:
+        return (
+            part.join(F.broadcast(cust), part.o_custkey == cust.c_custkey)
+            .join(
+                F.broadcast(nation),
+                cust.c_nationkey == nation.n_nationkey,
+            )
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents).alias("sum_cents"),
+            )
+            .withColumn(
+                "n_from_delta",
+                F.lit(from_delta) * F.col("n_orders"),
+            )
+        )
+
+    base = partials(
+        orders.where(F.col("o_orderdate") < JOINVIEW_CUT), 0
+    )
+    delta = partials(
+        orders.where(F.col("o_orderdate") >= JOINVIEW_CUT), 1
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("n_name")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.sum("n_from_delta").alias("n_from_delta"),
+        )
+    )
+
+
+QUERIES["join_view_delta"] = q_join_view_delta
+
+ORACLES["join_view_delta"] = f"""
+    SELECT n_name,
+           count(*)::BIGINT AS n_orders,
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents,
+           (count(*) FILTER (
+                WHERE o_orderdate >= TIMESTAMP '{JOINVIEW_CUT} 00:00:00'
+           ))::BIGINT AS n_from_delta
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
