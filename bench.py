@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "dispersion_index",
     "session_depth_histogram",
     "join_view_delta",
+    "partition_digest",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -866,3 +866,74 @@ ORACLES["join_view_delta"] = f"""
     JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
 """
+
+
+# --- Partition integrity digests -----------------------------------------------------
+def q_partition_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tamper-evident partition digests — the cross-system integrity
+    manifest a migration or replication job publishes: per (event_type,
+    day) partition, the row count plus ORDER-INDEPENDENT content digests
+    (sum and xor of a per-row 32-bit hash over the business fields). Two
+    stores agree on a partition iff all three numbers agree, regardless
+    of row order, file split, or engine — exactly what a parquet
+    re-encode, a lakehouse migration, or a DR copy needs to prove. The
+    per-row hash is the first 8 md5 hex chars of a canonical field
+    serialization, so any engine can recompute it.
+
+    Scale shape: a pure per-row projection plus one map-side-combined
+    groupBy; both digests are commutative-associative aggregates, so
+    partial aggregation is exact. The BIGINT sum accumulator is safe to
+    ~2^31 rows per partition (32-bit values); past that, decimal(38,0)
+    (documented, not needed here). Output: event_type, day, n_rows,
+    digest_sum, digest_xor."""
+    from . import load
+
+    ev = load(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit(COVERAGE_EPOCH).cast("date")
+    ).cast("long")
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("event_id").cast("string"),
+                    F.col("event_type"),
+                    F.round(F.col("value") * 100).cast("long").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        ev.select("event_type", day.alias("day"), row_hash.alias("h"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").alias("digest_sum"),
+            F.expr("bit_xor(h)").alias("digest_xor"),
+        )
+    )
+
+
+QUERIES["partition_digest"] = q_partition_digest
+
+ORACLES["partition_digest"] = f"""
+    WITH d AS (
+        SELECT event_type,
+               date_diff('day', DATE '{COVERAGE_EPOCH}', ts::DATE)::BIGINT
+                   AS day,
+               ('0x' || substring(md5(
+                    event_id::VARCHAR || ':' || event_type || ':'
+                    || round(value * 100)::BIGINT::VARCHAR
+               ), 1, 8))::BIGINT AS h
+        FROM events
+    )
+    SELECT event_type, day, count(*)::BIGINT AS n_rows,
+           sum(h)::BIGINT AS digest_sum,
+           bit_xor(h)::BIGINT AS digest_xor
+    FROM d GROUP BY 1, 2
+"""
