@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "session_depth_histogram",
     "join_view_delta",
     "partition_digest",
+    "seasonality_profile",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

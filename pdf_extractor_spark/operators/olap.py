@@ -490,3 +490,62 @@ ORACLES["rfm_features"] = f"""
            (r_q * 100 + f_q * 10 + m_q)::BIGINT AS rfm_code
     FROM f JOIN piv ON f.user_id = piv.user_id
 """
+
+
+# --- Hour-of-week seasonality profile ------------------------------------------------
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonality: per event type, the count in each of the
+    168 (dow, hour) cells and its permille share of the type's total —
+    the load-shape card capacity planning and anomaly baselines read
+    (a spike detector without the weekly shape fires every Monday
+    morning). dow is ISO (1 = Monday), hour is 0-23, both computed from
+    the NTZ timestamp so no session timezone is consulted.
+
+    Scale shape: one map-side-combined groupBy to a bounded 168 x
+    |types| cell grid; type totals re-aggregate FROM the cells (never a
+    second corpus scan) and broadcast back on the type key.
+
+    Output: event_type, dow, hour, n, permille."""
+    from . import load
+
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.dayofweek(F.col("ts").cast("date")).alias("dow_sun1"),
+            F.hour(F.col("ts").cast("timestamp_ntz")).alias("hour"),
+        )
+        .select(
+            "event_type",
+            # dayofweek is 1=Sunday; convert to ISO 1=Monday..7=Sunday
+            F.expr("((dow_sun1 + 5) % 7) + 1").cast("long").alias("dow"),
+            F.col("hour").cast("long").alias("hour"),
+        )
+        .groupBy("event_type", "dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = cells.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return cells.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "dow",
+        "hour",
+        "n",
+        F.expr("n * 1000 div total").alias("permille"),
+    )
+
+
+QUERIES["seasonality_profile"] = q_seasonality_profile
+
+ORACLES["seasonality_profile"] = """
+    WITH cells AS (
+        SELECT event_type, isodow(ts)::BIGINT AS dow,
+               extract(hour FROM ts)::BIGINT AS hour,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2, 3
+    ), totals AS (
+        SELECT event_type, sum(n)::BIGINT AS total
+        FROM cells GROUP BY event_type
+    )
+    SELECT c.event_type, dow, hour, n, n * 1000 // total AS permille
+    FROM cells c JOIN totals t ON c.event_type = t.event_type
+"""
