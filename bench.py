@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "join_view_delta",
     "partition_digest",
     "seasonality_profile",
+    "budget_apportion",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

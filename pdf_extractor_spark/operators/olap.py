@@ -549,3 +549,83 @@ ORACLES["seasonality_profile"] = """
     SELECT c.event_type, dow, hour, n, n * 1000 // total AS permille
     FROM cells c JOIN totals t ON c.event_type = t.event_type
 """
+
+
+# --- Largest-remainder budget apportionment -------------------------------------------
+APPORTION_BUDGET = 1000
+
+
+def q_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-budget apportionment (Hamilton / largest-remainder): split
+    a fixed budget of APPORTION_BUDGET selections across sources
+    proportional to their content mass (summed n_chars), integer-exactly:
+    every source gets floor(B * w / W), and the leftover seats go to the
+    largest fractional remainders (B*w mod W, ties by source) — the rule
+    that makes per-source sampling quotas sum EXACTLY to the budget with
+    no floating-point apportionment drift. The same op allocates crawl
+    budgets per host and shard counts per partition.
+
+    Scale shape: one map-side-combined groupBy to a source-level frame
+    (catalog-bounded, tens of rows), totals broadcast back, and the
+    remainder rank is a window over that catalog frame — never over the
+    corpus. Output: source, w, base_quota, extra, quota."""
+    from . import load
+
+    w_src = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("w"))
+    )
+    tot = w_src.agg(F.sum("w").alias("wtot"))
+    d = w_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "w",
+        F.expr(f"({APPORTION_BUDGET} * w) div wtot").alias("base_quota"),
+        F.expr(f"({APPORTION_BUDGET} * w) % wtot").alias("rem"),
+    )
+    leftover = d.agg(
+        (F.lit(APPORTION_BUDGET) - F.sum("base_quota")).alias("r")
+    )
+    win = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("rem"), F.asc("source")
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(win))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            "w",
+            "base_quota",
+            (F.col("rk") <= F.col("r")).cast("long").alias("extra"),
+            (
+                F.col("base_quota")
+                + (F.col("rk") <= F.col("r")).cast("long")
+            ).alias("quota"),
+        )
+    )
+
+
+QUERIES["budget_apportion"] = q_budget_apportion
+
+ORACLES["budget_apportion"] = f"""
+    WITH w_src AS (
+        SELECT source, sum(n_chars)::BIGINT AS w
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT sum(w)::BIGINT AS wtot FROM w_src
+    ), d AS (
+        SELECT source, w,
+               ({APPORTION_BUDGET} * w) // wtot AS base_quota,
+               ({APPORTION_BUDGET} * w) % wtot AS rem
+        FROM w_src, tot
+    ), lo AS (
+        SELECT {APPORTION_BUDGET} - sum(base_quota)::BIGINT AS r FROM d
+    ), rk AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rnk
+        FROM d
+    )
+    SELECT source, w, base_quota,
+           (rnk <= r)::BIGINT AS extra,
+           base_quota + (rnk <= r)::BIGINT AS quota
+    FROM rk, lo
+"""
