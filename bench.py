@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "partition_digest",
     "seasonality_profile",
     "budget_apportion",
+    "position_attribution",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

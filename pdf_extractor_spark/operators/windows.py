@@ -1052,3 +1052,109 @@ ORACLES["session_depth_histogram"] = f"""
                AS permille
     FROM counts
 """
+
+
+# --- Position-based multi-touch attribution ----------------------------------------
+ATTRIB_WINDOW_US = 86_400_000_000  # touches within 24h before the purchase
+
+
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: every view/click
+    within 24h before a user's next purchase shares that purchase's 1000
+    permille of credit — 400 to the first touch, 400 to the last, the
+    middle 200 split across interior touches by largest remainder (ties
+    to earlier positions), so each purchase's credit sums EXACTLY to 1000
+    (the budget_apportion arithmetic inside a window group). Single-touch
+    journeys take 1000; two-touch split 500/500. The rollup answers the
+    channel question: which touch type actually earns credit, vs the
+    last-touch-only view purchase_attribution gives.
+
+    Scale shape: the touch->purchase assignment is one per-user window
+    (min of following purchase times — no purchase x event join at all),
+    the position rank one more window over the touch group, and the
+    readout a map-side-combined groupBy. Output: touch_type, n_touches,
+    permille_total, n_journeys."""
+    ev = _events(spark, sf_dir)
+    w = _user_order()
+    next_p = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ep"))
+    ).over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    touches = (
+        ev.withColumn("next_p", next_p)
+        .where(
+            F.col("event_type").isin("view", "click")
+            & F.col("next_p").isNotNull()
+            & (F.col("next_p") - F.col("ep") <= ATTRIB_WINDOW_US)
+        )
+        .select("user_id", "event_id", "ep", "event_type", "next_p")
+    )
+    g = Window.partitionBy("user_id", "next_p")
+    wg = g.orderBy("ep", "event_id")
+    ranked = touches.withColumn(
+        "rk", F.row_number().over(wg).cast("long")
+    ).withColumn("k", F.count(F.lit(1)).over(g).cast("long"))
+    weight = F.expr(
+        "CASE WHEN k = 1 THEN 1000"
+        " WHEN k = 2 THEN 500"
+        " WHEN rk = 1 THEN 400"
+        " WHEN rk = k THEN 400"
+        " ELSE 200 div (k - 2)"
+        "      + (CASE WHEN rk - 1 <= 200 % (k - 2) THEN 1 ELSE 0 END)"
+        " END"
+    )
+    return (
+        ranked.select(
+            F.col("event_type").alias("touch_type"),
+            weight.alias("w"),
+            F.concat_ws(
+                ":", F.col("user_id").cast("string"),
+                F.col("next_p").cast("string")
+            ).alias("journey"),
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("w").alias("permille_total"),
+            F.countDistinct("journey").alias("n_journeys"),
+        )
+    )
+
+
+QUERIES["position_attribution"] = q_position_attribution
+
+ORACLES["position_attribution"] = f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ep,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_p
+        FROM events
+    ), touches AS (
+        SELECT * FROM e
+        WHERE event_type IN ('view', 'click') AND next_p IS NOT NULL
+          AND next_p - ep <= {ATTRIB_WINDOW_US}
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY user_id, next_p
+                                  ORDER BY ep, event_id)::BIGINT AS rk,
+               count(*) OVER (PARTITION BY user_id, next_p)::BIGINT AS k
+        FROM touches
+    ), weighted AS (
+        SELECT event_type AS touch_type,
+               user_id::VARCHAR || ':' || next_p::VARCHAR AS journey,
+               CASE WHEN k = 1 THEN 1000
+                    WHEN k = 2 THEN 500
+                    WHEN rk = 1 THEN 400
+                    WHEN rk = k THEN 400
+                    ELSE 200 // (k - 2)
+                         + (CASE WHEN rk - 1 <= 200 % (k - 2)
+                                 THEN 1 ELSE 0 END)
+               END AS w
+        FROM ranked
+    )
+    SELECT touch_type, count(*)::BIGINT AS n_touches,
+           sum(w)::BIGINT AS permille_total,
+           count(DISTINCT journey)::BIGINT AS n_journeys
+    FROM weighted GROUP BY touch_type
+"""
