@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "seasonality_profile",
     "budget_apportion",
     "position_attribution",
+    "temporal_dim_join",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

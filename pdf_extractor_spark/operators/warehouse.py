@@ -937,3 +937,81 @@ ORACLES["partition_digest"] = f"""
            bit_xor(h)::BIGINT AS digest_xor
     FROM d GROUP BY 1, 2
 """
+
+
+# --- Effective-dated (temporal) dimension join ---------------------------------------
+def q_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The effective-dated dimension join — the production reason SCD2
+    history exists: every fact row (event) joins the dimension episode
+    whose [valid_from, valid_to] covers the EVENT's own timestamp, so an
+    event is attributed to the tier the user was in THEN, not the tier
+    they hold now (joining is_current would silently rewrite history).
+    Events before the user's first episode land in tier -1 (the
+    pre-dimension bucket — real, not an error).
+
+    Scale shape: an equi-join on the user key with the episode-bounds
+    predicate as the join residual; fanout per fact row is the user's
+    episode count on the probe side but each row MATCHES at most one
+    episode (episodes partition the timeline by construction). At
+    warehouse scale this is the standard fact |X| SCD2 plan; a
+    date-bucketed episode key is the documented refinement when episode
+    counts per key grow large. Output: tier, n_events, n_users,
+    sum_cents."""
+    from . import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        _ep().alias("ep"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    hist = scd2_history(load(spark, sf_dir, "events")).select(
+        F.col("user_id").alias("h_user"),
+        "tier",
+        "valid_from_us",
+        "valid_to_us",
+    )
+    joined = ev.join(
+        hist,
+        (ev.user_id == F.col("h_user"))
+        & (F.col("ep") >= F.col("valid_from_us"))
+        & (
+            (F.col("valid_to_us") == OPEN_END)
+            | (F.col("ep") <= F.col("valid_to_us"))
+        ),
+        "left",
+    )
+    return (
+        joined.select(
+            F.coalesce("tier", F.lit(-1)).alias("tier"),
+            "user_id",
+            "cents",
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+QUERIES["temporal_dim_join"] = q_temporal_dim_join
+
+ORACLES["temporal_dim_join"] = """
+    WITH hist AS ({scd2}),
+    j AS (
+        SELECT coalesce(h.tier, -1) AS tier, e.user_id,
+               round(e.value * 100)::BIGINT AS cents
+        FROM events e
+        LEFT JOIN hist h
+          ON e.user_id = h.user_id
+         AND epoch_us(e.ts) >= h.valid_from_us
+         AND (h.valid_to_us = {open_end}
+              OR epoch_us(e.ts) <= h.valid_to_us)
+    )
+    SELECT tier, count(*)::BIGINT AS n_events,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           sum(cents)::BIGINT AS sum_cents
+    FROM j GROUP BY tier
+""".format(scd2=ORACLES["scd2_user_tiers"], open_end=OPEN_END)
