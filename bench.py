@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "budget_apportion",
     "position_attribution",
     "temporal_dim_join",
+    "pareto_front",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -1528,3 +1528,97 @@ ORACLES["gate_attrition"] = f"""
                // count(*) AS keep_permille
     FROM f GROUP BY source
 """
+
+
+# --- Pareto (skyline) front ---------------------------------------------------------
+PARETO_SALT = 16
+
+
+def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-front query (Börzsönyi et al., ICDE 2001): the
+    documents not strictly dominated on (length, vocabulary richness) —
+    the trade-off front a curation pipeline picks exemplars from when no
+    single score orders candidates ("longest AND least repetitive";
+    richness = distinct-token permille, which naturally decays with
+    length, so the front is a real curve, not a single maximum). Domination
+    is >= on both axes and > on at least one; exact (x, y) ties collapse
+    to the smallest doc_id so the front is a set of distinct maximal
+    points.
+
+    Scale shape: the skyline DISTRIBUTES like top-K — a point dominated
+    nowhere is dominated in no subset, so stage 1 computes each salt
+    partition's local skyline (sort by x desc within salt, keep rows
+    whose y exceeds the running max — one window per salt, never a
+    global sort of the corpus) and stage 2 runs the same scan over the
+    tiny union of survivors. plan_check's two-window + pmod assertion
+    family applies verbatim. Output: doc_id, n_chars, uniq_permille."""
+    from pyspark.sql import Window
+
+    ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "n_chars", ws.alias("ws"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr(
+                "size(array_distinct(ws)) * 1000"
+                " div nullif(size(ws), 0)"
+            ).alias("uniq_permille"),
+        )
+        .where(F.col("uniq_permille").isNotNull())
+    )
+    pts = d.groupBy("n_chars", "uniq_permille").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+
+    def skyline(frame, part_cols):
+        w = Window.partitionBy(*part_cols).orderBy(
+            F.desc("n_chars"), F.desc("uniq_permille")
+        )
+        mx = F.max("uniq_permille").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return frame.withColumn("mx", mx).where(
+            F.col("mx").isNull() | (F.col("mx") < F.col("uniq_permille"))
+        ).drop("mx")
+
+    survivors = skyline(
+        pts.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(PARETO_SALT))
+        ),
+        ["salt"],
+    ).drop("salt")
+    return skyline(survivors.withColumn("g", F.lit(0)), ["g"]).select(
+        "doc_id", "n_chars", "uniq_permille"
+    )
+
+
+QUERIES["pareto_front"] = q_pareto_front
+
+ORACLES["pareto_front"] = """
+    WITH d0 AS (
+        SELECT doc_id, n_chars,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ), d AS (
+        SELECT doc_id, n_chars,
+               len(list_distinct(ws)) * 1000
+                   // nullif(len(ws), 0) AS uniq_permille
+        FROM d0
+        WHERE len(ws) > 0
+    ), pts AS (
+        SELECT n_chars, uniq_permille, min(doc_id) AS doc_id
+        FROM d GROUP BY 1, 2
+    )
+    SELECT doc_id, n_chars, uniq_permille
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.n_chars >= p.n_chars
+          AND q.uniq_permille >= p.uniq_permille
+          AND (q.n_chars > p.n_chars
+               OR q.uniq_permille > p.uniq_permille)
+    )
+"""
