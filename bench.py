@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "position_attribution",
     "temporal_dim_join",
     "pareto_front",
+    "survival_table",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -1158,3 +1158,107 @@ ORACLES["position_attribution"] = f"""
            count(DISTINCT journey)::BIGINT AS n_journeys
     FROM weighted GROUP BY touch_type
 """
+
+
+# --- Survival life table (time-to-conversion) ----------------------------------------
+DAY_US = 86_400_000_000
+
+
+def q_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-event life table — the integer-exact half of a
+    Kaplan-Meier analysis (the KM product itself is a float ratio chain;
+    what distributes and oracle-checks is the LIFE TABLE it is computed
+    from): per whole day since each user's first signup, how many users
+    were still at risk, how many converted (first purchase at or after
+    the signup), and how many were right-censored by the corpus horizon
+    without converting. Churn/activation analyses read this table
+    directly; any stats package turns it into the KM curve.
+
+    Scale shape: one per-user aggregate for the signup epoch, one
+    filtered join+aggregate for the first qualifying purchase, a 1-row
+    broadcast horizon, and the at-risk countdown as a cumulative window
+    over the CALENDAR-bounded day grid (tens of rows — the cusum/rate
+    argument). Output: d, n_at_risk, n_conv, n_cens."""
+    ev = _events(spark, sf_dir)
+    su = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ep"))
+            ).alias("s")
+        )
+        .where(F.col("s").isNotNull())
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "ep")
+        .join(su, "user_id")
+        .where(F.col("ep") >= F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("p"))
+    )
+    horizon = ev.agg(F.max("ep").alias("h"))
+    per_user = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.expr("(coalesce(p, h) - s) div 86400000000").alias("d"),
+            F.col("p").isNotNull().cast("long").alias("event"),
+        )
+    )
+    grid = per_user.groupBy("d").agg(
+        F.sum("event").alias("n_conv"),
+        F.sum(1 - F.col("event")).alias("n_cens"),
+    )
+    total = grid.agg(F.sum(F.col("n_conv") + F.col("n_cens")).alias("tot"))
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        grid.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            F.col("tot")
+            - F.coalesce(
+                F.sum(F.col("n_conv") + F.col("n_cens")).over(w), F.lit(0)
+            ),
+        )
+        .select("d", "n_at_risk", "n_conv", "n_cens")
+    )
+
+
+QUERIES["survival_table"] = q_survival_table
+
+ORACLES["survival_table"] = """
+    WITH su AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup'
+                        THEN epoch_us(ts) END) AS s
+        FROM events GROUP BY user_id
+        HAVING s IS NOT NULL
+    ), pu AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS p
+        FROM events e JOIN su ON e.user_id = su.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.s
+        GROUP BY e.user_id
+    ), h AS (
+        SELECT max(epoch_us(ts)) AS h FROM events
+    ), per_user AS (
+        SELECT (coalesce(p, h.h) - s) // 86400000000 AS d,
+               (p IS NOT NULL)::BIGINT AS event
+        FROM su LEFT JOIN pu ON su.user_id = pu.user_id, h
+    ), grid AS (
+        SELECT d, sum(event)::BIGINT AS n_conv,
+               sum(1 - event)::BIGINT AS n_cens
+        FROM per_user GROUP BY d
+    )
+    SELECT d,
+           ((SELECT sum(n_conv + n_cens)::BIGINT FROM grid)
+            - coalesce(sum(n_conv + n_cens) OVER (
+                  ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0))::BIGINT AS n_at_risk,
+           n_conv, n_cens
+    FROM grid
+"""
