@@ -215,7 +215,10 @@ RULES = {
 # one Window would be a single/few-task global sort at 100 TB.
 TWO_STAGE_RANK = ["vocab_top_ngrams", "inverted_index", "stratified_sample",
                   "cluster_top_terms", "bm25_top_k", "shipping_priority",
-                  "join_key_skew_profile"]
+                  "join_key_skew_profile",
+                  # the skyline distributes like top-K: salted local front
+                  # (window 1) + final front over survivors (window 2)
+                  "pareto_front"]
 
 
 def plan_of(df) -> str:
