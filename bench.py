@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "temporal_dim_join",
     "pareto_front",
     "survival_table",
+    "record_linkage",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

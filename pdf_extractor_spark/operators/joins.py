@@ -880,3 +880,128 @@ ORACLES["cogroup_reconcile"] = """
     FROM ec FULL OUTER JOIN oc ON ec.key = oc.key
     LEFT JOIN m ON m.key = coalesce(ec.key, oc.key)
 """
+
+
+# --- Record linkage (Fellegi-Sunter-lite) ---------------------------------------
+LINK_MATCH_MIN = 40  # score thresholds: match >= 40, possible 0..39
+LINK_BLOCK_CENTS = 100_000
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage, Fellegi-Sunter style: a dirty
+    copy of the customer table is synthesized deterministically (every
+    3rd name corrupted, every 5th balance off by 7 cents, every 7th
+    segment lost), candidate pairs come from BLOCKING on (nation,
+    balance-bucket) — never a full cross join — and each pair scores the
+    sum of field agreement/disagreement weights (name +40/-20, cents
+    +15/-5, segment +10/-10), classified match / possible / nonmatch.
+    Because ground truth is known (the copy shares the key), the output
+    reports per class how many pairs are truly the same entity — the
+    precision readout a real linkage pipeline estimates with clerical
+    review, exact here. Blocking loss is REAL: a 7-cent perturbation can
+    hop the balance bucket, and such true pairs are simply absent — the
+    recall cost every blocking scheme pays.
+
+    Scale shape: one equi-join on the compound block key (block sizes
+    bounded by nation x bucket granularity); scoring is a pure
+    expression; the rollup a 3-row aggregate. The classic ER layout —
+    candidates via blocks, never O(n^2). Output: link_class, n_pairs,
+    n_true_same, true_permille."""
+    from . import load
+
+    cust = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = cust.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("b_name"),
+        F.col("c_nationkey").alias("b_nat"),
+        cents.alias("b_cents"),
+        F.col("c_mktsegment").alias("b_seg"),
+    )
+    dirty = cust.select(
+        F.col("c_custkey").alias("d_key"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.regexp_replace("c_name", "#", "-"),
+        ).otherwise(F.col("c_name")).alias("d_name"),
+        F.col("c_nationkey").alias("d_nat"),
+        (
+            cents
+            + F.when(F.col("c_custkey") % 5 == 0, 7).otherwise(0)
+        ).alias("d_cents"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("d_seg"),
+    )
+    pairs = base.join(
+        dirty,
+        (F.col("b_nat") == F.col("d_nat"))
+        & (
+            F.expr(f"b_cents div {LINK_BLOCK_CENTS}")
+            == F.expr(f"d_cents div {LINK_BLOCK_CENTS}")
+        ),
+    )
+    score = (
+        F.when(F.col("b_name") == F.col("d_name"), 40).otherwise(-20)
+        + F.when(F.col("b_cents") == F.col("d_cents"), 15).otherwise(-5)
+        + F.when(F.col("b_seg") == F.col("d_seg"), 10).otherwise(-10)
+    )
+    cls = (
+        F.when(F.col("score") >= LINK_MATCH_MIN, "match")
+        .when(F.col("score") >= 0, "possible")
+        .otherwise("nonmatch")
+    )
+    return (
+        pairs.select(
+            score.alias("score"),
+            (F.col("b_key") == F.col("d_key")).cast("long").alias("same"),
+        )
+        .select(cls.alias("link_class"), "same")
+        .groupBy("link_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("same").alias("n_true_same"),
+        )
+        .withColumn(
+            "true_permille", F.expr("n_true_same * 1000 div n_pairs")
+        )
+    )
+
+
+QUERIES["record_linkage"] = q_record_linkage
+
+ORACLES["record_linkage"] = f"""
+    WITH base AS (
+        SELECT c_custkey AS b_key, c_name AS b_name,
+               c_nationkey AS b_nat,
+               round(c_acctbal * 100)::BIGINT AS b_cents,
+               c_mktsegment AS b_seg
+        FROM customer
+    ), dirty AS (
+        SELECT c_custkey AS d_key,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN replace(c_name, '#', '-') ELSE c_name END AS d_name,
+               c_nationkey AS d_nat,
+               round(c_acctbal * 100)::BIGINT
+                   + CASE WHEN c_custkey % 5 = 0 THEN 7 ELSE 0 END
+                   AS d_cents,
+               CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN'
+                    ELSE c_mktsegment END AS d_seg
+        FROM customer
+    ), pairs AS (
+        SELECT (CASE WHEN b_name = d_name THEN 40 ELSE -20 END
+                + CASE WHEN b_cents = d_cents THEN 15 ELSE -5 END
+                + CASE WHEN b_seg = d_seg THEN 10 ELSE -10 END) AS score,
+               (b_key = d_key)::BIGINT AS same
+        FROM base JOIN dirty
+          ON b_nat = d_nat
+         AND b_cents // {LINK_BLOCK_CENTS} = d_cents // {LINK_BLOCK_CENTS}
+    )
+    SELECT CASE WHEN score >= {LINK_MATCH_MIN} THEN 'match'
+                WHEN score >= 0 THEN 'possible'
+                ELSE 'nonmatch' END AS link_class,
+           count(*)::BIGINT AS n_pairs,
+           sum(same)::BIGINT AS n_true_same,
+           sum(same)::BIGINT * 1000 // count(*) AS true_permille
+    FROM pairs GROUP BY 1
+"""
