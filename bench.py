@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "pareto_front",
     "survival_table",
     "record_linkage",
+    "seasonal_anomaly",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -1171,3 +1171,98 @@ ORACLES["dispersion_index"] = f"""
                // nullif((n_days - 1) * sum_x, 0) AS fano_permille
     FROM g
 """
+
+
+# --- Seasonally-adjusted anomaly ranking ----------------------------------------------
+ANOMALY_TOP_K = 3
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly ranking: each (type, day) cell's
+    deviation from its SAME-WEEKDAY mean in scale-free integer permille
+    (|x*n - sum| * 1000 div sum over the type's same-dow cells — cross-
+    multiplied, no float mean), top ANOMALY_TOP_K days per type. Weekday
+    conditioning is what stops every Monday from paging (the
+    seasonality_profile argument applied to alerting). The same
+    deterministic incident cusum_changepoint injects (+CUSUM_SHIFT_ADD
+    on the CUSUM_SHIFT_TYPE series from CUSUM_SHIFT_DAY) must surface as
+    that type's top cells — three monitors, one injected truth: CUSUM
+    sees the persistent shift, dispersion_index the raised variance,
+    this op the worst single cells.
+
+    Scale shape: daily cells are one map-side-combined groupBy; dow
+    means come from a second tiny aggregate joined back on (type, dow);
+    the per-type rank windows over a calendar-bounded frame (<=31 rows
+    per type). TREND_EPOCH is a Monday, so dow = day % 7 with 0 =
+    Monday. Output: event_type, day, dow, x, dev_permille, rk."""
+    from pyspark.sql import Window
+    from . import load
+
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit(TREND_EPOCH).cast("date")
+    ).cast("long")
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", day.alias("day"))
+        .agg(F.count(F.lit(1)).alias("raw"))
+        .select(
+            "event_type",
+            "day",
+            (F.col("day") % 7).alias("dow"),
+            (
+                F.col("raw")
+                + F.when(
+                    (F.col("event_type") == CUSUM_SHIFT_TYPE)
+                    & (F.col("day") >= CUSUM_SHIFT_DAY),
+                    CUSUM_SHIFT_ADD,
+                ).otherwise(0)
+            ).alias("x"),
+        )
+    )
+    dowm = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_d"), F.sum("x").alias("sum_d")
+    )
+    dev = F.expr("abs(x * n_d - sum_d) * 1000 div sum_d")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("dev_permille"), F.asc("day")
+    )
+    return (
+        daily.join(dowm, ["event_type", "dow"])
+        .select("event_type", "day", "dow", "x", dev.alias("dev_permille"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= ANOMALY_TOP_K)
+    )
+
+
+QUERIES["seasonal_anomaly"] = q_seasonal_anomaly
+
+ORACLES["seasonal_anomaly"] = f"""
+    WITH d0 AS (
+        SELECT event_type,
+               date_diff('day', DATE '{TREND_EPOCH}', ts::DATE)::BIGINT
+                   AS day
+        FROM events
+    ), daily AS (
+        SELECT event_type, day, day % 7 AS dow,
+               count(*)::BIGINT
+               + CASE WHEN event_type = '{CUSUM_SHIFT_TYPE}'
+                       AND day >= {CUSUM_SHIFT_DAY}
+                      THEN {CUSUM_SHIFT_ADD} ELSE 0 END AS x
+        FROM d0 GROUP BY 1, 2
+    ), dowm AS (
+        SELECT event_type, dow, count(*)::BIGINT AS n_d,
+               sum(x)::BIGINT AS sum_d
+        FROM daily GROUP BY 1, 2
+    ), scored AS (
+        SELECT d.event_type, d.day, d.dow, d.x,
+               abs(d.x * n_d - sum_d) * 1000 // sum_d AS dev_permille
+        FROM daily d JOIN dowm m
+          ON d.event_type = m.event_type AND d.dow = m.dow
+    )
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY dev_permille DESC, day)::BIGINT AS rk
+        FROM scored
+    ) WHERE rk <= {ANOMALY_TOP_K}
+"""
