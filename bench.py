@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "survival_table",
     "record_linkage",
     "seasonal_anomaly",
+    "adaptive_join",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

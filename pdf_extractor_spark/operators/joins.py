@@ -1005,3 +1005,104 @@ ORACLES["record_linkage"] = f"""
            sum(same)::BIGINT * 1000 // count(*) AS true_permille
     FROM pairs GROUP BY 1
 """
+
+
+# --- Adaptive join (runtime strategy selection) ----------------------------------
+ADAPTIVE_SHARE_PERMILLE = 50  # hot-key share above this switches to salting
+
+
+def q_adaptive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive join-strategy selection — the decision join_key_skew_profile
+    feeds, closed into a loop: measure the fact side's hottest-key share
+    (one tiny aggregate job, a 1-row collect — the kmeans-style legitimate
+    driver decision), then run the SAME logical join as a plain shuffle
+    join when the profile is flat or through salted_join when one key
+    holds more than ADAPTIVE_SHARE_PERMILLE of the rows. Two fact
+    variants run side by side — the raw key (flat) and a synthesized
+    hot-key funnel (10% of traffic collapsed onto key 0) — so one output
+    shows the decision FLIP while the joined row counts stay exactly what
+    the plain join produces (salting changes distribution, never results;
+    the oracle recomputes both variants with plain joins and the same
+    threshold arithmetic).
+
+    This is the manual twin of AQE's skew-join: AQE splits oversized
+    partitions at shuffle time; this op decides BEFORE planning, which is
+    what you need when the join feeds a required output partitioning AQE
+    refuses to touch. Output: variant, strategy, max_share_permille,
+    n_keys, n_joined."""
+    from . import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    dim = (
+        ev.where(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("k"))
+        .distinct()
+    )
+    variants = (
+        ("flat", F.col("user_id")),
+        (
+            "hot",
+            F.when(F.col("user_id") % 10 == 0, F.lit(0)).otherwise(
+                F.col("user_id")
+            ),
+        ),
+    )
+    outs = []
+    for name, key_expr in variants:
+        fact = ev.select("event_id", key_expr.cast("long").alias("k"))
+        counts = fact.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+        mx, tot, nk = counts.agg(
+            F.max("cnt"), F.sum("cnt"), F.count(F.lit(1))
+        ).collect()[0]
+        share = mx * 1000 // tot
+        if share > ADAPTIVE_SHARE_PERMILLE:
+            strategy = "salted"
+            joined = salted_join(fact, dim, key="k", row_key="event_id")
+        else:
+            strategy = "plain"
+            joined = fact.join(dim, "k")
+        outs.append(
+            joined.agg(F.count(F.lit(1)).alias("n_joined")).select(
+                F.lit(name).alias("variant"),
+                F.lit(strategy).alias("strategy"),
+                F.lit(int(share)).cast("long").alias("max_share_permille"),
+                F.lit(int(nk)).cast("long").alias("n_keys"),
+                "n_joined",
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+QUERIES["adaptive_join"] = q_adaptive_join
+
+ORACLES["adaptive_join"] = f"""
+    WITH dim AS (
+        SELECT DISTINCT user_id AS k FROM events
+        WHERE event_type = 'signup'
+    ), facts AS (
+        SELECT 'flat' AS variant, event_id, user_id AS k FROM events
+        UNION ALL
+        SELECT 'hot', event_id,
+               CASE WHEN user_id % 10 = 0 THEN 0 ELSE user_id END
+        FROM events
+    ), counts AS (
+        SELECT variant, k, count(*)::BIGINT AS cnt
+        FROM facts GROUP BY 1, 2
+    ), stats AS (
+        SELECT variant,
+               max(cnt) * 1000 // sum(cnt)::BIGINT AS max_share_permille,
+               count(*)::BIGINT AS n_keys
+        FROM counts GROUP BY variant
+    ), joined AS (
+        SELECT f.variant, count(*)::BIGINT AS n_joined
+        FROM facts f JOIN dim ON f.k = dim.k
+        GROUP BY f.variant
+    )
+    SELECT s.variant,
+           CASE WHEN max_share_permille > {ADAPTIVE_SHARE_PERMILLE}
+                THEN 'salted' ELSE 'plain' END AS strategy,
+           max_share_permille, n_keys, n_joined
+    FROM stats s JOIN joined j ON s.variant = j.variant
+"""
