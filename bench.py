@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "record_linkage",
     "seasonal_anomaly",
     "adaptive_join",
+    "decayed_leaderboard",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -1266,3 +1266,92 @@ ORACLES["seasonal_anomaly"] = f"""
         FROM scored
     ) WHERE rk <= {ANOMALY_TOP_K}
 """
+
+
+# --- Recency-decayed leaderboard -----------------------------------------------------
+DECAY_HALF_LIFE_DAYS = 7
+DECAY_TOP_K = 10
+DECAY_SALT = 16
+
+
+def q_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement leaderboard with EXACT integer decay:
+    an event aged a half-lives contributes 1024 >> a (fixed-point
+    halving per DECAY_HALF_LIFE_DAYS, shift clamped at 20) — the
+    exponential-decay scoreboard every "trending" surface runs, computed
+    without a single float so both engines agree bit-for-bit (a real
+    exp(-age/tau) would drift in the 15th decimal and break the hash
+    gate; power-of-two half-life decay is the deterministic twin).
+
+    Scale shape: age comes from a 1-row broadcast horizon; the score is
+    one map-side-combined groupBy (weights are per-row expressions);
+    the top-K is the salted two-stage rank (plan_check pins the
+    2-window + pmod shape). Output: rk, user_id, score, n_events."""
+    from pyspark.sql import Window
+    from . import load
+
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit(TREND_EPOCH).cast("date")
+    ).cast("long")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", day.alias("day")
+    )
+    horizon = ev.agg(F.max("day").alias("h"))
+    w_expr = F.expr(
+        f"shiftright(1024, cast(least((h - day) div {DECAY_HALF_LIFE_DAYS},"
+        f" 20) as int))"
+    )
+    scores = (
+        ev.crossJoin(F.broadcast(horizon))
+        .select("user_id", w_expr.alias("w"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("w").alias("score"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    order = (F.desc("score"), F.asc("user_id"))
+    w_salt = Window.partitionBy("salt").orderBy(*order)
+    survivors = (
+        scores.withColumn(
+            "salt", F.pmod(F.xxhash64("user_id"), F.lit(DECAY_SALT))
+        )
+        .withColumn("rk", F.row_number().over(w_salt))
+        .where(F.col("rk") <= DECAY_TOP_K)
+        .drop("rk", "salt")
+    )
+    w_f = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w_f))
+        .where(F.col("rk") <= DECAY_TOP_K)
+        .select(
+            F.col("rk").cast("long").alias("rk"),
+            "user_id",
+            "score",
+            "n_events",
+        )
+    )
+
+
+QUERIES["decayed_leaderboard"] = q_decayed_leaderboard
+
+ORACLES["decayed_leaderboard"] = f"""
+    WITH d AS (
+        SELECT user_id,
+               date_diff('day', DATE '{TREND_EPOCH}', ts::DATE)::BIGINT
+                   AS day
+        FROM events
+    ), h AS (
+        SELECT max(day) AS h FROM d
+    ), scores AS (
+        SELECT user_id,
+               sum(1024 >> least((h.h - day) // {DECAY_HALF_LIFE_DAYS},
+                                 20))::BIGINT AS score,
+               count(*)::BIGINT AS n_events
+        FROM d, h GROUP BY user_id
+    )
+    SELECT row_number() OVER (ORDER BY score DESC, user_id)::BIGINT AS rk,
+           user_id, score, n_events
+    FROM scores
+    QUALIFY rk <= {DECAY_TOP_K}
+"""

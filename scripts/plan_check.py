@@ -218,7 +218,7 @@ TWO_STAGE_RANK = ["vocab_top_ngrams", "inverted_index", "stratified_sample",
                   "join_key_skew_profile",
                   # the skyline distributes like top-K: salted local front
                   # (window 1) + final front over survivors (window 2)
-                  "pareto_front"]
+                  "pareto_front", "decayed_leaderboard"]
 
 
 def plan_of(df) -> str:
