@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "seasonal_anomaly",
     "adaptive_join",
     "decayed_leaderboard",
+    "custom_source_scan",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -1015,3 +1015,65 @@ ORACLES["temporal_dim_join"] = """
            sum(cents)::BIGINT AS sum_cents
     FROM j GROUP BY tier
 """.format(scd2=ORACLES["scd2_user_tiers"], open_end=OPEN_END)
+
+
+# --- Custom Python Data Source scan ---------------------------------------------------
+SYNTHLOG_ROWS = 20_000
+SYNTHLOG_PARTS = 16
+
+
+def q_custom_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through a CUSTOM CONNECTOR (sources/synthlog.py, the Spark 4
+    Python Data Source API): per source partition, the count and byte sum
+    of error-level rows under 500 bytes. Two predicates, two fates — the
+    level equality is PUSHED into the reader via pushFilters (those rows
+    never cross the Python boundary; the physical Filter node carries
+    only the residual), the byte bound stays Spark-side. Content is a
+    pure function of row id, so the oracle replays the entire connector
+    from range() — a third-party source held to the same exact-hash gate
+    as every built-in. sf_dir is unused: the source IS the input.
+
+    Scale shape: partitions() plans SYNTHLOG_PARTS independent row-range
+    splits (executor-parallel like a parquet split list, never a
+    single-task generator); everything after the scan is one map-side-
+    combined groupBy. Output: part, n_rows, sum_bytes."""
+    from ..sources.synthlog import register
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register(spark)
+    df = (
+        spark.read.format("synthlog")
+        .option("rows", str(SYNTHLOG_ROWS))
+        .option("partitions", str(SYNTHLOG_PARTS))
+        .load()
+    )
+    return (
+        df.where(F.col("level") == "error")
+        .where(F.col("n_bytes") < 500)
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_bytes").alias("sum_bytes"),
+        )
+        .select(F.col("part").cast("long").alias("part"), "n_rows",
+                "sum_bytes")
+    )
+
+
+QUERIES["custom_source_scan"] = q_custom_source_scan
+
+# step mirrors SynthLogReader.partitions(): ceil(rows / parts)
+_SYNTHLOG_STEP = -(-SYNTHLOG_ROWS // SYNTHLOG_PARTS)
+
+ORACLES["custom_source_scan"] = f"""
+    WITH src AS (
+        SELECT i, i // {_SYNTHLOG_STEP} AS part,
+               (i * 2654435761) % 1000 AS n_bytes
+        FROM (SELECT unnest(range(0, {SYNTHLOG_ROWS})) AS i)
+        WHERE i % 4 = 3  -- LEVELS[3] = 'error'
+    )
+    SELECT part::BIGINT AS part, count(*)::BIGINT AS n_rows,
+           sum(n_bytes)::BIGINT AS sum_bytes
+    FROM src WHERE n_bytes < 500
+    GROUP BY part
+"""

@@ -1,0 +1,93 @@
+"""Custom connector via the Spark 4 Python Data Source API: a deterministic
+synthetic log source with REAL partition planning and REAL filter pushdown.
+
+Why this exists: the reference's source family (SURVEY §2.1, S1-S7) is
+file/payload-shaped; a production Spark estate also ingests from systems
+with no built-in connector, and since Spark 4 the sanctioned way to bolt
+one on from Python is ``pyspark.sql.datasource``. This module exercises the
+three contract points that make a connector scale rather than merely work:
+
+- ``partitions()`` returns one ``InputPartition`` per row range, so the
+  scan parallelizes across executors exactly like a parquet split list —
+  never a single-task generator;
+- ``pushFilters()`` accepts ``EqualTo('level', ...)`` and evaluates it
+  INSIDE ``read()`` (rows never cross the Python->JVM boundary), returning
+  every other filter for Spark to re-apply — the same contract parquet
+  PushedFilters honors;
+- content is a pure function of the row id (level cycles mod 4, bytes via
+  a Knuth-hash formula), so a DuckDB oracle can replay the whole source
+  from ``range()`` — the connector is oracle-checkable like any operator.
+
+No wall-clock, no RNG: replays and retries of a partition yield identical
+rows (the Spark task-retry contract a real connector must meet).
+"""
+from __future__ import annotations
+
+from typing import Iterator, List
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+
+LEVELS = ("debug", "info", "warn", "error")
+BYTES_MULT = 2654435761  # Knuth multiplicative hash constant (public)
+BYTES_MOD = 1000
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, index: int, start: int, end: int):
+        self.index, self.start, self.end = index, start, end
+
+
+class SynthLogReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("rows", "1000"))
+        self.n_parts = int(options.get("partitions", "8"))
+        self.level_eq: str | None = None
+
+    def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute == ("level",)
+                and self.level_eq is None
+            ):
+                self.level_eq = str(f.value)
+            else:
+                yield f  # unsupported: Spark re-applies it post-scan
+
+    def partitions(self):
+        step = max(1, -(-self.n // self.n_parts))
+        return [
+            _RangePartition(i, lo, min(lo + step, self.n))
+            for i, lo in enumerate(range(0, self.n, step))
+        ]
+
+    def read(self, part: _RangePartition):
+        want = self.level_eq
+        for i in range(part.start, part.end):
+            level = LEVELS[i % 4]
+            if want is not None and level != want:
+                continue  # pushed filter: the row never leaves Python
+            yield (i, part.index, level, (i * BYTES_MULT) % BYTES_MOD)
+
+
+class SynthLogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthlog"
+
+    def schema(self) -> str:
+        return "row_id long, part int, level string, n_bytes long"
+
+    def reader(self, schema):
+        return SynthLogReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration (re-registering the same name is fine)."""
+    spark.dataSource.register(SynthLogDataSource)
