@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "adaptive_join",
     "decayed_leaderboard",
     "custom_source_scan",
+    "daily_value_bands",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -629,3 +629,72 @@ ORACLES["budget_apportion"] = f"""
            base_quota + (rnk <= r)::BIGINT AS quota
     FROM rk, lo
 """
+
+
+# --- Daily value bands (p50/p90 time series) -------------------------------------------
+def q_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily value bands: exact nearest-rank p50/p90 of cents
+    within every (event_type, day) cell plus min/max — the time-series
+    band chart every ops dashboard draws. Nearest-rank (type-1) integer
+    percentiles, so both engines agree exactly (the length_quantiles
+    contract applied to a two-key partition).
+
+    Scale shape: the rank windows partition on (type, day) — thousands
+    of independent cells, each calendar-bounded in rows — so parallelism
+    grows with the grid, and no cell ever sorts outside its partition;
+    approx_percentile is the documented swap at extreme per-cell volume.
+    Output: event_type, day, n, p50_cents, p90_cents, min_cents,
+    max_cents."""
+    from pyspark.sql import Window
+    from . import load
+
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("long")
+    d = load(spark, sf_dir, "events").select(
+        "event_type",
+        day.alias("day"),
+        F.expr(_CENTS).cast("long").alias("c"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("c", "event_id")
+    wn = Window.partitionBy("event_type", "day")
+    r = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    return r.groupBy("event_type", "day").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n * 50 + 99) div 100"), F.col("c"))
+        ).alias("p50_cents"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n * 90 + 99) div 100"), F.col("c"))
+        ).alias("p90_cents"),
+        F.min("c").alias("min_cents"),
+        F.max("c").alias("max_cents"),
+    )
+
+
+QUERIES["daily_value_bands"] = q_daily_value_bands
+
+ORACLES["daily_value_bands"] = """
+    WITH d AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day,
+               round(value * 100)::BIGINT AS c, event_id
+        FROM events
+    ), r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY c, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type, day) AS n
+        FROM d
+    )
+    SELECT event_type, day, max(n)::BIGINT AS n,
+           max(CASE WHEN rn = (n * 50 + 99) // 100 THEN c END)::BIGINT
+               AS p50_cents,
+           max(CASE WHEN rn = (n * 90 + 99) // 100 THEN c END)::BIGINT
+               AS p90_cents,
+           min(c)::BIGINT AS min_cents, max(c)::BIGINT AS max_cents
+    FROM r GROUP BY event_type, day
+"""
