@@ -91,3 +91,67 @@ class SynthLogDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
     spark.dataSource.register(SynthLogDataSource)
+
+
+# --- Streaming half: a custom streaming source with offset tracking -------------
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+class SynthLogStreamReader(DataSourceStreamReader):
+    """Offset-tracked streaming reads over the same deterministic rows:
+    offsets are row positions, ``latestOffset`` advances ``batch_size``
+    rows per micro-batch up to ``rows`` (a bounded replayable stream —
+    the Kafka-topic shape without Kafka), ``partitions(start, end)``
+    splits every micro-batch's offset range into executor-parallel
+    splits, and ``read`` regenerates rows purely from position, so a
+    replayed batch (checkpoint recovery) is byte-identical. Rate limiting
+    lives in ``latestOffset`` (driver-side reader progress, the documented
+    pattern) — NEVER in ``partitions``: capping there would silently drop
+    the tail of a range Spark has already recorded as committed, the
+    classic homemade-connector data-loss bug. ``commit`` is a no-op:
+    durable progress lives in Spark's own offset checkpoint."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", "1000"))
+        self.batch = int(options.get("batchsize", "400"))
+        self.n_parts = int(options.get("partitions", "4"))
+        self._current = 0
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        # expose at most one batch of new offsets per poll (rate limit)
+        self._current = min(self._current + self.batch, self.rows)
+        return {"pos": self._current}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["pos"]), int(end["pos"])
+        step = max(1, -(-(hi - lo) // self.n_parts))
+        return [
+            _RangePartition(i, p, min(p + step, hi))
+            for i, p in enumerate(range(lo, hi, step))
+        ] or [_RangePartition(0, lo, lo)]
+
+    def read(self, part: _RangePartition):
+        for i in range(part.start, part.end):
+            yield (i, part.index, LEVELS[i % 4], (i * BYTES_MULT) % BYTES_MOD)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SynthLogStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthlog_stream"
+
+    def schema(self) -> str:
+        return "row_id long, part int, level string, n_bytes long"
+
+    def streamReader(self, schema):
+        return SynthLogStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(SynthLogStreamDataSource)
