@@ -155,3 +155,88 @@ class SynthLogStreamDataSource(DataSource):
 
 def register_stream(spark) -> None:
     spark.dataSource.register(SynthLogStreamDataSource)
+
+
+# --- Sink half: a custom transactional writer --------------------------------------
+import json as _json  # noqa: E402
+import os as _os  # noqa: E402
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class ManifestSinkWriter(DataSourceWriter):
+    """Transactional custom sink: every task stages its rows as a parquet
+    file named by its (stable) partition id under ``_staging/``, returns a
+    commit message, and only the DRIVER's ``commit`` publishes — moving
+    files into place and writing ``manifest.json`` (paths + row counts +
+    total) LAST, so a reader that requires the manifest can never observe
+    a torn write (the fsio _SUCCESS discipline expressed through the
+    DataSourceWriter contract). ``abort`` removes the staging debris. Task
+    retries are safe: a retried partition overwrites its own staged file
+    (deterministic name), and uncommitted attempts are invisible."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _FileCommit:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = [r.asDict() for r in iterator]
+        staging = _os.path.join(self.path, "_staging")
+        _os.makedirs(staging, exist_ok=True)
+        fname = _os.path.join(staging, f"part-{pid:05d}.parquet")
+        cols = {}
+        if rows:
+            for k in rows[0]:
+                cols[k] = [r[k] for r in rows]
+        pq.write_table(pa.table(cols) if cols else pa.table({}), fname)
+        return _FileCommit(path=fname, n_rows=len(rows))
+
+    def commit(self, messages) -> None:
+        final = []
+        for m in messages:
+            if m is None or m.n_rows == 0:
+                continue
+            dest = _os.path.join(self.path, _os.path.basename(m.path))
+            _os.replace(m.path, dest)
+            final.append({"file": _os.path.basename(dest), "n_rows": m.n_rows})
+        manifest = {
+            "files": sorted(final, key=lambda f: f["file"]),
+            "total_rows": sum(f["n_rows"] for f in final),
+        }
+        tmp = _os.path.join(self.path, "manifest.json.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(manifest, fh)
+        _os.replace(tmp, _os.path.join(self.path, "manifest.json"))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and _os.path.exists(m.path):
+                _os.remove(m.path)
+
+
+class ManifestSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return ManifestSinkWriter(self.options, overwrite)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(ManifestSinkDataSource)
