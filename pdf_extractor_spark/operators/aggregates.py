@@ -925,7 +925,7 @@ def q_ab_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.expr(
                 "conv_treatment * 1000 div nullif(n_treatment, 0)"
-                " - conv_control * 1000 div n_control"
+                " - conv_control * 1000 div nullif(n_control, 0)"
             ).alias("uplift_permille"),
         )
     )

@@ -789,28 +789,9 @@ RECON_SCHEMA = (
 )
 
 
-def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stream per-key reconciliation via COGROUP — the one Pandas-UDF
-    surface the rest of the suite doesn't exercise
-    (``df.groupby(k).cogroup(other.groupby(k)).applyInPandas``): purchase
-    events and order records meet per key WITHOUT a row-level join; the
-    kernel rank-matches the two sorted amount lists and sums the absolute
-    differences — the ledger-reconciliation shape (which bookings have no
-    matching order, how far apart are the matched amounts). Keys present
-    on either side emit a row (empty-side semantics are part of the
-    cogroup contract and pinned by the oracle's FULL OUTER form).
-
-    Scale shape: cogroup shuffles each input once on the key — exactly
-    the two keyed shuffles the equivalent rank-window SQL pays — and the
-    kernel sees one key's rows at a time (per-key state, never a
-    collected partition). Rank-matching equal values is order-insensitive
-    (|a-b| is identical among ties), so kernel sort and oracle
-    row_number agree without a tiebreak column.
-
-    Output: key, n_events, n_orders, n_matched, sum_absdiff_cents."""
-    import numpy as np
-    import pandas as pd
-
+def _recon_inputs(spark, sf_dir):
+    """Shared inputs for the two reconcile forms: purchase events and
+    order records, both as (key, cents)."""
     from . import load
 
     ev = (
@@ -825,6 +806,73 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("key"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
     )
+    return ev, od
+
+
+def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stream per-key reconciliation, ALL-JVM: purchase events and
+    order records are each ranked within key (``row_number`` over the
+    cents value), rank-matched with one FULL OUTER equi-join on
+    ``(key, rank)``, and reduced by a single hash aggregate — which
+    bookings have no matching order, and how far apart the matched
+    amounts are. Keys present on either side emit a row (the join's
+    unmatched-side NULLs carry the empty-side semantics).
+
+    Scale shape: two keyed shuffles (the per-key rank windows — both
+    PARTITIONED, never a global window), one shuffle-free join on the
+    same key prefix, one map-side-combined aggregate. Everything is
+    whole-stage-codegen JVM SQL: at 10^9 keys this is three exchanges and
+    zero Python round-trips, where a per-key cogroup kernel would pay
+    10^9 interpreter invocations for the same arithmetic (that kernel
+    survives as a pinned-equal test twin — ``cogroup_reconcile_kernel``,
+    tests/test_cogroup_twin.py — so the cogroup API surface stays
+    covered). Rank-matching equal values is order-insensitive (|a-b| is
+    identical among ties), so no tiebreak column is needed.
+
+    Output: key, n_events, n_orders, n_matched, sum_absdiff_cents."""
+    ev, od = _recon_inputs(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("c")
+    e = ev.withColumn("rn", F.row_number().over(w))
+    o = od.withColumn("rn", F.row_number().over(w))
+    j = e.alias("e").join(
+        o.alias("o"),
+        (F.col("e.key") == F.col("o.key")) & (F.col("e.rn") == F.col("o.rn")),
+        "full_outer",
+    )
+    return (
+        j.groupBy(F.coalesce("e.key", "o.key").alias("key"))
+        .agg(
+            F.count("e.c").alias("n_events"),
+            F.count("o.c").alias("n_orders"),
+            F.count(
+                F.when(F.col("e.c").isNotNull() & F.col("o.c").isNotNull(), 1)
+            ).alias("n_matched"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("e.c").isNotNull() & F.col("o.c").isNotNull(),
+                        F.abs(F.col("e.c") - F.col("o.c")),
+                    )
+                ),
+                F.lit(0),
+            ).alias("sum_absdiff_cents"),
+        )
+    )
+
+
+def cogroup_reconcile_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COGROUP form of q_cogroup_reconcile — the one Pandas-UDF
+    surface the rest of the suite doesn't exercise
+    (``df.groupby(k).cogroup(other.groupby(k)).applyInPandas``). NOT the
+    registered/benched query: applyInPandas over a cogroup invokes the
+    Python kernel once per key, which at production key counts is an
+    interpreter round-trip per key for arithmetic the JVM expresses
+    directly. Kept as API coverage, pinned equal to the JVM rank-match
+    form by tests/test_cogroup_twin.py."""
+    import numpy as np
+    import pandas as pd
+
+    ev, od = _recon_inputs(spark, sf_dir)
 
     def recon(key, epdf: pd.DataFrame, opdf: pd.DataFrame) -> pd.DataFrame:
         a = np.sort(epdf["c"].to_numpy(dtype=np.int64))

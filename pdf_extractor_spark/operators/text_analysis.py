@@ -1446,16 +1446,29 @@ def q_gate_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined groupBy on source with conditional sums. Adding a gate adds
     a column, never a scan. Output: source, n_docs, n_after_len,
     n_after_gopher, n_after_lang, keep_permille."""
-    lines = F.filter(F.split("text", "\n"), lambda x: F.trim(x) != "")
-    d = _docs(spark, sf_dir).select(
-        "source",
-        "lang",
-        "n_chars",
-        *word_stats_exprs("text"),
-        F.size(lines).alias("n_lines"),
-        F.size(
-            F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
-        ).alias("n_bullet_lines"),
+    # Materialize the split-lines array ONCE (a repeated `lines` expression
+    # in one select would re-run the split per use — the HOF re-eval tax).
+    d = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            "lang",
+            "n_chars",
+            "text",
+            F.filter(
+                F.split("text", "\n"), lambda x: F.trim(x) != ""
+            ).alias("lines"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_chars",
+            *word_stats_exprs("text"),
+            F.size("lines").alias("n_lines"),
+            F.size(
+                F.filter("lines", lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+            ).alias("n_bullet_lines"),
+        )
     )
     len_ok = (F.col("n_chars") >= ATTRITION_MIN_CHARS) & (
         F.col("n_chars") <= ATTRITION_MAX_CHARS

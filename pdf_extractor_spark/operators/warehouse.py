@@ -1039,7 +1039,10 @@ def q_custom_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined groupBy. Output: part, n_rows, sum_bytes."""
     from ..sources.synthlog import register
 
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # spark.sql.python.filterPushdown.enabled is a session-level default in
+    # session.get_spark() — building a query must not mutate a shared
+    # session. On a session without it, the predicate simply stays
+    # Spark-side (correctness unchanged, pushdown pinned by plan_check).
     register(spark)
     df = (
         spark.read.format("synthlog")

@@ -50,6 +50,10 @@ def get_spark(
         # Broadcast small dims automatically; AQE converts to broadcast at
         # runtime when post-filter sizes allow.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Python Data Source API (sources/synthlog.py): let pushFilters
+        # receive the query's predicates. Session-level so query builders
+        # never have to mutate a shared session as a side effect.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

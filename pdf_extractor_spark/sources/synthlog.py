@@ -127,6 +127,12 @@ class SynthLogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["pos"]), int(end["pos"])
+        # Checkpoint recovery: a fresh reader instance starts _current=0,
+        # but Spark replays from the committed offset — adopt the replayed
+        # range's end as reader progress so latestOffset resumes from the
+        # restored position immediately instead of stalling for
+        # ceil(committed/batch) polls while _current catches up.
+        self._current = max(self._current, hi)
         step = max(1, -(-(hi - lo) // self.n_parts))
         return [
             _RangePartition(i, p, min(p + step, hi))
@@ -138,7 +144,10 @@ class SynthLogStreamReader(DataSourceStreamReader):
             yield (i, part.index, LEVELS[i % 4], (i * BYTES_MULT) % BYTES_MOD)
 
     def commit(self, end: dict) -> None:
-        pass
+        # Durable progress lives in Spark's offset checkpoint; locally we
+        # only fold the committed position into reader progress (recovery
+        # path — see partitions()).
+        self._current = max(self._current, int(end["pos"]))
 
 
 class SynthLogStreamDataSource(DataSource):
@@ -207,6 +216,20 @@ class ManifestSinkWriter(DataSourceWriter):
         return _FileCommit(path=fname, n_rows=len(rows))
 
     def commit(self, messages) -> None:
+        import shutil as _shutil
+
+        keep = {
+            _os.path.basename(m.path)
+            for m in messages
+            if m is not None and m.n_rows > 0
+        }
+        # mode("overwrite"): this write REPLACES the dataset — drop any
+        # part files from a previous write so a directory-listing reader
+        # never sees old and new data mixed beside the fresh manifest.
+        if self.overwrite and _os.path.isdir(self.path):
+            for f in _os.listdir(self.path):
+                if f.startswith("part-") and f not in keep:
+                    _os.remove(_os.path.join(self.path, f))
         final = []
         for m in messages:
             if m is None or m.n_rows == 0:
@@ -222,6 +245,10 @@ class ManifestSinkWriter(DataSourceWriter):
         with open(tmp, "w") as fh:
             _json.dump(manifest, fh)
         _os.replace(tmp, _os.path.join(self.path, "manifest.json"))
+        # zero-row staged files (and the staging dir itself) are debris
+        # once the manifest is durable.
+        _shutil.rmtree(_os.path.join(self.path, "_staging"),
+                       ignore_errors=True)
 
     def abort(self, messages) -> None:
         for m in messages:
