@@ -59,7 +59,20 @@ def curate(
     99% of a long conversation survives), with the removed-word count
     reported per conversation. Without it the stage is skipped and
     n_decon_words is 0."""
+    return curate_stages(transcripts, benchmark)[-1][1]
+
+
+def curate_stages(
+    transcripts: DataFrame, benchmark: DataFrame | None = None
+) -> list[tuple[str, DataFrame]]:
+    """``curate`` exposed as ordered CUMULATIVE stage prefixes
+    [(stage_name, frame), ...] — the last frame IS curate's output.
+    Consumers: bench.py times each prefix so the composed product path
+    gets a per-stage wall-time breakdown; the timing deltas between
+    consecutive prefixes attribute cost to the stage that was added."""
+    stages: list[tuple[str, DataFrame]] = []
     assembled = assemble_conversations(extract_transcripts(transcripts))
+    stages.append(("extract_assemble", assembled))
 
     # the same word statistics the oracle-gated q_gopher_quality uses
     scored = assembled.select(
@@ -76,6 +89,7 @@ def curate(
         & (F.col("sum_chars") <= 12 * F.col("n_words"))
         & (5 * F.col("n_alpha_words") >= 4 * F.col("n_words"))
     )
+    stages.append(("quality_gate", kept))
 
     # C4 line rule verbatim on the assembled markdown (real newlines here):
     # any non-blank line occurring >= 3 times corpus-wide — page headers,
@@ -101,6 +115,7 @@ def curate(
         )
         .withColumnRenamed("clean_text", "text")
     )
+    stages.append(("boilerplate_c4", cleaned))
 
     # Gopher repetition gate on the cleaned text: conversations dominated
     # by one repeated n-gram are dropped entirely (semi-join on the
@@ -113,6 +128,7 @@ def curate(
         .select(F.col("doc_id").alias("conv_id"))
     )
     gated = cleaned.join(rep_keep, "conv_id", "left_semi")
+    stages.append(("repetition_gate", gated))
 
     # span-level benchmark decontamination (eval-overlap scrubbing): only
     # when an eval suite is supplied; n_words is recomputed on the
@@ -147,6 +163,7 @@ def curate(
             .withColumnRenamed("clean_text", "text")
             .withColumnRenamed("n_kept_words", "n_words")
         )
+        stages.append(("decontaminate", gated))
     else:
         gated = gated.withColumn("n_decon_words", F.lit(0).cast("long"))
 
@@ -165,10 +182,12 @@ def curate(
     )
 
     split = holdout_split_expr(F.col("conv_id"))
-    return deduped.select(
+    final = deduped.select(
         "conv_id", split.alias("split"), "text", "n_words", "n_turns",
         "total_pages", "n_boiler_lines", "n_decon_words",
     )
+    stages.append(("redact_dedup_split", final))
+    return stages
 
 
 def curate_packed(
