@@ -3,7 +3,12 @@
 Asserts the properties the engine's scale story depends on, so a regression
 in plan shape fails loudly rather than silently costing a shuffle at 100 TB:
 
-- no CartesianProduct / BroadcastNestedLoopJoin anywhere;
+- EVERY registered query (202+): no CartesianProduct, no row-at-a-time
+  Python (BatchEvalPython), no cogrouped-Pandas nodes, and no
+  BroadcastNestedLoopJoin outside the explicit NLJ_ALLOWED set (exact
+  baselines + bounded 1-row combine crossJoins);
+- every query additionally carries a shape rule (RULES entry or
+  TWO_STAGE_RANK membership) — the script fails if one is missing;
 - parquet scans carry PushedFilters + pruned ReadSchema where expected;
 - dimension joins broadcast (revenue_by_nation, knn_cosine, repair_coalesce);
 - the extraction pipeline has exactly one Exchange (the per-conversation
@@ -208,7 +213,170 @@ RULES = {
     "join_cardinality_estimate": ([r"HashAggregate"], [r"ArrowEvalPython"]),
     "ab_uplift": ([r"HashAggregate"],
                   [r"SortMergeJoin", r"ArrowEvalPython"]),
+    # --- round-4 individual rules (late-round-3 operator batch) ---------
+    # post-rework shape: per-side ranks + ONE full-outer rank-match join +
+    # one hash aggregate, zero Python nodes (the cogroup kernel is a test
+    # twin, not the registered query)
+    "cogroup_reconcile": ([r"FullOuter", r"\bWindow\b", r"HashAggregate"],
+                          [r"ArrowEvalPython", r"FlatMapCoGroupsInPandas",
+                           r"BatchEvalPython"]),
+    # the custom Python Data Source: the level equality must be PUSHED
+    # into the reader (PushedFilters on the BatchScan) and must NOT appear
+    # in the residual JVM Filter's condition
+    "custom_source_scan": ([r"PushedFilters: \[EqualTo\(level,error\)\]"],
+                           [r"level#\d+ = error"]),
+    # stats-gated strategy pick: at gate scale the decision must collapse
+    # to broadcast (its stat gates are eager 1-row collects, not NLJs)
+    "adaptive_join": ([r"BroadcastHashJoin"],
+                      [r"BroadcastNestedLoopJoin", r"SortMergeJoin",
+                       r"ArrowEvalPython"]),
+    # wide-stats profile: one Expand-based pass, never a per-column loop
+    # of joins
+    "column_profile": ([r"Expand"], [r"Join", r"ArrowEvalPython"]),
+    # exact-kNN baseline vs ANN shortlist: the exact side's broadcast NLJ
+    # is the intentional baseline (the knn_cosine pattern)
+    "ann_recall": ([r"BroadcastNestedLoopJoin"], [r"ArrowEvalPython"]),
+    # iterative peel: keyed joins + hash aggregates; the NLJs are 1-row
+    # convergence-count combines (logreg pattern)
+    "kcore_peel": ([r"HashAggregate"],
+                   [r"SortMergeJoin", r"ArrowEvalPython"]),
+    # largest-remainder apportionment: windows + aggregates; 1-row totals
+    # ride broadcast NLJs (logreg pattern)
+    "budget_apportion": ([r"\bWindow\b", r"HashAggregate"],
+                         [r"SortMergeJoin", r"ArrowEvalPython"]),
+    "session_depth_histogram": ([r"\bWindow\b", r"HashAggregate"],
+                                [r"SortMergeJoin", r"ArrowEvalPython"]),
+    "survival_table": ([r"BroadcastHashJoin"],
+                       [r"SortMergeJoin", r"ArrowEvalPython"]),
+    "temperature_mixture": ([r"BroadcastHashJoin"],
+                            [r"SortMergeJoin", r"ArrowEvalPython"]),
+    "bitext_clean": ([r"BroadcastHashJoin"],
+                     [r"SortMergeJoin", r"ArrowEvalPython"]),
+    # assignment rides the broadcast DATA-row crossjoin (assign_broadcast:
+    # one 1-row codebook NLJ, never a per-centroid plan literal forest)
+    "kmeans_assign": ([r"\bWindow\b"],
+                      [r"SortMergeJoin", r"ArrowEvalPython"]),
+    "dedup_pair_audit": ([r"BroadcastHashJoin"],
+                         [r"SortMergeJoin", r"ArrowEvalPython"]),
+    # per-page-group fold kernel IS the design (bounded group = one doc's
+    # tables); anything join-shaped here would be a regression
+    "table_merge_fold": ([r"FlatMapGroupsInPandas"],
+                         [r"BroadcastNestedLoopJoin", r"SortMergeJoin"]),
+    "simhash_buckets": ([r"ArrowEvalPython", r"HashAggregate"], [r"Join"]),
+    "markdown_parse": ([r"ArrowEvalPython", r"HashAggregate"], [r"Join"]),
+    # binary decode stays in MapInPandas; the bucket join broadcasts
+    "image_ahash_dedup": ([r"MapInPandas", r"BroadcastHashJoin"],
+                          [r"SortMergeJoin", r"BatchEvalPython"]),
+    "minhash_signatures": ([], [r"Join", r"ArrowEvalPython"]),
+    "ann_ivf_trained": ([r"BroadcastHashJoin"],
+                        [r"BroadcastNestedLoopJoin", r"ArrowEvalPython"]),
 }
+
+# --- Template rule groups (round 4): every registered query gets a shape
+# rule. Groups encode the plan archetype; names were audited against the
+# sf0.01 plans when the group was assigned.
+
+# pure expression maps / bounded-model outputs: no shuffle, no Python
+_PURE_EXPR_MAP = [
+    "base64_roundtrip", "blocklist_filter", "detector_flags", "fingerprint",
+    "gopher_quality", "page_header", "pii_redact", "quality_features",
+    "safe_filename", "sampling_filter", "span_corruption", "workflow_router",
+    "bpe_fit", "bradley_terry",
+]
+# one Arrow kernel, map-only (no shuffle)
+_ARROW_MAP = ["bidi_display", "extract_numbers_roundtrip", "language_id",
+              "parse_number_csv"]
+# mapInPandas decode kernels, map-only (no shuffle)
+_PANDAS_MAP = ["frame_sample", "multimodal_features", "wav_payload_stats"]
+# keyed hash aggregation only: no joins, no windows, no Python
+_AGG_ONLY = [
+    "action_trie_profile", "column_inference", "corpus_merge",
+    "corpus_report", "cusum_changepoint", "dedup_ngram_jaccard",
+    "dispersion_index", "gate_attrition", "groupwise_trend",
+    "hashed_tf_vectors", "holdout_split", "interval_overlap_join",
+    "json_extract_profile", "kmeans_fit", "markdown_render",
+    "ordered_concat", "page_assembly", "partition_digest",
+    "status_breakdown", "status_rollup", "tumbling_window",
+    "validation_cost",
+]
+# per-key window ops: join-free, no Python
+_KEYED_WINDOW = [
+    "adjacent_dup_collapse", "asof_prev_signup", "balance_classify",
+    "chunk_split", "daily_value_bands", "frequency_map", "lateness_audit",
+    "lead_boundary", "outline_filter", "outline_sections",
+    "position_attribution", "rate_spike_detect", "scd2_asof",
+    "sequence_grammar", "sessionize", "source_quantile_norm",
+    "table_merge_sessions", "token_budget_select", "tool_latency_quantiles",
+    "tool_retry_stats", "type_share_drift",
+]
+# broadcast-joined ops: the dim/model side must broadcast — a sort-merge
+# or nested-loop fallback is a scale regression; no Python anywhere
+_BROADCAST_OPS = [
+    "bpe_encode", "classifier_calibration", "cohort_retention",
+    "contamination_check", "dedup_embedding_cosine", "dedup_incremental",
+    "funnel_conversion", "hist_percentiles", "jaccard_pairs",
+    "join_view_delta", "levenshtein_pairs", "loss_mask_spans",
+    "minhash_jaccard_estimate", "ngram_novelty", "number_freq_cosine",
+    "preference_pairs", "prefix_dedup", "record_linkage",
+    "salted_join_skew", "seasonal_anomaly", "seasonality_profile",
+    "section_assembly", "similarity_dispatch", "source_overlap_matrix",
+    "spatial_join", "split_leakage", "substring_dup_spans",
+    "temporal_dim_join", "token_packing_incremental", "tokenizer_fertility",
+    "url_canonicalize",
+]
+# keyed equi-join ops where a sort-merge join is the CORRECT scale shape
+# (both sides corpus-sized); pin only no-NLJ / no-Python
+_KEYED_EQUI = ["priority_merge", "rollup_incremental", "dedup_components",
+               "dedup_retention"]
+
+for _n in _PURE_EXPR_MAP:
+    RULES[_n] = ([], [r"Exchange", r"ArrowEvalPython"])
+for _n in _ARROW_MAP:
+    RULES[_n] = ([r"ArrowEvalPython"], [r"Exchange"])
+for _n in _PANDAS_MAP:
+    RULES[_n] = ([r"MapInPandas"], [r"Exchange"])
+for _n in _AGG_ONLY:
+    RULES[_n] = ([r"HashAggregate"],
+                 [r"Join", r"\bWindow\b", r"ArrowEvalPython"])
+for _n in _KEYED_WINDOW:
+    RULES[_n] = ([r"\bWindow\b"], [r"Join", r"ArrowEvalPython"])
+for _n in _BROADCAST_OPS:
+    RULES[_n] = ([r"BroadcastHashJoin"],
+                 [r"SortMergeJoin", r"BroadcastNestedLoopJoin",
+                  r"ArrowEvalPython"])
+for _n in _KEYED_EQUI:
+    RULES[_n] = ([], [r"BroadcastNestedLoopJoin", r"ArrowEvalPython"])
+
+# Queries where a BroadcastNestedLoopJoin is INTENTIONAL: exact baselines
+# (knn_cosine, margin_mining, ann_recall) or bounded 1-row combine
+# crossJoins (the logreg pattern). Everywhere else an NLJ is a scale bug
+# and fails the generic sweep.
+NLJ_ALLOWED = {
+    "knn_cosine", "margin_mining", "ann_recall", "logreg_quality",
+    "doc_keywords", "anchor_text_agg", "source_term_lift",
+    "expectation_suite", "funnel_steps", "join_cardinality_estimate",
+    "bitext_clean", "budget_apportion", "dedup_pair_audit", "kcore_peel",
+    "kmeans_assign", "session_depth_histogram", "survival_table",
+    "temperature_mixture",
+    # broadcast DATA-row crossJoins (1-row codebooks/centroid tables —
+    # the assign_broadcast pattern; plan stays O(1) in model size):
+    "pq_codes", "pq_adc_recall", "ann_ivfpq_recall",
+    # 1-row corpus-stat / totals / boundary combines (logreg pattern),
+    # audited sound in VERDICT r03's collect/NLJ sweep:
+    "bm25_top_k", "cooccurrence_pmi", "coverage_gaps",
+    "decayed_leaderboard", "dsir_select", "hll_merge",
+    "join_key_skew_profile", "mixture_resample", "purge_users",
+    "rfm_features", "search_snippets", "triangle_count",
+    "url_host_filter", "zorder_skipping",
+    # bounded top-K × top-K fusion lists (K=20 per system):
+    "rrf_fusion",
+}
+
+# Applied to EVERY registered query: no cartesian products, no
+# row-at-a-time Python UDFs, no cogrouped-Pandas nodes (the one cogroup
+# kernel is a test twin, not a registered query).
+GENERIC_FORBIDDEN = [r"CartesianProduct", r"BatchEvalPython",
+                     r"FlatMapCoGroupsInPandas"]
 
 # Ops built on the salted two-stage top-K: exactly two Window nodes (the
 # salted partial rank + the small final rank) and a pmod salt in the plan —
@@ -248,29 +416,49 @@ def main() -> int:
     failures = []
     queries = entry_mod.queries()
 
-    for name, (must, must_not) in RULES.items():
-        plan = plan_of(queries[name](spark, sf_dir))
-        for pat in FORBIDDEN_EVERYWHERE + must_not:
+    # Coverage audit: every registered query must carry a rule (a RULES
+    # entry or TWO_STAGE_RANK membership) on top of the generic sweep.
+    uncovered = sorted(set(queries) - set(RULES) - set(TWO_STAGE_RANK))
+    if uncovered:
+        failures.append(f"queries with no plan rule: {uncovered}")
+
+    for name in sorted(queries):
+        df = queries[name](spark, sf_dir)
+        plan = plan_of(df)
+        # generic sweep: applies to EVERY query
+        for pat in FORBIDDEN_EVERYWHERE + GENERIC_FORBIDDEN:
             if re.search(pat, plan, re.DOTALL):
                 failures.append(f"{name}: forbidden pattern {pat!r} in plan")
-        for pat in must:
-            if not re.search(pat, plan, re.DOTALL):
-                failures.append(f"{name}: required pattern {pat!r} missing")
+        if name not in NLJ_ALLOWED and re.search(
+            r"BroadcastNestedLoopJoin", plan
+        ):
+            failures.append(
+                f"{name}: BroadcastNestedLoopJoin present but not in "
+                f"NLJ_ALLOWED (unbounded nested loop at scale?)"
+            )
+        # specific shape rules
+        if name in RULES:
+            must, must_not = RULES[name]
+            for pat in must_not:
+                if re.search(pat, plan, re.DOTALL):
+                    failures.append(
+                        f"{name}: forbidden pattern {pat!r} in plan")
+            for pat in must:
+                if not re.search(pat, plan, re.DOTALL):
+                    failures.append(
+                        f"{name}: required pattern {pat!r} missing")
+        if name in TWO_STAGE_RANK:
+            n_windows = len(re.findall(r"\bWindow\b", plan_tree(df)))
+            if n_windows != 2:
+                failures.append(
+                    f"{name}: expected 2 Window nodes (salted partial rank"
+                    f" + final rank), found {n_windows}"
+                )
+            if not re.search(r"pmod", plan):
+                failures.append(
+                    f"{name}: salted partial rank missing (no pmod in plan)"
+                )
         print(f"checked {name}")
-
-    for name in TWO_STAGE_RANK:
-        df = queries[name](spark, sf_dir)
-        n_windows = len(re.findall(r"\bWindow\b", plan_tree(df)))
-        if n_windows != 2:
-            failures.append(
-                f"{name}: expected 2 Window nodes (salted partial rank + "
-                f"final rank), found {n_windows}"
-            )
-        if not re.search(r"pmod", plan_of(df)):
-            failures.append(
-                f"{name}: salted partial rank missing (no pmod in plan)"
-            )
-        print(f"checked {name} (windows={n_windows}, salted)")
 
     # Pipeline shape: exactly one Exchange (assembly regroup), one Arrow UDF
     # node (the kernel is evaluated once however many columns reference it),
