@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "decayed_leaderboard",
     "custom_source_scan",
     "daily_value_bands",
+    # round 4 additions
+    "image_repair",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an
@@ -205,8 +207,9 @@ CAP_OBSERVED = {
     "interval_overlap_join",
 }
 
-# v2: cache key versioned with the generator (round 3 added layout payloads)
-CORPUS_CACHE = "/tmp/spark_graft_bench/transcripts_v2_{n}_{seed}"
+# v3: cache key versioned with the generator (round 4 added markdown-image
+# pages for the image-aware repair route)
+CORPUS_CACHE = "/tmp/spark_graft_bench/transcripts_v3_{n}_{seed}"
 
 
 def ensure_corpus(spark, n_convs: int, seed: int = 42) -> str:

@@ -34,8 +34,13 @@ VALIDATION_TOKENS_PER_PAGE = 500
 BALANCE_TOLERANCE = 0.01
 USE_NUMERICAL_VALIDATION = True
 
-# Default-enabled problem detectors, 7 of 14
-# (reference: src/core/config.py:100 VALIDATION_PROBLEMS_ENABLED)
+# Default-enabled problem detectors, 8 of 14
+# (reference: src/core/config.py:100 VALIDATION_PROBLEMS_ENABLED — its
+# default list is the first 7; markdown_images is enabled here by default,
+# a deliberate deviation so the reference's image-specific validation
+# branch (validation_orchestrator.py:378-387, gated behind the same
+# enabled-set config) is routed out of the box: flagged pages carrying
+# image refs take the image-aware repair dialect, kernels/segment.py)
 DEFAULT_ENABLED_PROBLEMS = [
     "empty_tables",
     "low_content_density",
@@ -44,6 +49,7 @@ DEFAULT_ENABLED_PROBLEMS = [
     "garbled_text",
     "missing_keywords",
     "repetitive_numbers",
+    "markdown_images",
 ]
 
 ALL_PROBLEMS = [

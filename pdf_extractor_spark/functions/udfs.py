@@ -171,6 +171,16 @@ def simhash_udf(text: pd.Series) -> pd.Series:
     return text.map(lambda t: simhash64(t or ""))
 
 
+@pandas_udf(StringType())
+def repair_image_aware_udf(body: pd.Series) -> pd.Series:
+    """The image-specific repair dialect (kernels/segment.py
+    repair_page_image_aware): image-ref lines byte-exact, prose segments
+    through the plain repair kernel, blank-line image separation."""
+    from ..kernels.segment import repair_page_image_aware
+
+    return body.map(lambda t: repair_page_image_aware(t or ""))
+
+
 def _first_table_rows(md: str) -> List[List[str]]:
     from ..kernels.markdown_tables import parse_markdown_tables
 

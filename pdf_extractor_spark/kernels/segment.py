@@ -40,7 +40,7 @@ from ..config import (
     MAX_PDF_PAGES,
     VALIDATION_SIMILARITY_THRESHOLD,
 )
-from .detectors import detect_problems
+from .detectors import _MD_IMAGE_RE, detect_problems
 from .html_strip import extract_main_content
 from .layout import LAYOUT_PAYLOAD_PREFIX, MalformedLayout, layout_pages
 from .similarity import calculate_similarity
@@ -160,6 +160,39 @@ def repair_page(body: str) -> str:
     collapse 3+ newline runs to 2."""
     lines = [ln.rstrip() for ln in body.split("\n")]
     return _BLANK_RUN_RE.sub("\n\n", "\n".join(lines)).strip("\n")
+
+
+def repair_page_image_aware(body: str) -> str:
+    """Image-specific repair dialect. The reference swaps in image-specific
+    validation prompts when a page carries markdown images
+    (validation_orchestrator.py:378-387; handler workflow_orchestrator.py:39);
+    the local deterministic analogue: an image REFERENCE line is an opaque
+    asset pointer — its alt text / path must survive repair byte-exact — so
+    image lines are preserved verbatim (trailing whitespace included), the
+    plain repair kernel applies only to the prose segments between them, and
+    every image line is guaranteed blank-line separation so the ref still
+    renders as a block image after the blank-run collapse. With no image
+    line in the body this degenerates to ``repair_page`` exactly."""
+    lines = body.split("\n")
+    segments: List[Tuple[str, object]] = []
+    cur: List[str] = []
+    for ln in lines:
+        if _MD_IMAGE_RE.search(ln):
+            segments.append(("text", cur))
+            cur = []
+            segments.append(("img", ln))
+        else:
+            cur.append(ln)
+    segments.append(("text", cur))
+    parts: List[str] = []
+    for kind, seg in segments:
+        if kind == "img":
+            parts.append(seg)  # byte-exact
+        else:
+            repaired = repair_page("\n".join(seg))
+            if repaired:
+                parts.append(repaired)
+    return "\n\n".join(parts)
 
 
 HTML_MARKERS = ("<!doctype html", "<html")
@@ -293,11 +326,25 @@ def extract_turn(
             problems.append(f"page{idx}:{name}")
         final_body = page_body
         if detected:
-            alternative = repair_page(page_body)
+            # Image-specific repair dialect: the reference swaps in
+            # image-specific validation prompts whenever a flagged page
+            # carries markdown images (validation_orchestrator.py:378-387);
+            # here the image-aware kernel takes over and the ROUTE is
+            # marked distinctly (the analogue of the reference's "using
+            # custom validation prompts" branch) so routed behavior is
+            # observable downstream; adoption gets its own marker.
+            image_route = "markdown_images" in detected
+            if image_route:
+                problems.append(f"page{idx}:image_repair_route")
+                alternative = repair_page_image_aware(page_body)
+            else:
+                alternative = repair_page(page_body)
             similarity = calculate_similarity(page_body, alternative)
             if similarity < VALIDATION_SIMILARITY_THRESHOLD and alternative:
                 final_body = alternative
                 repaired.append(idx)
+                if image_route:
+                    problems.append(f"page{idx}:image_repaired")
         page_strings.append(format_page_header(idx) + final_body)
 
     combined, spans = combine_with_spans(page_strings)

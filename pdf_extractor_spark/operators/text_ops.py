@@ -1322,3 +1322,82 @@ ORACLES["span_corruption"] = f"""
     FROM pieces
     GROUP BY doc_id
 """
+
+
+# --- Image-aware repair dialect ---------------------------------------------------
+def q_image_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-specific repair dialect through the Arrow kernel
+    (kernels/segment.py:repair_page_image_aware — the local analogue of
+    the reference's image-specific validation prompts,
+    validation_orchestrator.py:378-387): page bodies are synthesized
+    deterministically from the documents table with messy whitespace, a
+    blank-run mess, and (for 2/3 of docs) a markdown image ref; the kernel
+    must preserve the image line BYTE-EXACT (trailing whitespace
+    included), repair the prose around it, and guarantee blank-line
+    separation — while the image-free third degenerates to the plain
+    repair kernel exactly. The oracle reconstructs the expected repaired
+    string independently in SQL.
+
+    Scale shape: one Arrow kernel map over the scan — zero shuffle; at
+    production this rides the extraction UDF's existing Arrow boundary.
+    Output: doc_id, has_image, body, repaired."""
+    from ..functions.udfs import repair_image_aware_udf
+
+    docs = _docs(spark, sf_dir)
+    # ascii-sanitized fragment (identical construction in the oracle:
+    # strip non-ascii BEFORE lower so both engines' lower() agree)
+    frag = F.trim(
+        F.lower(
+            F.regexp_replace(F.substring("text", 1, 60), "[^A-Za-z0-9 ]+", "")
+        )
+    )
+    did = F.col("doc_id").cast("string")
+    header = F.concat(F.lit("L1: "), frag, F.lit("   "))
+    img = F.concat(
+        F.lit("![chart "), did, F.lit("](figures/fig_"), did, F.lit(".png)  ")
+    )
+    tail = F.concat(F.lit("end "), frag, F.lit("\t"))
+    has_image = (F.col("doc_id") % 3 != 0).alias("has_image")
+    body = F.when(
+        F.col("doc_id") % 3 != 0,
+        F.concat(header, F.lit("\n\n\n\n"), img, F.lit("\n\n\n"), tail),
+    ).otherwise(F.concat(header, F.lit("\n\n\n\n"), tail))
+    return docs.select(
+        "doc_id",
+        has_image,
+        body.alias("body"),
+        repair_image_aware_udf(body).alias("repaired"),
+    )
+
+
+QUERIES["image_repair"] = q_image_repair
+
+ORACLES["image_repair"] = """
+    WITH f AS (
+        SELECT doc_id,
+               trim(lower(regexp_replace(substring(text, 1, 60),
+                                         '[^A-Za-z0-9 ]+', '', 'g'))) AS frag
+        FROM documents
+    ), parts AS (
+        SELECT doc_id, frag,
+               doc_id % 3 <> 0 AS has_image,
+               'L1: ' || frag || '   ' AS header,
+               '![chart ' || doc_id::VARCHAR || '](figures/fig_'
+                   || doc_id::VARCHAR || '.png)  ' AS img,
+               'end ' || frag || chr(9) AS tail,
+               rtrim('L1: ' || frag) AS seg1,
+               rtrim('end ' || frag || chr(9), ' ' || chr(9)) AS seg2
+        FROM f
+    )
+    SELECT doc_id, has_image,
+           CASE WHEN has_image
+                THEN header || chr(10)||chr(10)||chr(10)||chr(10) || img
+                     || chr(10)||chr(10)||chr(10) || tail
+                ELSE header || chr(10)||chr(10)||chr(10)||chr(10) || tail
+           END AS body,
+           CASE WHEN has_image
+                THEN seg1 || chr(10)||chr(10) || img || chr(10)||chr(10) || seg2
+                ELSE seg1 || chr(10)||chr(10) || seg2
+           END AS repaired
+    FROM parts
+"""

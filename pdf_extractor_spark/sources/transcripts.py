@@ -82,6 +82,15 @@ def _make_page(rng: random.Random, page_num: int) -> str:
         return (f"# Page {page_num}\n\n"
                 + _sentence(rng, 30, _WORDS) + f"\n\n| {n} | {n} | {n} |\n"
                 + _sentence(rng, 30, _WORDS))
+    if roll < 0.14:  # markdown image page -> the image-aware repair route
+        fig = rng.randint(1, 99)
+        # deliberately messy: trailing whitespace + blank runs around the
+        # image ref, so the image-aware repair has real work and its
+        # byte-exact-image / repaired-prose split is observable
+        return (f"# Page {page_num}   \n\n\n"
+                + _sentence(rng, rng.randint(10, 25), _WORDS) + "  \n\n\n\n"
+                + f"![chart {fig}](figures/fig_{fig}.png)  \n\n\n"
+                + _sentence(rng, rng.randint(10, 25), _WORDS))
     parts = [f"# Page {page_num}", _sentence(rng, rng.randint(20, 60), _WORDS)]
     if rng.random() < 0.7:
         parts.append(_make_table(rng, rng.randint(3, 12)))

@@ -285,7 +285,7 @@ _PURE_EXPR_MAP = [
 ]
 # one Arrow kernel, map-only (no shuffle)
 _ARROW_MAP = ["bidi_display", "extract_numbers_roundtrip", "language_id",
-              "parse_number_csv"]
+              "parse_number_csv", "image_repair"]
 # mapInPandas decode kernels, map-only (no shuffle)
 _PANDAS_MAP = ["frame_sample", "multimodal_features", "wav_payload_stats"]
 # keyed hash aggregation only: no joins, no windows, no Python

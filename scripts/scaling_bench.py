@@ -126,9 +126,12 @@ Method notes:
   (all-core frequency / memory-bandwidth ceiling) but 0.90 from 2->8, so
   2->8 is the range where job scaling is observable rather than masked by
   the box. At local[32] the same job still gets the best absolute
-  throughput: the driver-recorded figures are 156,441 turns/sec (r01) and
-  161,425 turns/sec (r02) in BENCH_r01.json/BENCH_r02.json — every number
-  here traces to a checked-in artifact.
+  throughput: the driver-recorded figures are 156,441 turns/sec (r01),
+  161,425 (r02), and 143,615 (r03) in BENCH_r0N.json; round-3 local
+  full-suite runs spanned 141k-227k turns/sec on the identical pipeline —
+  read the local[32] figure as a band whose spread is the host's bursty
+  background load, not the job. Every number traces to a checked-in
+  artifact.
 - the corpus is sized (~4M turns) so the job's fixed cost (~6s of driver /
   stage-scheduling overhead, independent of parallelism — measured by an
   Amdahl fit over local[1/2/4/8]) is negligible against compute; at the
@@ -143,6 +146,18 @@ Method notes:
 - ~95% of turns are plain text and never cross the Arrow boundary: the
   JVM router nulls their UDF input and synthesizes their result struct
   with built-in expressions.
+- round 4 on, the generator also emits markdown-image pages (the
+  image-aware repair route), so r04+ corpora differ slightly in content
+  (same turn counts) from r01-r03; throughput comparisons across that
+  boundary carry the usual noise-band caveat.
+- **bench.py headline (round 4 on):** the driver-recorded
+  `extracted_turns_per_sec` uses this file's interleaved best-of protocol:
+  four full-pipeline samples spread across the whole bench window, all
+  recorded in the artifact's `samples: [...]`, `value` = best-of.
+- **bench.py product path (round 4 on):** the artifact also carries
+  `curate_turns_per_sec` / `curate_sec` / `curate_packed_sec` plus
+  `curate_stage_secs` (per-stage wall-time from timing each cumulative
+  stage prefix once — read comparatively, not as precision figures).
 """)
     print(json.dumps({"low": low, "high": high, "efficiency": round(eff, 3)}))
 
