@@ -190,6 +190,12 @@ BENCH_QUERIES = [
     "daily_value_bands",
     # round 4 additions
     "image_repair",
+    "conv_window_pack",
+    "length_bucket_batches",
+    "winnow_fingerprints",
+    "luhn_card_audit",
+    "kappa_agreement",
+    "shard_assign",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -1355,3 +1355,71 @@ ORACLES["decayed_leaderboard"] = f"""
     FROM scores
     QUALIFY rk <= {DECAY_TOP_K}
 """
+
+
+# --- Inter-annotator agreement (round 4) -------------------------------------------
+KAPPA_CHARS = 800
+KAPPA_WORDS = 130
+
+
+def q_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic document labelers (a
+    char-length gate and a word-count gate) — the dataset-QA statistic
+    for "do two quality raters agree beyond chance". All-integer: kappa
+    = (po - pe) / (1 - pe) cleared to one permille division,
+    kappa_permille = 1000*(N*agree - pe_num) div (N^2 - pe_num) with
+    pe_num = a1*b1 + a0*b0. One aggregate pass over the scan — the same
+    plan at any corpus size.
+
+    Output: n, n_a1, n_b1, n_agree, po_permille, kappa_permille."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    a = (F.length("text") >= KAPPA_CHARS).cast("long")
+    b = (
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+        >= KAPPA_WORDS
+    ).cast("long")
+    agg = docs.select(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("n_a1"),
+        F.sum("b").alias("n_b1"),
+        F.sum((F.col("a") == F.col("b")).cast("long")).alias("n_agree"),
+    )
+    return agg.select(
+        "n",
+        "n_a1",
+        "n_b1",
+        "n_agree",
+        F.expr("n_agree * 1000 div nullif(n, 0)").alias("po_permille"),
+        F.expr(
+            "coalesce((n * n_agree - (n_a1 * n_b1 + (n - n_a1) * (n - n_b1)))"
+            " * 1000 div nullif(n * n - (n_a1 * n_b1 + (n - n_a1)"
+            " * (n - n_b1)), 0), -9999)"
+        ).alias("kappa_permille"),
+    )
+
+
+QUERIES["kappa_agreement"] = q_kappa_agreement
+
+ORACLES["kappa_agreement"] = f"""
+    WITH l AS (
+        SELECT (length(text) >= {KAPPA_CHARS})::BIGINT AS a,
+               (len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) >= {KAPPA_WORDS})::BIGINT AS b
+        FROM documents
+    ), s AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(a)::BIGINT AS n_a1,
+               sum(b)::BIGINT AS n_b1,
+               sum((a = b)::BIGINT)::BIGINT AS n_agree
+        FROM l
+    )
+    SELECT n, n_a1, n_b1, n_agree,
+           (n_agree * 1000 // nullif(n, 0))::BIGINT AS po_permille,
+           coalesce((n * n_agree - (n_a1 * n_b1 + (n - n_a1) * (n - n_b1)))
+               * 1000 // nullif(n * n - (n_a1 * n_b1
+                   + (n - n_a1) * (n - n_b1)), 0), -9999)::BIGINT
+               AS kappa_permille
+    FROM s
+"""

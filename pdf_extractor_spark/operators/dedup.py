@@ -1771,3 +1771,147 @@ ORACLES["source_overlap_matrix"] = _DUCK_SHINGLES.replace(
     JOIN sizes za ON za.source = source_a
     JOIN sizes zb ON zb.source = source_b
 """
+
+
+# --- Winnowing fingerprints (round 4) ----------------------------------------------
+WIN_W = 4           # winnowing window over consecutive shingle hashes
+WIN_POS_BITS = 20   # position packed into the low bits for rightmost ties
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS algorithm): word 3-shingle hashes, and from every
+    window of WIN_W consecutive hashes the minimum is selected (ties to
+    the RIGHTMOST position, the paper's rule), giving a position-robust
+    fingerprint set with guaranteed density >= 1/WIN_W. The tie-break
+    rides a single packed integer — key = h * 2^20 + (2^20-1-pos) — so
+    one plain ``min`` window implements (min hash, rightmost pos) in both
+    engines with no struct comparison (positions bounded by 2^20 per doc;
+    a longer doc would raise WIN_POS_BITS — a constant, not a scan).
+
+    Scale shape: posexplode -> ONE per-doc bounded window (min over
+    WIN_W-1 following rows) -> distinct -> digest-keyed corpus count for
+    the sharing signal -> keyed join-backs. No self-joins, no global
+    windows. Output per doc: doc_id, n_shingles, n_windows, n_fps,
+    density_permille, n_shared (fingerprint hashes seen in >= 2 docs)."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    pos_mod = 1 << WIN_POS_BITS
+    sh = docs.select(
+        "doc_id", F.posexplode(_positional_shingles_col()).alias("pos", "sh")
+    ).select(
+        "doc_id",
+        "pos",
+        (
+            F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+            * pos_mod
+            + (F.lit(pos_mod - 1) - F.col("pos"))
+        ).alias("key"),
+    )
+    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WIN_W - 1)
+    n_sh = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    fps = (
+        sh.withColumn("mk", F.min("key").over(wmin))
+        .join(n_sh, "doc_id")
+        .where(F.col("pos") <= F.col("n_shingles") - WIN_W)
+        .select(
+            "doc_id",
+            F.expr(f"mk DIV {pos_mod}").alias("h"),
+            (F.lit(pos_mod - 1) - F.col("mk") % pos_mod).alias("fp_pos"),
+        )
+        .distinct()
+    )
+    fp_hashes = fps.select("doc_id", "h").distinct()
+    hot = (
+        fp_hashes.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    shared = (
+        fp_hashes.join(hot, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    per_doc = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+    return (
+        docs.select("doc_id")
+        .join(n_sh, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.greatest(
+                F.coalesce("n_shingles", F.lit(0)) - (WIN_W - 1),
+                F.lit(0).cast("long"),
+            ).alias("n_windows"),
+            F.coalesce("n_fps", F.lit(0)).alias("n_fps"),
+            F.expr(
+                "coalesce(coalesce(n_fps, 0) * 1000 div "
+                f"nullif(greatest(coalesce(n_shingles, 0) - {WIN_W - 1}, 0),"
+                " 0), -1)"
+            ).alias("density_permille"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        )
+    )
+
+
+QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
+
+ORACLES["winnow_fingerprints"] = f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), sh AS MATERIALIZED (
+        SELECT doc_id,
+               ss.s AS pos,
+               ('0x' || substring(
+                    md5(array_to_string(t[ss.s + 1: ss.s + 3], ' ')),
+                    1, 8))::BIGINT * {1 << WIN_POS_BITS}
+                   + ({(1 << WIN_POS_BITS) - 1} - ss.s) AS key
+        FROM toks,
+             LATERAL (SELECT unnest(range(0, greatest(len(t) - 2, 0)))
+                      AS s) ss
+    ), ns AS (
+        SELECT doc_id, count(*)::BIGINT AS n_shingles FROM sh GROUP BY doc_id
+    ), mins AS (
+        SELECT sh.doc_id, sh.pos,
+               min(key) OVER (PARTITION BY sh.doc_id ORDER BY sh.pos
+                              ROWS BETWEEN CURRENT ROW
+                              AND {WIN_W - 1} FOLLOWING) AS mk,
+               ns.n_shingles
+        FROM sh JOIN ns USING (doc_id)
+    ), fps AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               mk // {1 << WIN_POS_BITS} AS h,
+               {(1 << WIN_POS_BITS) - 1} - (mk % {1 << WIN_POS_BITS})
+                   AS fp_pos
+        FROM mins WHERE pos <= n_shingles - {WIN_W}
+    ), fph AS MATERIALIZED (
+        SELECT DISTINCT doc_id, h FROM fps
+    ), hot AS (
+        SELECT h FROM fph GROUP BY h HAVING count(*) >= 2
+    ), shr AS (
+        SELECT doc_id, count(*)::BIGINT AS n_shared
+        FROM fph JOIN hot USING (h) GROUP BY doc_id
+    ), pd AS (
+        SELECT doc_id, count(*)::BIGINT AS n_fps FROM fps GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(ns.n_shingles, 0)::BIGINT AS n_shingles,
+           greatest(coalesce(ns.n_shingles, 0) - {WIN_W - 1}, 0)::BIGINT
+               AS n_windows,
+           coalesce(pd.n_fps, 0)::BIGINT AS n_fps,
+           coalesce(coalesce(pd.n_fps, 0) * 1000
+               // nullif(greatest(coalesce(ns.n_shingles, 0) - {WIN_W - 1},
+                                  0), 0), -1)::BIGINT AS density_permille,
+           coalesce(shr.n_shared, 0)::BIGINT AS n_shared
+    FROM documents d
+    LEFT JOIN ns ON ns.doc_id = d.doc_id
+    LEFT JOIN pd ON pd.doc_id = d.doc_id
+    LEFT JOIN shr ON shr.doc_id = d.doc_id
+"""

@@ -561,3 +561,225 @@ ORACLES["loss_mask_spans"] = f"""
             FROM rr GROUP BY seq, run, trainable
         )
 """
+
+
+# --- Conversation context-window packing (round 4) --------------------------------
+CONV_TURNS = 5          # documents grouped into 5-turn conversations
+CONV_WINDOW = 96        # context-window token budget
+
+_TURN_PACK_ACC = (
+    "struct<win:bigint,fill:bigint,"
+    "out:array<struct<turn_idx:int,n:bigint,trunc:boolean,"
+    "win:bigint,off:bigint>>>"
+)
+
+
+def q_conv_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-turn conversations packed into fixed context windows WITHOUT
+    splitting a turn — the transcript counterpart of GPT concat-and-chunk:
+    a turn that would overflow the current window starts the next one, and
+    an oversize turn (> window) is capped to a full window of its own with
+    a truncation flag (the SFT context-packing rule, vs token_packing's
+    mid-document cuts). Documents adapt to conversations deterministically
+    (conv = doc_id DIV 5, turn order = doc_id; ids are non-negative so
+    truncating DIV == floor on both engines).
+
+    The greedy fill is a NON-associative per-conversation scan, so it runs
+    as one fold over the conversation's own turn array (collect_list +
+    F.aggregate — state bounded by turns-per-conversation, never
+    corpus-sized; the production bound is the context multiple, tens of
+    turns). One keyed shuffle total; the fold itself is a pure expression.
+
+    Output per turn: conv, turn_idx, n_tokens (capped), truncated, win_id
+    (0-based within conv), win_offset."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    w = CONV_WINDOW
+    turns = docs.select(
+        F.expr(f"doc_id DIV {CONV_TURNS}").alias("conv"),
+        (F.col("doc_id") % CONV_TURNS).cast("int").alias("turn_idx"),
+        F.least(
+            token_count_expr(F.col("text")).cast("long"), F.lit(w)
+        ).alias("t"),
+        (token_count_expr(F.col("text")) > w).alias("trunc"),
+    )
+    grouped = turns.groupBy("conv").agg(
+        F.sort_array(
+            F.collect_list(F.struct("turn_idx", "t", "trunc"))
+        ).alias("arr")
+    )
+
+    def fold(acc, e):
+        fits = (acc["fill"] + e["t"]) <= F.lit(w)
+        return F.struct(
+            F.when(fits, acc["win"]).otherwise(acc["win"] + 1).alias("win"),
+            F.when(fits, acc["fill"] + e["t"]).otherwise(e["t"]).alias("fill"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        e["turn_idx"].alias("turn_idx"),
+                        e["t"].alias("n"),
+                        e["trunc"].alias("trunc"),
+                        F.when(fits, acc["win"])
+                        .otherwise(acc["win"] + 1)
+                        .alias("win"),
+                        F.when(fits, acc["fill"])
+                        .otherwise(F.lit(0).cast("long"))
+                        .alias("off"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    init = F.expr(
+        "named_struct('win', 0L, 'fill', 0L, 'out', "
+        "CAST(array() AS array<struct<turn_idx:int,n:bigint,trunc:boolean,"
+        "win:bigint,off:bigint>>))"
+    )
+    packed = grouped.select(
+        "conv",
+        F.explode(
+            F.aggregate(F.col("arr"), init, fold, lambda a: a["out"])
+        ).alias("p"),
+    )
+    return packed.select(
+        "conv",
+        F.col("p.turn_idx").alias("turn_idx"),
+        F.col("p.n").alias("n_tokens"),
+        F.col("p.trunc").alias("truncated"),
+        F.col("p.win").alias("win_id"),
+        F.col("p.off").alias("win_offset"),
+    )
+
+
+QUERIES["conv_window_pack"] = q_conv_window_pack
+
+# Oracle: the greedy fill replayed as a per-conversation recursive CTE
+# joined on the turn ordinal (the lateness_audit replay pattern).
+ORACLES["conv_window_pack"] = f"""
+    WITH turns AS MATERIALIZED (
+        SELECT doc_id // {CONV_TURNS} AS conv,
+               (doc_id % {CONV_TURNS})::INT AS turn_idx,
+               least(len(list_filter(
+                   string_split(regexp_replace(text,
+                       '([A-Za-z]+|\\d+|[^\\sA-Za-z\\d])', '\\1 ', 'g'),
+                       ' '),
+                   x -> trim(x) <> ''))::BIGINT, {CONV_WINDOW}) AS t,
+               len(list_filter(
+                   string_split(regexp_replace(text,
+                       '([A-Za-z]+|\\d+|[^\\sA-Za-z\\d])', '\\1 ', 'g'),
+                       ' '),
+                   x -> trim(x) <> '')) > {CONV_WINDOW} AS trunc,
+               row_number() OVER (
+                   PARTITION BY doc_id // {CONV_TURNS}
+                   ORDER BY doc_id
+               ) AS rn
+        FROM documents
+    ), r AS (
+        WITH RECURSIVE rec AS (
+            SELECT conv, rn, turn_idx, t, trunc,
+                   0::BIGINT AS win, t AS fill, 0::BIGINT AS off
+            FROM turns WHERE rn = 1
+            UNION ALL
+            SELECT n.conv, n.rn, n.turn_idx, n.t, n.trunc,
+                   CASE WHEN rec.fill + n.t <= {CONV_WINDOW}
+                        THEN rec.win ELSE rec.win + 1 END,
+                   CASE WHEN rec.fill + n.t <= {CONV_WINDOW}
+                        THEN rec.fill + n.t ELSE n.t END,
+                   CASE WHEN rec.fill + n.t <= {CONV_WINDOW}
+                        THEN rec.fill ELSE 0::BIGINT END
+            FROM rec JOIN turns n
+              ON n.conv = rec.conv AND n.rn = rec.rn + 1
+        )
+        SELECT * FROM rec
+    )
+    SELECT conv, turn_idx, t AS n_tokens, trunc AS truncated,
+           win AS win_id, off AS win_offset
+    FROM r
+"""
+
+
+# --- Length-bucketed inference batching (round 4) ---------------------------------
+LB_WIDTH = 32    # token-length bucket width
+LB_BATCH = 8     # docs per inference batch
+LB_MAX_BUCKET = 15
+
+
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic batching — the inference/scoring-side
+    counterpart of training packing: docs bucket by token length
+    (width-{LB_WIDTH} buckets, capped), batch within their bucket in
+    (length desc, doc_id) order, and each batch reports its PADDING WASTE
+    (batch is padded to its longest member) — the metric that justifies
+    length bucketing at all. Windows are bucket-partitioned (bounded
+    skew: a bucket is a length class, never a single hot key at corpus
+    scale — and the rank is per-bucket, not global).
+
+    Output per batch: bucket, batch_id, n_docs, max_tokens, sum_tokens,
+    pad_waste, waste_permille."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", token_count_expr(F.col("text")).cast("long").alias("n")
+    ).withColumn(
+        "bucket",
+        F.least(
+            F.expr(f"n DIV {LB_WIDTH}"), F.lit(LB_MAX_BUCKET).cast("long")
+        ),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("n"), "doc_id")
+    ranked = t.withColumn("rk", F.row_number().over(w)).withColumn(
+        "batch_id", F.expr(f"(rk - 1) DIV {LB_BATCH}").cast("long")
+    )
+    return (
+        ranked.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n").alias("max_tokens"),
+            F.sum("n").alias("sum_tokens"),
+            (F.count(F.lit(1)) * F.max("n") - F.sum("n")).alias("pad_waste"),
+        )
+        .withColumn(
+            "waste_permille",
+            F.expr(
+                "coalesce(pad_waste * 1000 div "
+                "nullif(n_docs * max_tokens, 0), -1)"
+            ),
+        )
+    )
+
+
+QUERIES["length_bucket_batches"] = q_length_bucket_batches
+
+ORACLES["length_bucket_batches"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(list_filter(
+                   string_split(regexp_replace(text,
+                       '([A-Za-z]+|\\d+|[^\\sA-Za-z\\d])', '\\1 ', 'g'),
+                       ' '),
+                   x -> trim(x) <> ''))::BIGINT AS n
+        FROM documents
+    ), b AS (
+        SELECT doc_id, n,
+               least(n // {LB_WIDTH}, {LB_MAX_BUCKET}) AS bucket
+        FROM t
+    ), r AS (
+        SELECT bucket, n,
+               (row_number() OVER (PARTITION BY bucket
+                                   ORDER BY n DESC, doc_id) - 1)
+                   // {LB_BATCH} AS batch_id
+        FROM b
+    )
+    SELECT bucket, batch_id,
+           count(*)::BIGINT AS n_docs,
+           max(n) AS max_tokens,
+           sum(n)::BIGINT AS sum_tokens,
+           (count(*) * max(n) - sum(n))::BIGINT AS pad_waste,
+           coalesce((count(*) * max(n) - sum(n)) * 1000
+               // nullif(count(*) * max(n), 0), -1)::BIGINT AS waste_permille
+    FROM r GROUP BY bucket, batch_id
+"""

@@ -1635,3 +1635,64 @@ ORACLES["pareto_front"] = """
                OR q.uniq_permille > p.uniq_permille)
     )
 """
+
+
+# --- Luhn checksum card audit (round 4) --------------------------------------------
+def q_luhn_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn (mod-10) checksum validation of card-shaped numbers — the
+    precision stage behind PII card redaction: a 16-digit match is only a
+    real card candidate if its check digit verifies, cutting the false-
+    positive rate on order ids / timestamps that merely LOOK like cards.
+    Candidates are synthesized deterministically from order keys (last
+    digit = o_orderkey % 10, so ~1/10 verify). The checksum is a pure
+    integer fold over a bounded 16-position sequence — JVM-side
+    ``aggregate(sequence(...))``, no Python, no shuffle.
+
+    Output: order_key, card, luhn_valid."""
+    from . import load
+
+    orders = load(spark, sf_dir, "orders")
+    card = F.concat(
+        F.lpad(
+            ((F.col("o_orderkey") * 7919 + 12345) % F.lit(10**15))
+            .cast("string"),
+            15,
+            "0",
+        ),
+        (F.col("o_orderkey") % 10).cast("string"),
+    )
+    luhn_sum = (
+        "aggregate(sequence(0, 15), 0, (acc, i) -> acc + "
+        "CASE WHEN i % 2 = 1 THEN "
+        "  IF(2 * (ascii(substring(card, 16 - i, 1)) - 48) > 9, "
+        "     2 * (ascii(substring(card, 16 - i, 1)) - 48) - 9, "
+        "     2 * (ascii(substring(card, 16 - i, 1)) - 48)) "
+        "ELSE ascii(substring(card, 16 - i, 1)) - 48 END)"
+    )
+    return (
+        orders.select(F.col("o_orderkey").alias("order_key"),
+                      card.alias("card"))
+        .withColumn("luhn_valid", F.expr(f"({luhn_sum}) % 10 = 0"))
+    )
+
+
+QUERIES["luhn_card_audit"] = q_luhn_card_audit
+
+ORACLES["luhn_card_audit"] = """
+    WITH c AS (
+        SELECT o_orderkey AS order_key,
+               lpad(((o_orderkey * 7919 + 12345)
+                     % 1000000000000000)::VARCHAR, 15, '0')
+                   || (o_orderkey % 10)::VARCHAR AS card
+        FROM orders
+    ), digits AS (
+        SELECT order_key, card, ii.i AS i,
+               ascii(substring(card, 16 - ii.i, 1)) - 48 AS d
+        FROM c, LATERAL (SELECT unnest(range(0, 16)) AS i) ii
+    )
+    SELECT order_key, any_value(card) AS card,
+           sum(CASE WHEN i % 2 = 1
+                    THEN CASE WHEN 2 * d > 9 THEN 2 * d - 9 ELSE 2 * d END
+                    ELSE d END) % 10 = 0 AS luhn_valid
+    FROM digits GROUP BY order_key
+"""

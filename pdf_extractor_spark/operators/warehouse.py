@@ -1080,3 +1080,95 @@ ORACLES["custom_source_scan"] = f"""
     FROM src WHERE n_bytes < 500
     GROUP BY part
 """
+
+
+# --- Rendezvous-hash shard assignment (round 4) ------------------------------------
+HRW_SHARDS = 8
+
+
+def _hrw_key(did, s: int):
+    """Packed rendezvous weight for (doc, shard): md5-derived 32-bit weight
+    in the high bits, (15 - s) in the low nibble so an (astronomically
+    unlikely) weight tie resolves to the SMALLER shard id under max()."""
+    w = F.conv(
+        F.substring(F.md5(F.concat(did, F.lit(f":{s}"))), 1, 8), 16, 10
+    ).cast("long")
+    return w * 16 + (15 - s)
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment — the layout
+    primitive for distributing a 100 TB corpus over N stores: every doc
+    hashes once per shard and takes the argmax, so adding a shard moves
+    only ~1/(N+1) of the keys (measured here: the same docs re-assigned
+    under {HRW_SHARDS}+1 shards, per-shard moved counts reported) — the
+    property consistent-hashing buys over mod-N's full reshuffle. The
+    weight table is S bounded expressions per row (a pure map), the
+    argmax a packed-integer array_max; per-shard stats are one hash
+    aggregate; shares ride a window over the <= {HRW_SHARDS}-row
+    aggregated frame (bounded, the drift-rows pattern).
+
+    Output per shard: shard, n_docs, share_permille, n_moved,
+    moved_permille."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    k8 = F.array(*[_hrw_key(did, s) for s in range(HRW_SHARDS)])
+    k9 = F.array(*[_hrw_key(did, s) for s in range(HRW_SHARDS + 1)])
+    assigned = docs.select(
+        (15 - F.array_max(k8) % 16).cast("long").alias("shard"),
+        (15 - F.array_max(k9) % 16).cast("long").alias("shard9"),
+    )
+    per = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("shard") != F.col("shard9")).cast("long")
+        ).alias("n_moved"),
+    )
+    from pyspark.sql import Window as W
+
+    total = F.sum("n_docs").over(W.partitionBy())
+    return per.select(
+        "shard",
+        "n_docs",
+        F.expr(
+            "n_docs * 1000 div nullif(sum(n_docs) over (), 0)"
+        ).alias("share_permille"),
+        "n_moved",
+        F.expr("n_moved * 1000 div nullif(n_docs, 0)").alias(
+            "moved_permille"
+        ),
+    )
+
+
+QUERIES["shard_assign"] = q_shard_assign
+
+_HRW8_DUCK = ", ".join(
+    f"(('0x' || substring(md5(doc_id::VARCHAR || ':{s}'), 1, 8))::BIGINT"
+    f" * 16 + {15 - s})"
+    for s in range(HRW_SHARDS)
+)
+_HRW9_DUCK = ", ".join(
+    f"(('0x' || substring(md5(doc_id::VARCHAR || ':{s}'), 1, 8))::BIGINT"
+    f" * 16 + {15 - s})"
+    for s in range(HRW_SHARDS + 1)
+)
+
+ORACLES["shard_assign"] = f"""
+    WITH a AS (
+        SELECT (15 - greatest({_HRW8_DUCK}) % 16)::BIGINT AS shard,
+               (15 - greatest({_HRW9_DUCK}) % 16)::BIGINT AS shard9
+        FROM documents
+    ), per AS (
+        SELECT shard, count(*)::BIGINT AS n_docs,
+               sum((shard <> shard9)::BIGINT)::BIGINT AS n_moved
+        FROM a GROUP BY shard
+    )
+    SELECT shard, n_docs,
+           (n_docs * 1000 // nullif(sum(n_docs) OVER (), 0))::BIGINT
+               AS share_permille,
+           n_moved,
+           (n_moved * 1000 // nullif(n_docs, 0))::BIGINT AS moved_permille
+    FROM per
+"""

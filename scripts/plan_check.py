@@ -270,6 +270,13 @@ RULES = {
     "minhash_signatures": ([], [r"Join", r"ArrowEvalPython"]),
     "ann_ivf_trained": ([r"BroadcastHashJoin"],
                         [r"BroadcastNestedLoopJoin", r"ArrowEvalPython"]),
+    # round-4 ops: winnowing = per-doc bounded window + keyed join-backs;
+    # shard_assign = pure map + one agg + a <=8-row share window
+    "winnow_fingerprints": ([r"\bWindow\b", r"HashAggregate"],
+                            [r"ArrowEvalPython",
+                             r"BroadcastNestedLoopJoin"]),
+    "shard_assign": ([r"HashAggregate", r"\bWindow\b"],
+                     [r"Join", r"ArrowEvalPython"]),
 }
 
 # --- Template rule groups (round 4): every registered query gets a shape
@@ -281,7 +288,7 @@ _PURE_EXPR_MAP = [
     "base64_roundtrip", "blocklist_filter", "detector_flags", "fingerprint",
     "gopher_quality", "page_header", "pii_redact", "quality_features",
     "safe_filename", "sampling_filter", "span_corruption", "workflow_router",
-    "bpe_fit", "bradley_terry",
+    "bpe_fit", "bradley_terry", "luhn_card_audit",
 ]
 # one Arrow kernel, map-only (no shuffle)
 _ARROW_MAP = ["bidi_display", "extract_numbers_roundtrip", "language_id",
@@ -297,7 +304,7 @@ _AGG_ONLY = [
     "json_extract_profile", "kmeans_fit", "markdown_render",
     "ordered_concat", "page_assembly", "partition_digest",
     "status_breakdown", "status_rollup", "tumbling_window",
-    "validation_cost",
+    "validation_cost", "conv_window_pack", "kappa_agreement",
 ]
 # per-key window ops: join-free, no Python
 _KEYED_WINDOW = [
@@ -307,7 +314,7 @@ _KEYED_WINDOW = [
     "position_attribution", "rate_spike_detect", "scd2_asof",
     "sequence_grammar", "sessionize", "source_quantile_norm",
     "table_merge_sessions", "token_budget_select", "tool_latency_quantiles",
-    "tool_retry_stats", "type_share_drift",
+    "tool_retry_stats", "type_share_drift", "length_bucket_batches",
 ]
 # broadcast-joined ops: the dim/model side must broadcast — a sort-merge
 # or nested-loop fallback is a scale regression; no Python anywhere

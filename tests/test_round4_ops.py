@@ -1,0 +1,124 @@
+"""Round-4 operator invariants: conversation context packing, winnowing
+fingerprints, Luhn audit, rendezvous shard balance."""
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.dedup import WIN_W, q_winnow_fingerprints
+from pdf_extractor_spark.operators.packing import (
+    CONV_WINDOW,
+    q_conv_window_pack,
+)
+from pdf_extractor_spark.operators.text_analysis import q_luhn_card_audit
+from pdf_extractor_spark.operators.warehouse import (
+    HRW_SHARDS,
+    q_shard_assign,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_conv_window_pack_invariants(spark):
+    rows = q_conv_window_pack(spark, SF_DIR).collect()
+    assert rows
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r["conv"], []).append(r)
+    for conv, turns in by_conv.items():
+        turns.sort(key=lambda r: r["turn_idx"])
+        # windows fill greedily: offsets are exact running sums within a
+        # window, never exceed the budget, and a new window starts at 0
+        fill, win = 0, 0
+        for t in turns:
+            assert 0 < t["n_tokens"] <= CONV_WINDOW
+            if t["truncated"]:
+                assert t["n_tokens"] == CONV_WINDOW
+            if t["win_id"] != win:
+                assert t["win_id"] == win + 1, "windows must be consecutive"
+                assert t["win_offset"] == 0
+                # the turn must NOT have fit in the previous window
+                assert fill + t["n_tokens"] > CONV_WINDOW
+                win, fill = t["win_id"], t["n_tokens"]
+            else:
+                assert t["win_offset"] == fill
+                fill += t["n_tokens"]
+                assert fill <= CONV_WINDOW
+
+
+def test_winnowing_density_guarantee(spark):
+    rows = q_winnow_fingerprints(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r["n_windows"] > 0:
+            # every window contributes a fingerprint; dedup can only merge,
+            # so density is between 1/w and 1 (Schleimer guarantee)
+            assert r["n_fps"] >= (r["n_windows"] + WIN_W - 1) // WIN_W
+            assert r["n_fps"] <= r["n_windows"]
+            assert 0 <= r["n_shared"] <= r["n_fps"]
+        else:
+            assert r["n_fps"] == 0 and r["density_permille"] == -1
+
+
+def _luhn_ok(card: str) -> bool:
+    s = 0
+    for i, ch in enumerate(reversed(card)):
+        d = int(ch)
+        if i % 2 == 1:
+            d = 2 * d
+            if d > 9:
+                d -= 9
+        s += d
+    return s % 10 == 0
+
+
+def test_luhn_matches_reference_python(spark):
+    rows = q_luhn_card_audit(spark, SF_DIR).collect()
+    assert rows
+    n_valid = 0
+    for r in rows:
+        assert len(r["card"]) == 16 and r["card"].isdigit()
+        assert r["luhn_valid"] == _luhn_ok(r["card"]), r["card"]
+        n_valid += int(r["luhn_valid"])
+    # last digit spans 0-9 deterministically -> roughly 1/10 verify
+    assert 0 < n_valid < len(rows)
+
+
+def test_shard_assign_matches_python_hrw_and_balances(spark):
+    rows = {r["shard"]: r for r in q_shard_assign(spark, SF_DIR).collect()}
+    assert set(rows) == set(range(HRW_SHARDS))
+    total = sum(r["n_docs"] for r in rows.values())
+    moved = sum(r["n_moved"] for r in rows.values())
+    # rendezvous guarantee: adding shard 9 moves ~1/9 of keys (wide band
+    # for the small test corpus)
+    assert 0 < moved / total < 0.30
+    # python reference on a sample of doc ids
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    sample = [int(x) for x in ids["doc_id"].to_pylist()[:50]]
+
+    def hrw(did, n):
+        best = None
+        for s in range(n):
+            w = int(hashlib.md5(f"{did}:{s}".encode()).hexdigest()[:8], 16)
+            k = w * 16 + (15 - s)
+            if best is None or k > best[0]:
+                best = (k, s)
+        return best[1]
+
+    from collections import Counter
+
+    py_counts = Counter(hrw(d, HRW_SHARDS) for d in sample)
+    # direct re-derivation through Spark on the same 50 ids
+    df = spark.createDataFrame([(d,) for d in sample], "doc_id long")
+    from pdf_extractor_spark.operators.warehouse import _hrw_key
+
+    k8 = F.array(*[_hrw_key(F.col("doc_id").cast("string"), s)
+                   for s in range(HRW_SHARDS)])
+    got = Counter(
+        r["s"] for r in df.select(
+            (15 - F.array_max(k8) % 16).cast("int").alias("s")
+        ).collect()
+    )
+    assert got == py_counts
