@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "luhn_card_audit",
     "kappa_agreement",
     "shard_assign",
+    "simhash_hamming_pairs",
+    "context_truncate",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an
@@ -211,6 +213,7 @@ CAP_OBSERVED = {
     "semantic_dedup",
     "dedup_pair_audit",
     "interval_overlap_join",
+    "simhash_hamming_pairs",
 }
 
 # v3: cache key versioned with the generator (round 4 added markdown-image

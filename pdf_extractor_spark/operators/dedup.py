@@ -1915,3 +1915,146 @@ ORACLES["winnow_fingerprints"] = f"""
     LEFT JOIN pd ON pd.doc_id = d.doc_id
     LEFT JOIN shr ON shr.doc_id = d.doc_id
 """
+
+
+# --- SimHash Hamming near-dup pairs (round 4) ---------------------------------------
+SH_COPY_MOD = 25
+SH_COPY_OFFSET = 10_000_000
+SH_HAM_MAX = 3
+SH_BANDS = 4  # 4 x 16-bit bands over the 64-bit simhash
+
+
+def q_simhash_hamming_pairs(
+    spark: SparkSession, sf_dir: str, observation=None
+) -> DataFrame:
+    """SimHash near-dup retrieval, end to end: banded candidate generation
+    (any shared 16-bit band of the 64-bit simhash — by pigeonhole every
+    pair within Hamming distance 3 shares at least one of 4 bands, so
+    recall at the target radius is structural, not probabilistic) followed
+    by exact Hamming verification (``bit_count(a XOR b) <= {SH_HAM_MAX}``).
+    Near-duplicates are PLANTED deterministically (every {SH_COPY_MOD}th
+    doc re-enters with one appended word at doc_id + {SH_COPY_OFFSET}) so
+    the operator's output is non-trivial and the planted recall is
+    observable. Buckets ride the shared DF-cut (``_capped_buckets``) and
+    in-bucket pair generation — never a self-join; the simhash itself is
+    the Arrow kernel (full 64-bit md5-vote simhash), which the oracle
+    replays bit-for-bit in SQL.
+
+    Output: doc_a, doc_b, hamming."""
+    from . import load
+    from ..functions.udfs import simhash_udf
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % SH_COPY_MOD == 0).select(
+        (F.col("doc_id") + SH_COPY_OFFSET).alias("doc_id"),
+        F.concat("text", F.lit(" zq")).alias("text"),
+    )
+    sims = docs.unionByName(planted).select(
+        "doc_id", simhash_udf(F.col("text")).alias("sim")
+    )
+    bands = sims.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned("sim", 16 * b)
+                    .bitwiseAND(F.lit(65535))
+                    .alias("h"),
+                )
+                for b in range(SH_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "sim", F.col("bk.band").alias("band"),
+             F.col("bk.h").alias("h"))
+    buckets = _capped_buckets(
+        bands.groupBy("band", "h").agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "sim"))
+            ).alias("ids")
+        ),
+        observation,
+    )
+    pairs = (
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.sim").alias("sim_a"),
+            F.col("p.b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+            ).cast("long"),
+        )
+        .where(F.col("hamming") <= SH_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+QUERIES["simhash_hamming_pairs"] = q_simhash_hamming_pairs
+
+ORACLES["simhash_hamming_pairs"] = f"""
+    WITH corpus AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {SH_COPY_OFFSET}, text || ' zq'
+        FROM documents WHERE doc_id % {SH_COPY_MOD} = 0
+    ), words AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM corpus
+    ), votes AS (
+        SELECT doc_id, r.bit,
+               sum(CASE WHEN ((
+                     strpos('0123456789abcdef',
+                            substr(md5(w), 16 - r.bit // 4, 1)) - 1
+                   ) >> (r.bit % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM words, LATERAL (SELECT unnest(range(0, 64)) AS bit) r
+        GROUP BY doc_id, r.bit
+    ), keys0 AS (
+        SELECT doc_id, bit // 16 AS band,
+               sum(CASE WHEN v > 0
+                        THEN 1 << (bit % 16) ELSE 0 END)::BIGINT AS key
+        FROM votes GROUP BY doc_id, bit // 16
+    ), bandkeys AS MATERIALIZED (
+        -- wordless docs simhash to 0: key 0 in every band
+        SELECT c.doc_id, b.band, coalesce(k.key, 0) AS key
+        FROM (SELECT doc_id FROM corpus) c
+        CROSS JOIN (SELECT unnest(range(0, {SH_BANDS})) AS band) b
+        LEFT JOIN keys0 k ON k.doc_id = c.doc_id AND k.band = b.band
+    ), ok_buckets AS (
+        SELECT band, key FROM bandkeys
+        GROUP BY band, key HAVING count(*) BETWEEN 2 AND {MAX_BUCKET_DOCS}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bandkeys a
+        JOIN ok_buckets o ON o.band = a.band AND o.key = a.key
+        JOIN bandkeys b ON b.band = a.band AND b.key = a.key
+                       AND b.doc_id > a.doc_id
+    ), wide AS (
+        SELECT doc_id,
+               max(CASE WHEN band = 0 THEN key END) AS k0,
+               max(CASE WHEN band = 1 THEN key END) AS k1,
+               max(CASE WHEN band = 2 THEN key END) AS k2,
+               max(CASE WHEN band = 3 THEN key END) AS k3
+        FROM bandkeys GROUP BY doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           (bit_count(xor(x.k0, y.k0)) + bit_count(xor(x.k1, y.k1))
+            + bit_count(xor(x.k2, y.k2))
+            + bit_count(xor(x.k3, y.k3)))::BIGINT AS hamming
+    FROM cand c
+    JOIN wide x ON x.doc_id = c.doc_a
+    JOIN wide y ON y.doc_id = c.doc_b
+    WHERE bit_count(xor(x.k0, y.k0)) + bit_count(xor(x.k1, y.k1))
+          + bit_count(xor(x.k2, y.k2)) + bit_count(xor(x.k3, y.k3))
+          <= {SH_HAM_MAX}
+"""

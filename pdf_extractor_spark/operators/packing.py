@@ -783,3 +783,75 @@ ORACLES["length_bucket_batches"] = f"""
                // nullif(count(*) * max(n), 0), -1)::BIGINT AS waste_permille
     FROM r GROUP BY bucket, batch_id
 """
+
+
+# --- Chat-context truncation (round 4) ----------------------------------------------
+CTX_BUDGET = 192
+
+
+def q_context_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chat-completion truncation rule: keep the SYSTEM turn (turn 0)
+    plus the longest TRAILING run of turns that fits the context budget —
+    the policy every serving stack applies when a conversation outgrows
+    the window (drop the middle, never the system prompt or the latest
+    exchange). Conversations adapt from documents as in conv_window_pack
+    (conv = doc_id DIV {CONV_TURNS}).
+
+    Pure window form: a turn i >= 1 keeps iff sys_tokens + (reverse
+    cumulative tokens from the tail through i) fits the budget — one
+    per-conv window ordered DESC plus a per-conv max for the system turn;
+    no fold needed because trailing-run membership is monotone in i.
+
+    Output per turn: conv, turn_idx, n_tokens, kept."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    turns = docs.select(
+        F.expr(f"doc_id DIV {CONV_TURNS}").alias("conv"),
+        (F.col("doc_id") % CONV_TURNS).cast("int").alias("turn_idx"),
+        token_count_expr(F.col("text")).cast("long").alias("t"),
+    )
+    w_all = Window.partitionBy("conv")
+    w_rev = (
+        Window.partitionBy("conv")
+        .orderBy(F.desc("turn_idx"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sys_t = F.max(F.when(F.col("turn_idx") == 0, F.col("t"))).over(w_all)
+    rev = F.sum(F.when(F.col("turn_idx") >= 1, F.col("t")).otherwise(0)).over(
+        w_rev
+    )
+    return turns.select(
+        "conv",
+        "turn_idx",
+        F.col("t").alias("n_tokens"),
+        (
+            (F.col("turn_idx") == 0)
+            | (F.coalesce(sys_t, F.lit(0)) + rev <= CTX_BUDGET)
+        ).alias("kept"),
+    )
+
+
+QUERIES["context_truncate"] = q_context_truncate
+
+ORACLES["context_truncate"] = f"""
+    WITH turns AS (
+        SELECT doc_id // {CONV_TURNS} AS conv,
+               (doc_id % {CONV_TURNS})::INT AS turn_idx,
+               len(list_filter(
+                   string_split(regexp_replace(text,
+                       '([A-Za-z]+|\\d+|[^\\sA-Za-z\\d])', '\\1 ', 'g'),
+                       ' '),
+                   x -> trim(x) <> ''))::BIGINT AS t
+        FROM documents
+    )
+    SELECT conv, turn_idx, t AS n_tokens,
+           (turn_idx = 0 OR
+            coalesce(max(CASE WHEN turn_idx = 0 THEN t END)
+                         OVER (PARTITION BY conv), 0)
+            + sum(CASE WHEN turn_idx >= 1 THEN t ELSE 0 END)
+                  OVER (PARTITION BY conv ORDER BY turn_idx DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            <= {CTX_BUDGET}) AS kept
+    FROM turns
+"""

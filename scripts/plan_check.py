@@ -275,6 +275,10 @@ RULES = {
     "winnow_fingerprints": ([r"\bWindow\b", r"HashAggregate"],
                             [r"ArrowEvalPython",
                              r"BroadcastNestedLoopJoin"]),
+    # simhash kernel -> banded buckets -> in-bucket pair gen: the Arrow
+    # node IS the hash; joins would mean the pair gen degraded to self-join
+    "simhash_hamming_pairs": ([r"ArrowEvalPython", r"HashAggregate"],
+                              [r"Join"]),
     "shard_assign": ([r"HashAggregate", r"\bWindow\b"],
                      [r"Join", r"ArrowEvalPython"]),
 }
@@ -315,6 +319,7 @@ _KEYED_WINDOW = [
     "sequence_grammar", "sessionize", "source_quantile_norm",
     "table_merge_sessions", "token_budget_select", "tool_latency_quantiles",
     "tool_retry_stats", "type_share_drift", "length_bucket_batches",
+    "context_truncate",
 ]
 # broadcast-joined ops: the dim/model side must broadcast — a sort-merge
 # or nested-loop fallback is a scale regression; no Python anywhere

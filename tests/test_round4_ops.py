@@ -122,3 +122,69 @@ def test_shard_assign_matches_python_hrw_and_balances(spark):
         ).collect()
     )
     assert got == py_counts
+
+
+def test_simhash_hamming_finds_planted_dups(spark):
+    from pdf_extractor_spark.operators.dedup import (
+        SH_COPY_MOD,
+        SH_COPY_OFFSET,
+        SH_HAM_MAX,
+        q_simhash_hamming_pairs,
+    )
+    from pdf_extractor_spark.kernels.textstats import hamming64, simhash64
+    import pyarrow.parquet as pq
+
+    rows = q_simhash_hamming_pairs(spark, SF_DIR).collect()
+    assert rows
+    planted = {(r["doc_a"], r["doc_b"]) for r in rows
+               if r["doc_b"] - r["doc_a"] == SH_COPY_OFFSET}
+    assert planted, "no planted near-dups recovered"
+    for r in rows:
+        assert 0 <= r["hamming"] <= SH_HAM_MAX
+    # cross-check a few hammings against the pure-Python kernel
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    for r in rows[:5]:
+        a = texts[r["doc_a"] % SH_COPY_OFFSET]
+        if r["doc_a"] >= SH_COPY_OFFSET:
+            a += " zq"
+        b = texts[r["doc_b"] % SH_COPY_OFFSET]
+        if r["doc_b"] >= SH_COPY_OFFSET:
+            b += " zq"
+        assert hamming64(simhash64(a), simhash64(b)) == r["hamming"]
+    assert SH_COPY_MOD  # fixture constant stays wired
+
+
+def test_context_truncate_policy(spark):
+    from pdf_extractor_spark.operators.packing import (
+        CTX_BUDGET,
+        q_context_truncate,
+    )
+
+    rows = q_context_truncate(spark, SF_DIR).collect()
+    assert rows
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r["conv"], []).append(r)
+    n_trunc = 0
+    for conv, turns in by_conv.items():
+        turns.sort(key=lambda r: r["turn_idx"])
+        assert turns[0]["turn_idx"] == 0 and turns[0]["kept"]
+        sys_t = turns[0]["n_tokens"]
+        kept_tail = [t for t in turns[1:] if t["kept"]]
+        dropped = [t for t in turns[1:] if not t["kept"]]
+        # kept non-system turns are a SUFFIX of the conversation
+        if kept_tail and dropped:
+            assert max(d["turn_idx"] for d in dropped) < min(
+                k["turn_idx"] for k in kept_tail
+            )
+            n_trunc += 1
+        # the kept tail fits the budget...
+        assert sys_t + sum(t["n_tokens"] for t in kept_tail) <= CTX_BUDGET \
+            or not kept_tail
+        # ...and is maximal: adding the last dropped turn would overflow
+        if dropped:
+            assert sys_t + sum(t["n_tokens"] for t in kept_tail) \
+                + dropped[-1]["n_tokens"] > CTX_BUDGET
+    assert n_trunc > 0, "fixture must exercise actual truncation"
