@@ -117,16 +117,32 @@ def shingles(text: str, k: int = 3) -> List[str]:
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over word features using md5-derived feature hashes
-    (deterministic across platforms). Signed int64."""
-    counts = [0] * 64
-    for word in text.split():
-        h = int(hashlib.md5(word.encode("utf-8")).hexdigest()[:16], 16)
-        for bit in range(64):
-            counts[bit] += 1 if (h >> bit) & 1 else -1
-    out = 0
-    for bit in range(64):
-        if counts[bit] > 0:
-            out |= 1 << bit
+    (deterministic across platforms). Signed int64.
+
+    Vectorized bit votes (round 4): the per-word md5 stays a Python loop
+    (hashlib has no batch API), but the 64 per-bit ±1 votes ride one numpy
+    broadcast instead of 64 Python ops per word — identical values, ~10x
+    on long documents (the simhash_udf hot path)."""
+    words = text.split()
+    if not words:
+        return 0
+    import numpy as np
+
+    hs = np.array(
+        [
+            int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
+            for w in words
+        ],
+        dtype=np.uint64,
+    )
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    counts = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    out = int(
+        (
+            (counts > 0).astype(np.uint64)
+            << np.arange(64, dtype=np.uint64)
+        ).sum(dtype=np.uint64)
+    )
     return out - (1 << 64) if out >= (1 << 63) else out
 
 

@@ -399,19 +399,30 @@ def repetition_filters(docs: DataFrame) -> DataFrame:
     )
 
     def gram_entries(n: int) -> F.Column:
-        # sequence(1, n_words-n+1) descends when n_words < n — guard with
-        # an empty array so short docs contribute no grams.
-        idx = F.when(
-            F.size("ws") >= n,
-            F.sequence(F.lit(1), F.size("ws") - (n - 1)),
-        ).otherwise(F.array().cast("array<int>"))
-        return F.transform(
-            idx,
-            lambda i: F.struct(
+        # Shifted-zip gram build (the _positional_shingles_col pattern
+        # generalized): n slices of the words array happen ONCE per doc,
+        # not once per gram — the previous per-element F.slice inside the
+        # transform lambda was the interpreted-HOF re-slice tax (62s of
+        # the 83s curate run at 1M turns; ~2x off on long conversations).
+        # All zip inputs are expressions so arrays_zip names them "0".."k".
+        ws = F.col("ws")
+        m = F.size(ws)
+        shifted = [
+            F.slice(ws, k + 1, F.greatest(m - k, F.lit(0)))
+            for k in range(n)
+        ]
+        z = F.arrays_zip(*shifted)
+        grams = F.transform(
+            z,
+            lambda s: F.struct(
                 F.lit(n).alias("n"),
-                F.array_join(F.slice("ws", i, n), " ").alias("gram"),
+                F.concat_ws(
+                    " ", *[s[str(k)] for k in range(n)]
+                ).alias("gram"),
             ),
         )
+        # cut the trailing arrays_zip pad entries (partial grams)
+        return F.slice(grams, 1, F.greatest(m - (n - 1), F.lit(0)))
 
     all_grams = words.select(
         "doc_id",

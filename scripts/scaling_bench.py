@@ -128,10 +128,14 @@ Method notes:
   the box. At local[32] the same job still gets the best absolute
   throughput: the driver-recorded figures are 156,441 turns/sec (r01),
   161,425 (r02), and 143,615 (r03) in BENCH_r0N.json; round-3 local
-  full-suite runs spanned 141k-227k turns/sec on the identical pipeline —
-  read the local[32] figure as a band whose spread is the host's bursty
-  background load, not the job. Every number traces to a checked-in
-  artifact.
+  full-suite runs spanned 141k-227k turns/sec on the identical pipeline,
+  and the round-4 full-suite run measured 214,816 turns/sec (interleaved
+  best-of-4 samples [5.845, 4.685, 5.099, 6.767] s —
+  BENCH/r04_local_full_suite.json, which also carries the curate
+  product-path numbers: 12,098 turns/sec end-to-end with a per-stage
+  breakdown) — read the local[32] figure as a band whose spread is the
+  host's bursty background load, not the job. Every number traces to a
+  checked-in artifact.
 - the corpus is sized (~4M turns) so the job's fixed cost (~6s of driver /
   stage-scheduling overhead, independent of parallelism — measured by an
   Amdahl fit over local[1/2/4/8]) is negligible against compute; at the
