@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "shard_assign",
     "simhash_hamming_pairs",
     "context_truncate",
+    "robots_rules_filter",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an

@@ -472,3 +472,88 @@ ORACLES["url_canonicalize"] = f"""
     SELECT c.doc_id, c.url, c.url_canon, n.n_variants
     FROM canon c JOIN counts n USING (url_canon)
 """
+
+
+# --- robots-style longest-prefix URL rules (round 4) --------------------------------
+# 1 = allow, 0 = deny; LONGEST matching prefix wins (the Google robots.txt
+# precedence rule). "/" matches everything, so every URL gets a verdict.
+ROBOTS_RULES = [
+    ("/", 1),
+    ("/en/", 0),
+    ("/en/cat1/", 1),
+    ("/de/", 0),
+    ("/de/cat3/", 1),
+    ("/fr/cat2/", 0),
+]
+
+
+def q_robots_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt-style crawl gating: each URL path is checked against a
+    prefix rule table and the LONGEST matching prefix decides allow/deny
+    (the standard precedence rule). Paths synthesize deterministically
+    from the documents table (the URL_EXPR fixture pattern), rules are a
+    bounded in-plan table.
+
+    Scale shape: instead of a prefix-predicate join (which would plan as
+    a nested loop), each path EXPLODES its own directory prefixes
+    (bounded by path depth — here 3) and equi-joins the broadcast rule
+    table on the exact prefix string; the winner is one per-doc max over
+    a (length, allow, prefix) struct. At 10^12 URLs this is a pure map +
+    broadcast equi-join + hash aggregate.
+
+    Output: doc_id, path, rule_prefix, allow."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    path = F.expr("concat('/', lang, '/cat', doc_id % 7, '/doc-', doc_id)")
+    pref = F.array(
+        F.lit("/"),
+        F.expr("concat('/', lang, '/')"),
+        F.expr("concat('/', lang, '/cat', doc_id % 7, '/')"),
+    )
+    exploded = docs.select(
+        "doc_id", path.alias("path"), F.explode(pref).alias("prefix")
+    )
+    rules = spark.createDataFrame(ROBOTS_RULES, "prefix string, allow int")
+    hits = exploded.join(F.broadcast(rules), "prefix")
+    best = hits.groupBy("doc_id").agg(
+        F.any_value(F.col("path")).alias("path"),
+        F.max(
+            F.struct(
+                F.length("prefix").alias("l"),
+                F.col("allow").alias("a"),
+                F.col("prefix").alias("p"),
+            )
+        ).alias("m"),
+    )
+    return best.select(
+        "doc_id",
+        "path",
+        F.col("m.p").alias("rule_prefix"),
+        (F.col("m.a") == 1).alias("allow"),
+    )
+
+
+QUERIES["robots_rules_filter"] = q_robots_rules_filter
+
+_ROBOTS_VALUES = ", ".join(f"('{p}', {a})" for p, a in ROBOTS_RULES)
+
+ORACLES["robots_rules_filter"] = f"""
+    WITH rules AS (
+        SELECT * FROM (VALUES {_ROBOTS_VALUES}) r(prefix, allow)
+    ), d AS (
+        SELECT doc_id,
+               '/' || lang || '/cat' || (doc_id % 7)::VARCHAR
+                   || '/doc-' || doc_id::VARCHAR AS path,
+               unnest(['/',
+                       '/' || lang || '/',
+                       '/' || lang || '/cat' || (doc_id % 7)::VARCHAR || '/'
+                      ]) AS prefix
+        FROM documents
+    )
+    SELECT doc_id, any_value(path) AS path,
+           arg_max(r.prefix, length(r.prefix)) AS rule_prefix,
+           arg_max(r.allow, length(r.prefix)) = 1 AS allow
+    FROM d JOIN rules r USING (prefix)
+    GROUP BY doc_id
+"""

@@ -281,6 +281,11 @@ RULES = {
                               [r"Join"]),
     "shard_assign": ([r"HashAggregate", r"\bWindow\b"],
                      [r"Join", r"ArrowEvalPython"]),
+    # prefix rules equi-join the broadcast rule table on the exploded
+    # directory prefixes — a prefix-predicate NLJ here is the regression
+    "robots_rules_filter": ([r"BroadcastHashJoin", r"HashAggregate"],
+                            [r"BroadcastNestedLoopJoin", r"SortMergeJoin",
+                             r"ArrowEvalPython"]),
 }
 
 # --- Template rule groups (round 4): every registered query gets a shape
