@@ -283,7 +283,8 @@ RULES = {
                      [r"Join", r"ArrowEvalPython"]),
     # prefix rules equi-join the broadcast rule table on the exploded
     # directory prefixes — a prefix-predicate NLJ here is the regression
-    "robots_rules_filter": ([r"BroadcastHashJoin", r"HashAggregate"],
+    # (struct-max winner -> SortAggregate, so pin "Aggregate" generically)
+    "robots_rules_filter": ([r"BroadcastHashJoin", r"Aggregate"],
                             [r"BroadcastNestedLoopJoin", r"SortMergeJoin",
                              r"ArrowEvalPython"]),
 }
