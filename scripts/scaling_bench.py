@@ -132,7 +132,10 @@ Method notes:
   and the round-4 full-suite run measured 214,816 turns/sec (interleaved
   best-of-4 samples [5.845, 4.685, 5.099, 6.767] s —
   BENCH/r04_local_full_suite.json, which also carries the curate
-  product-path numbers: 12,098 turns/sec end-to-end with a per-stage
+  product-path numbers: 12,098 turns/sec end-to-end; the post-perf-work
+  refresh BENCH/r04_local_full_suite_b.json measured 185,219 turns/sec
+  headline and curate 15,727 turns/sec (64.0 s — the shifted-zip
+  repetition-gram rewrite) over 177 benched queries with a per-stage
   breakdown) — read the local[32] figure as a band whose spread is the
   host's bursty background load, not the job. Every number traces to a
   checked-in artifact.
