@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "simhash_hamming_pairs",
     "context_truncate",
     "robots_rules_filter",
+    "containment_pairs",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an
@@ -215,6 +216,7 @@ CAP_OBSERVED = {
     "dedup_pair_audit",
     "interval_overlap_join",
     "simhash_hamming_pairs",
+    "containment_pairs",
 }
 
 # v3: cache key versioned with the generator (round 4 added markdown-image

@@ -2059,3 +2059,125 @@ ORACLES["simhash_hamming_pairs"] = f"""
           + bit_count(xor(x.k2, y.k2)) + bit_count(xor(x.k3, y.k3))
           <= {SH_HAM_MAX}
 """
+
+
+# --- Asymmetric shingle containment (round 4) ---------------------------------------
+CONT_COPY_MOD = 30
+CONT_COPY_OFFSET = 20_000_000
+CONT_COPY_WORDS = 40
+CONT_MIN_PERMILLE = 500
+
+
+def q_containment_pairs(
+    spark: SparkSession, sf_dir: str, observation=None
+) -> DataFrame:
+    """Asymmetric set CONTAINMENT over shingle-bucket candidates — the
+    quote / sub-document duplication signal Jaccard misses: a short doc
+    fully embedded in a long one has tiny Jaccard but containment ~1.0 on
+    the short side (|A∩B| / |A|). Candidates come from the same certified
+    capped shingle buckets as ngram_jaccard_pairs (one pass carries each
+    doc's shingle-set size alongside every shingle row — no self-join);
+    pairs keep both directions in exact integer permille and survive when
+    either side's containment reaches CONT_MIN_PERMILLE. Sub-document
+    duplication is PLANTED (every {CONT_COPY_MOD}th doc re-enters
+    truncated to its first {CONT_COPY_WORDS} words at doc_id +
+    {CONT_COPY_OFFSET}) so recovery is observable.
+
+    Output: doc_a, doc_b, n_shared, cont_a_permille, cont_b_permille."""
+    from . import load
+    from ..functions.expressions import word_shingles_expr
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    trunc = docs.where(F.col("doc_id") % CONT_COPY_MOD == 0).select(
+        (F.col("doc_id") + CONT_COPY_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.filter(F.split("text", r"\s+"), lambda x: x != ""),
+                1,
+                CONT_COPY_WORDS,
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(trunc)
+    sh = corpus.select(
+        "doc_id", word_shingles_expr(F.col("text")).alias("shingles")
+    ).select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("sh"),
+    )
+    buckets = _capped_buckets(
+        sh.groupBy("sh").agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "n_sh"))
+            ).alias("ids")
+        ),
+        observation,
+    )
+    pairs = buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+    shared = pairs.groupBy(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.a.n_sh").alias("na"),
+        F.col("p.b.n_sh").alias("nb"),
+    ).agg(F.count(F.lit(1)).alias("n_shared"))
+    out = shared.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        F.expr("n_shared * 1000 div nullif(na, 0)").alias("cont_a_permille"),
+        F.expr("n_shared * 1000 div nullif(nb, 0)").alias("cont_b_permille"),
+    )
+    return out.where(
+        F.greatest("cont_a_permille", "cont_b_permille")
+        >= CONT_MIN_PERMILLE
+    )
+
+
+QUERIES["containment_pairs"] = q_containment_pairs
+
+ORACLES["containment_pairs"] = f"""
+    WITH corpus AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {CONT_COPY_OFFSET},
+               array_to_string(list_slice(
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> ''), 1, {CONT_COPY_WORDS}), ' ')
+        FROM documents WHERE doc_id % {CONT_COPY_MOD} = 0
+    ), words AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS ws
+        FROM corpus
+    ), shl AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) = 0 THEN []
+                    WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                         i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+               END AS shingles
+        FROM words
+    ), ex AS MATERIALIZED (
+        SELECT doc_id, len(shingles)::BIGINT AS n_sh, unnest(shingles) AS sh
+        FROM shl
+    ), ok_sh AS (
+        SELECT sh FROM ex GROUP BY sh
+        HAVING count(*) BETWEEN 2 AND {MAX_BUCKET_DOCS}
+    ), cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_sh AS na, b.n_sh AS nb,
+               count(*)::BIGINT AS n_shared
+        FROM ex a
+        JOIN ok_sh o ON o.sh = a.sh
+        JOIN ex b ON b.sh = a.sh AND b.doc_id > a.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, n_shared,
+           (n_shared * 1000 // nullif(na, 0))::BIGINT AS cont_a_permille,
+           (n_shared * 1000 // nullif(nb, 0))::BIGINT AS cont_b_permille
+    FROM cand
+    WHERE greatest(n_shared * 1000 // nullif(na, 0),
+                   n_shared * 1000 // nullif(nb, 0)) >= {CONT_MIN_PERMILLE}
+"""

@@ -283,6 +283,10 @@ RULES = {
                      [r"Join", r"ArrowEvalPython"]),
     # prefix rules equi-join the broadcast rule table on the exploded
     # directory prefixes — a prefix-predicate NLJ here is the regression
+    # containment rides the same capped shingle buckets as ngram_jaccard —
+    # joins would mean the in-bucket pair generation degraded to self-join
+    "containment_pairs": ([r"HashAggregate"],
+                          [r"Join", r"ArrowEvalPython", r"\bWindow\b"]),
     # (struct-max winner -> SortAggregate, so pin "Aggregate" generically)
     "robots_rules_filter": ([r"BroadcastHashJoin", r"Aggregate"],
                             [r"BroadcastNestedLoopJoin", r"SortMergeJoin",

@@ -188,3 +188,24 @@ def test_context_truncate_policy(spark):
             assert sys_t + sum(t["n_tokens"] for t in kept_tail) \
                 + dropped[-1]["n_tokens"] > CTX_BUDGET
     assert n_trunc > 0, "fixture must exercise actual truncation"
+
+
+def test_containment_recovers_planted_truncations(spark):
+    from pdf_extractor_spark.operators.dedup import (
+        CONT_COPY_MOD,
+        CONT_COPY_OFFSET,
+        q_containment_pairs,
+    )
+
+    rows = q_containment_pairs(spark, SF_DIR).collect()
+    assert rows
+    planted = [r for r in rows if r["doc_b"] - r["doc_a"] == CONT_COPY_OFFSET]
+    assert planted, "no planted truncated copies recovered"
+    for r in planted:
+        # the truncated copy's shingles are (near-)fully contained in the
+        # original: the copy side's containment must be high
+        assert max(r["cont_a_permille"], r["cont_b_permille"]) >= 900
+    for r in rows:
+        assert 0 <= r["cont_a_permille"] <= 1000
+        assert 0 <= r["cont_b_permille"] <= 1000
+    assert CONT_COPY_MOD  # fixture constant stays wired
