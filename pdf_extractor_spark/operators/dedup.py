@@ -1799,6 +1799,19 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     pos_mod = 1 << WIN_POS_BITS
+    # Overflow guard: the packed key reserves WIN_POS_BITS low bits for the
+    # (reversed) position; a doc with >= 2^WIN_POS_BITS shingles would make
+    # (pos_mod-1 - pos) negative and silently corrupt the extracted
+    # hash/position on BOTH engines — fail loudly instead (raise
+    # WIN_POS_BITS for such corpora; it is a constant, not a scan).
+    pos_checked = F.when(F.col("pos") < pos_mod, F.col("pos")).otherwise(
+        F.raise_error(
+            F.lit(
+                "winnow_fingerprints: document has >= 2^"
+                f"{WIN_POS_BITS} shingles — raise WIN_POS_BITS"
+            )
+        )
+    )
     sh = docs.select(
         "doc_id", F.posexplode(_positional_shingles_col()).alias("pos", "sh")
     ).select(
@@ -1807,7 +1820,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
             * pos_mod
-            + (F.lit(pos_mod - 1) - F.col("pos"))
+            + (F.lit(pos_mod - 1) - pos_checked)
         ).alias("key"),
     )
     wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WIN_W - 1)

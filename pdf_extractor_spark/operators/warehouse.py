@@ -1126,9 +1126,6 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("shard") != F.col("shard9")).cast("long")
         ).alias("n_moved"),
     )
-    from pyspark.sql import Window as W
-
-    total = F.sum("n_docs").over(W.partitionBy())
     return per.select(
         "shard",
         "n_docs",

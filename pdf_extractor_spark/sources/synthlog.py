@@ -197,6 +197,20 @@ class ManifestSinkWriter(DataSourceWriter):
     def __init__(self, options, overwrite: bool):
         self.path = options["path"]
         self.overwrite = overwrite
+        # Per-write version (driver-side, monotone from the live manifest):
+        # part files are named part-v{version}-{pid}, so a new write NEVER
+        # mutates or collides with files the live manifest references —
+        # overwrite can therefore publish the new manifest FIRST (the
+        # commit point for manifest-readers) and delete stale parts after.
+        prev = _os.path.join(self.path, "manifest.json")
+        ver = 0
+        if _os.path.exists(prev):
+            try:
+                with open(prev) as fh:
+                    ver = int(_json.load(fh).get("version", 0))
+            except (ValueError, OSError, KeyError):
+                ver = 0
+        self.version = ver + 1
 
     def write(self, iterator) -> _FileCommit:
         import pyarrow as pa
@@ -207,7 +221,9 @@ class ManifestSinkWriter(DataSourceWriter):
         rows = [r.asDict() for r in iterator]
         staging = _os.path.join(self.path, "_staging")
         _os.makedirs(staging, exist_ok=True)
-        fname = _os.path.join(staging, f"part-{pid:05d}.parquet")
+        fname = _os.path.join(
+            staging, f"part-v{self.version:04d}-{pid:05d}.parquet"
+        )
         cols = {}
         if rows:
             for k in rows[0]:
@@ -218,18 +234,15 @@ class ManifestSinkWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import shutil as _shutil
 
-        keep = {
-            _os.path.basename(m.path)
-            for m in messages
-            if m is not None and m.n_rows > 0
-        }
-        # mode("overwrite"): this write REPLACES the dataset — drop any
-        # part files from a previous write so a directory-listing reader
-        # never sees old and new data mixed beside the fresh manifest.
-        if self.overwrite and _os.path.isdir(self.path):
-            for f in _os.listdir(self.path):
-                if f.startswith("part-") and f not in keep:
-                    _os.remove(_os.path.join(self.path, f))
+        # Publish order (crash-safe at every boundary): (1) move the new
+        # versioned parts into place — their names collide with nothing the
+        # live manifest references, so the old dataset stays fully readable;
+        # (2) atomically swap in the new manifest.json — THE commit point;
+        # (3) only then delete parts the new manifest doesn't list. A crash
+        # before (2) leaves the old manifest + all its files intact (new
+        # parts are unreferenced debris, removed by the next successful
+        # write's step 3); a crash after (2) leaves a valid new dataset
+        # with stale-part debris that manifest-readers never consult.
         final = []
         for m in messages:
             if m is None or m.n_rows == 0:
@@ -238,6 +251,7 @@ class ManifestSinkWriter(DataSourceWriter):
             _os.replace(m.path, dest)
             final.append({"file": _os.path.basename(dest), "n_rows": m.n_rows})
         manifest = {
+            "version": self.version,
             "files": sorted(final, key=lambda f: f["file"]),
             "total_rows": sum(f["n_rows"] for f in final),
         }
@@ -245,6 +259,15 @@ class ManifestSinkWriter(DataSourceWriter):
         with open(tmp, "w") as fh:
             _json.dump(manifest, fh)
         _os.replace(tmp, _os.path.join(self.path, "manifest.json"))
+        # mode("overwrite"): this write REPLACES the dataset — drop any
+        # part files from previous writes (and this write's own debris,
+        # e.g. abandoned earlier versions) so a directory-listing reader
+        # never sees old and new data mixed beside the fresh manifest.
+        if self.overwrite:
+            keep = {f["file"] for f in final}
+            for f in _os.listdir(self.path):
+                if f.startswith("part-") and f not in keep:
+                    _os.remove(_os.path.join(self.path, f))
         # zero-row staged files (and the staging dir itself) are debris
         # once the manifest is durable.
         _shutil.rmtree(_os.path.join(self.path, "_staging"),

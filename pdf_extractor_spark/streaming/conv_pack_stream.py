@@ -5,8 +5,15 @@
 (turn_idx, n_tokens) pairs seen so far — integers only, never text, so per-
 conversation state is a few bytes per turn (unlike the assembly operator,
 which must hold raw turn text). Each micro-batch merges its new turns and
-emits a REFRESHED full packing snapshot for the conversation (update mode;
-the latest snapshot per conv is the final packing). Re-packing from the
+emits a REFRESHED full packing snapshot for the conversation (update mode).
+READ RULE: per conversation, take the snapshot with the MAX ``snap_n_turns``
+— NOT merely the latest. The two differ only after timeout eviction: a turn
+arriving after its conversation's state was evicted rebuilds from empty and
+emits a snapshot covering only the post-eviction turns; ``snap_n_turns``
+makes that partial snapshot visibly smaller so readers prefer the complete
+one (tests/test_streaming_conv_pack.py reads exactly this way). A corpus
+where post-eviction stragglers are expected belongs on the batch path
+(``q_conv_window_pack``), as with stateful assembly. Re-packing from the
 sorted pair list on every update is what makes out-of-order arrival exact:
 the greedy fill is order-sensitive and non-associative, so a late turn can
 shift every later placement — an incremental (win, fill) cursor would be

@@ -98,7 +98,8 @@ def main() -> None:
     assert not fsio.committed(spark, out2)
     r2 = rows_of(incremental_lsh_pairs(b2, store, pairs_output=out2))
     assert fsio.committed(spark, out2)
-    assert not os.path.exists(f"{out2}/part-00000-debris.parquet") or True
+    assert not os.path.exists(f"{out2}/part-00000-debris.parquet"), \
+        "crashed-attempt debris must be removed by the committed overwrite"
     print(f"  batch2: crashed-attempt debris overwritten, {len(r2)} pairs committed")
 
     # A3: crash BETWEEN pairs commit and store append

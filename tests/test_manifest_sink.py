@@ -50,3 +50,36 @@ def test_manifest_overwrite_drops_stale_parts(spark, tmp_path):
     assert _part_files(out) == sorted(f["file"] for f in m["files"])
     assert len(_part_files(out)) == 2
     assert not os.path.exists(os.path.join(out, "_staging"))
+
+
+def test_overwrite_crash_window_keeps_old_manifest_valid(spark, tmp_path):
+    """Crash injected between part-publish and manifest swap (commit()
+    runs in a separate Python worker, so the injection is filesystem
+    state: manifest.json.tmp pre-created as a directory fails the
+    manifest write AFTER the new versioned parts moved in). The OLD
+    manifest and every file it references must survive untouched —
+    the exact torn-overwrite window the versioned-part commit order
+    closes."""
+    import shutil
+
+    import pytest
+
+    register_sink(spark)
+    out = str(tmp_path / "sink")
+    _write(spark, spark.range(0, 20, 1, 2), out, "overwrite")
+    m_before = _manifest(out)
+    assert m_before["total_rows"] == 20
+    os.makedirs(os.path.join(out, "manifest.json.tmp"))
+    with pytest.raises(Exception, match="IsADirectory|Is a directory"):
+        _write(spark, spark.range(0, 50, 1, 4), out, "overwrite")
+    shutil.rmtree(os.path.join(out, "manifest.json.tmp"))
+    # commit point never reached: old manifest intact, all its files present
+    assert _manifest(out) == m_before
+    for f in m_before["files"]:
+        assert os.path.exists(os.path.join(out, f["file"]))
+    # retry publishes a fresh version and sweeps the crashed attempt's parts
+    _write(spark, spark.range(0, 50, 1, 4), out, "overwrite")
+    m_after = _manifest(out)
+    assert m_after["total_rows"] == 50
+    assert m_after["version"] > m_before["version"]
+    assert _part_files(out) == sorted(f["file"] for f in m_after["files"])
