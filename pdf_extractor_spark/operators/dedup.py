@@ -560,13 +560,19 @@ def paragraph_dedup(
     e.g. non-blank ``split(text, '\\n')`` with ``joiner='\\n'`` — the C4
     rule verbatim (plans.training_data.curate does).
 
-    Scale shape: the passage explode is corpus-token-linear; the frequency
-    count is ONE map-side-combined hash groupBy keyed on md5(passage) — the
-    shuffle carries 32-byte digests, never passage text (DuckDB has md5, so
-    the key survives the oracle); the hot set joins back equi-keyed on the
-    digest; per-document reassembly is one more keyed groupBy with
-    collect_list state bounded by document length. No self-joins, nothing
-    quadratic, no driver materialization.
+    Scale shape: passage TEXT never crosses a shuffle. The explode carries
+    only (doc_id, p_idx, md5 digest); the frequency count is ONE map-side-
+    combined hash groupBy on the digest (DuckDB has md5, so the key
+    survives the oracle); the hot-position rollup regroups only the HOT
+    rows' (doc_id, p_idx) pairs — typically a tiny fraction of the corpus —
+    into a per-doc sorted index array; the full passage arrays stay on
+    their own rows and are filtered in place by index. The former shape
+    shuffled every passage's text twice (digest join-back + collect_list
+    reassembly); this one moves 32-byte digests and integers. No
+    self-joins, nothing quadratic, no driver materialization. (The
+    index-membership filter is O(paras * hot-in-doc) per doc — linear in
+    practice since hot lines per doc are few; a doc that is ENTIRELY
+    boilerplate still only pays paras^2 integer compares on its own row.)
 
     Output: doc_id, n_paras, n_removed, clean_text."""
     if passages is None:
@@ -582,36 +588,46 @@ def paragraph_dedup(
                 F.slice("_ws", i * PARA_WORDS + 1, PARA_WORDS), " "
             ),
         )
-    paras = docs.select(
+    # keep the passage array on the doc row; everything shuffled is derived
+    # from the digest array
+    base = docs.select("doc_id", passages.alias("_paras"))
+    keys = base.select(
         "doc_id",
-        F.posexplode(passages).alias("p_idx", "para"),
-    ).withColumn("pkey", F.md5("para"))
-    hot = (
-        paras.groupBy("pkey")
-        .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") >= min_count)
-        .select("pkey", F.lit(True).alias("hot"))
+        F.posexplode(
+            F.transform("_paras", lambda p: F.md5(p))
+        ).alias("p_idx", "pkey"),
     )
-    flagged = paras.join(hot, "pkey", "left")
-    kept_para = F.when(F.col("hot").isNull(), F.col("para"))
-    return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_paras"),
-            F.sum(F.col("hot").isNotNull().cast("long")).alias("n_removed"),
-            F.array_join(
-                F.filter(
-                    F.transform(
-                        F.sort_array(
-                            F.collect_list(F.struct("p_idx", kept_para.alias("para")))
-                        ),
-                        lambda s: s["para"],
-                    ),
-                    lambda p: p.isNotNull(),
-                ),
-                joiner,
-            ).alias("clean_text"),
+    hot = (
+        keys.groupBy("pkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("pkey")
+    )
+    hot_idx = (
+        keys.join(hot, "pkey")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("p_idx")).alias("_hot"))
+    )
+    # zero-passage docs were invisible to the former groupBy-after-explode
+    # shape; keep that contract (callers treat absence as nothing-to-clean)
+    joined = (
+        base.where(F.size("_paras") >= 1)
+        .join(hot_idx, "doc_id", "left")
+        .select(
+            "doc_id",
+            "_paras",
+            F.coalesce("_hot", F.array().cast("array<int>")).alias("_hot"),
         )
+    )
+    kept = F.filter(
+        "_paras",
+        lambda p, i: F.array_position(F.col("_hot"), i) == 0,
+    )
+    return joined.select(
+        "doc_id",
+        F.size("_paras").cast("long").alias("n_paras"),
+        F.size("_hot").cast("long").alias("n_removed"),
+        F.array_join(kept, joiner).alias("clean_text"),
     )
 
 

@@ -364,7 +364,9 @@ REP_TOP_PCT = {2: 20, 3: 18, 4: 16}
 REP_DUP5_PCT = 15
 
 
-def repetition_filters(docs: DataFrame) -> DataFrame:
+def repetition_filters(
+    docs: DataFrame, words: F.Column | None = None
+) -> DataFrame:
     """Gopher-style repetition removal signals: per document, the character
     coverage of the most frequent 2/3/4-gram and of all duplicated 5-grams,
     plus word-diversity counts, with the keep decision as all-integer
@@ -375,19 +377,102 @@ def repetition_filters(docs: DataFrame) -> DataFrame:
     length — whitespace runs never enter either side, so the measure is
     layout-independent.
 
-    Scale shape: ONE corpus scan builds all four gram lengths (a single
-    flattened array of (n, gram) structs per doc — not a 4-way union that
-    would re-scan and re-tokenize per n); the occurrence count is a
-    map-side-combined groupBy keyed (doc_id, n, gram) — the key is
-    doc-scoped, so no corpus-hot gram can skew a reducer the way a global
-    vocab count can; the per-doc rollups are two more doc-keyed groupBys.
-    The word-stats branch is the only second scan. No self-joins, no
-    windows, no global sort."""
-    words = docs.select(
-        "doc_id",
-        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("ws"),
+    Scale shape: ZERO shuffles. The former (doc_id, n, gram) groupBy was a
+    corpus-of-gram-TEXT shuffle for a key that is doc-scoped — per-doc gram
+    frequencies never need to leave the row. Each n's grams are built once
+    by shifted-zip, sorted in place (equal grams become adjacent; only
+    equality grouping matters, so collation is irrelevant), and a single
+    flat run-length fold extracts max-coverage and duplicated-coverage per
+    n. The fold state is four scalars + the previous gram; every step is a
+    string equality + conditional adds (flat arithmetic — the interpreted-
+    HOF rule from cdc_chunk_dedup). One projection per row, no joins, no
+    windows, no aggregation exchange. Callers feeding a compute-dense tiny
+    file should pre-spread partitions (``spread_for_cpu_map``).
+
+    ``words`` optionally supplies the tokenized array<string> expression
+    (e.g. a split the caller already materialized — plans.training_data
+    shares one split across gates); default splits ``text`` on whitespace."""
+    ws0 = (
+        words
+        if words is not None
+        else F.filter(F.split("text", r"\s+"), lambda x: x != "")
     )
-    stats = words.select(
+    # separate projection so `ws` materializes once per row: CollapseProject
+    # keeps a non-cheap alias referenced many times in its own project
+    base = docs.select("doc_id", ws0.alias("ws"))
+
+    def gram_array(n: int) -> F.Column:
+        # Shifted-zip gram build (the _positional_shingles_col pattern
+        # generalized): n slices of the words array happen ONCE per doc,
+        # not once per gram — a per-element F.slice inside the transform
+        # lambda would be the interpreted-HOF re-slice tax.
+        # All zip inputs are expressions so arrays_zip names them "0".."k".
+        ws = F.col("ws")
+        m = F.size(ws)
+        shifted = [
+            F.slice(ws, k + 1, F.greatest(m - k, F.lit(0)))
+            for k in range(n)
+        ]
+        grams = F.transform(
+            F.arrays_zip(*shifted),
+            lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)]),
+        )
+        # cut the trailing arrays_zip pad entries (partial grams)
+        return F.slice(grams, 1, F.greatest(m - (n - 1), F.lit(0)))
+
+    def covers(n: int) -> F.Column:
+        """(top_cover, dup_cover) for one n: run-length fold over the
+        sorted gram array. cover(gram) = cnt * (len(gram) - (n-1));
+        top = max over all distinct grams, dup = sum where cnt >= 2."""
+        zero = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("top"),
+            F.lit(0).cast("long").alias("dup"),
+        )
+
+        def run_cover(acc):
+            # evaluated only under a prev-not-null branch (CASE laziness)
+            return acc["run"] * (F.length(acc["prev"]) - F.lit(n - 1))
+
+        def merge(acc, g):
+            same = acc["prev"].isNotNull() & (acc["prev"] == g)
+            ends = acc["prev"].isNotNull() & (acc["prev"] != g)
+            return F.struct(
+                g.alias("prev"),
+                F.when(same, acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long"))
+                .alias("run"),
+                F.when(ends, F.greatest(acc["top"], run_cover(acc)))
+                .otherwise(acc["top"])
+                .alias("top"),
+                F.when(
+                    ends & (acc["run"] >= 2), acc["dup"] + run_cover(acc)
+                )
+                .otherwise(acc["dup"])
+                .alias("dup"),
+            )
+
+        def finish(acc):
+            return F.struct(
+                F.when(
+                    acc["prev"].isNotNull(),
+                    F.greatest(acc["top"], run_cover(acc)),
+                )
+                .otherwise(acc["top"])
+                .alias("top"),
+                F.when(
+                    acc["prev"].isNotNull() & (acc["run"] >= 2),
+                    acc["dup"] + run_cover(acc),
+                )
+                .otherwise(acc["dup"])
+                .alias("dup"),
+            )
+
+        return F.aggregate(F.sort_array(gram_array(n)), zero, merge, finish)
+
+    cov = {n: covers(n) for n in (*REP_TOP_PCT, 5)}
+    d = base.select(
         "doc_id",
         F.size("ws").alias("n_words"),
         F.size(F.array_distinct("ws")).alias("n_distinct_words"),
@@ -396,68 +481,8 @@ def repetition_filters(docs: DataFrame) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         ).alias("sum_chars"),
-    )
-
-    def gram_entries(n: int) -> F.Column:
-        # Shifted-zip gram build (the _positional_shingles_col pattern
-        # generalized): n slices of the words array happen ONCE per doc,
-        # not once per gram — the previous per-element F.slice inside the
-        # transform lambda was the interpreted-HOF re-slice tax (62s of
-        # the 83s curate run at 1M turns; ~2x off on long conversations).
-        # All zip inputs are expressions so arrays_zip names them "0".."k".
-        ws = F.col("ws")
-        m = F.size(ws)
-        shifted = [
-            F.slice(ws, k + 1, F.greatest(m - k, F.lit(0)))
-            for k in range(n)
-        ]
-        z = F.arrays_zip(*shifted)
-        grams = F.transform(
-            z,
-            lambda s: F.struct(
-                F.lit(n).alias("n"),
-                F.concat_ws(
-                    " ", *[s[str(k)] for k in range(n)]
-                ).alias("gram"),
-            ),
-        )
-        # cut the trailing arrays_zip pad entries (partial grams)
-        return F.slice(grams, 1, F.greatest(m - (n - 1), F.lit(0)))
-
-    all_grams = words.select(
-        "doc_id",
-        F.explode(
-            F.flatten(F.array(*[gram_entries(n) for n in (*REP_TOP_PCT, 5)]))
-        ).alias("g"),
-    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-    counts = all_grams.groupBy("doc_id", "n", "gram").agg(
-        F.count("*").alias("cnt")
-    )
-    word_chars = F.col("cnt") * (F.length("gram") - (F.col("n") - 1))
-    per_n = counts.groupBy("doc_id", "n").agg(
-        F.max(word_chars).cast("long").alias("top_cover"),
-        F.sum(F.when(F.col("cnt") >= 2, word_chars).otherwise(0))
-        .cast("long")
-        .alias("dup_cover"),
-    )
-    pivots = per_n.groupBy("doc_id").agg(
-        *[
-            F.max(F.when(F.col("n") == n, F.col("top_cover")))
-            .alias(f"top{n}_cover")
-            for n in REP_TOP_PCT
-        ],
-        F.max(F.when(F.col("n") == 5, F.col("dup_cover"))).alias("dup5_cover"),
-    )
-    d = stats.join(pivots, "doc_id", "left").select(
-        "doc_id",
-        "n_words",
-        "n_distinct_words",
-        "sum_chars",
-        *[
-            F.coalesce(f"top{n}_cover", F.lit(0)).alias(f"top{n}_cover")
-            for n in REP_TOP_PCT
-        ],
-        F.coalesce("dup5_cover", F.lit(0)).alias("dup5_cover"),
+        *[cov[n]["top"].alias(f"top{n}_cover") for n in REP_TOP_PCT],
+        cov[5]["dup"].alias("dup5_cover"),
     )
     keep = F.lit(True)
     for n, pct in REP_TOP_PCT.items():
@@ -469,7 +494,11 @@ def repetition_filters(docs: DataFrame) -> DataFrame:
 
 
 def q_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return repetition_filters(_docs(spark, sf_dir))
+    from . import spread_for_cpu_map
+
+    # the whole rollup is now a compute-dense per-row map — a one-split
+    # parquet file must not become one task
+    return repetition_filters(spread_for_cpu_map(_docs(spark, sf_dir)))
 
 
 def _repetition_oracle() -> str:

@@ -58,86 +58,127 @@ def curate(
     benchmark-overlapping 3-shingle is scrubbed (span-level — the clean
     99% of a long conversation survives), with the removed-word count
     reported per conversation. Without it the stage is skipped and
-    n_decon_words is 0."""
-    return curate_stages(transcripts, benchmark)[-1][1]
+    n_decon_words is 0.
+
+    NOTE: calling this EAGERLY materializes the intermediate stages (see
+    ``iter_curate_stages``); the returned frame is the lazy final stage
+    reading the last materialization."""
+    for _name, out in iter_curate_stages(transcripts, benchmark):
+        pass
+    return out
 
 
 def curate_stages(
     transcripts: DataFrame, benchmark: DataFrame | None = None
 ) -> list[tuple[str, DataFrame]]:
-    """``curate`` exposed as ordered CUMULATIVE stage prefixes
-    [(stage_name, frame), ...] — the last frame IS curate's output.
-    Consumers: bench.py times each prefix so the composed product path
-    gets a per-stage wall-time breakdown; the timing deltas between
-    consecutive prefixes attribute cost to the stage that was added."""
-    stages: list[tuple[str, DataFrame]] = []
-    assembled = assemble_conversations(extract_transcripts(transcripts))
-    stages.append(("extract_assemble", assembled))
+    """``iter_curate_stages`` drained to a list (materializes everything
+    but the final stage at call time)."""
+    return list(iter_curate_stages(transcripts, benchmark))
 
-    # the same word statistics the oracle-gated q_gopher_quality uses
+
+def iter_curate_stages(
+    transcripts: DataFrame,
+    benchmark: DataFrame | None = None,
+    materialize: bool = True,
+):
+    """``curate`` as a generator of (stage_name, frame) — the last frame
+    IS curate's output.
+
+    Every intermediate stage output is materialized with an eager
+    localCheckpoint at yield time (the lsh_score_pipeline pattern): the
+    quality/boilerplate/repetition gates each consume their input TWICE
+    (signal-frame build + join-back), and without a materialization each
+    side would re-evaluate the whole extract->assemble subtree per the
+    self-join recompute rule — measured at ~4x the extraction cost on the
+    bench corpus. Materializing also makes per-stage timing honest:
+    advancing the generator + one action on the yielded frame costs
+    exactly that stage's work, so bench.py's stage wall times sum to the
+    end-to-end total instead of the old cumulative-prefix subtraction.
+
+    The text splits are computed ONCE and ride the checkpoints: the
+    quality stage stores the non-blank LINE array (the C4 passage unit —
+    post-quality text is exactly those lines joined by newline, so raw
+    text is not carried twice); the boilerplate stage stores the cleaned
+    text plus its whitespace word split ``ws``, which feeds both the
+    recomputed n_words and the repetition gate's gram build (no re-split
+    per gate). The final stage is yielded lazy for the consumer to sink."""
+    ck = (
+        (lambda df: df.localCheckpoint(eager=True))
+        if materialize
+        else (lambda df: df)
+    )
+    assembled = ck(assemble_conversations(extract_transcripts(transcripts)))
+    yield ("extract_assemble", assembled)
+
+    # the same word statistics the oracle-gated q_gopher_quality uses; the
+    # non-blank line split (the C4 passage unit) is materialized here so
+    # the boilerplate stage never re-splits — and since clean text is
+    # exactly (kept lines joined "\n"), the raw markdown is NOT carried
+    # forward at all.
     scored = assembled.select(
         "conv_id",
         "n_turns",
         "total_pages",
-        F.col("conversation_markdown").alias("text"),
+        F.filter(
+            F.split("conversation_markdown", "\n"),
+            lambda x: F.trim(x) != "",
+        ).alias("lines"),
         *word_stats_exprs("conversation_markdown"),
     )
-    kept = scored.where(
-        (F.col("n_words") >= MIN_WORDS)
-        & (F.col("n_words") <= MAX_WORDS)
-        & (F.col("sum_chars") >= 3 * F.col("n_words"))
-        & (F.col("sum_chars") <= 12 * F.col("n_words"))
-        & (5 * F.col("n_alpha_words") >= 4 * F.col("n_words"))
+    kept = ck(
+        scored.where(
+            (F.col("n_words") >= MIN_WORDS)
+            & (F.col("n_words") <= MAX_WORDS)
+            & (F.col("sum_chars") >= 3 * F.col("n_words"))
+            & (F.col("sum_chars") <= 12 * F.col("n_words"))
+            & (5 * F.col("n_alpha_words") >= 4 * F.col("n_words"))
+        )
     )
-    stages.append(("quality_gate", kept))
+    yield ("quality_gate", kept)
 
     # C4 line rule verbatim on the assembled markdown (real newlines here):
     # any non-blank line occurring >= 3 times corpus-wide — page headers,
     # repeated banners — is boilerplate and is removed from every
     # conversation. n_words is recomputed on the cleaned text so the
-    # output's stats describe what ships.
-    lines = F.filter(F.split("text", "\n"), lambda x: F.trim(x) != "")
+    # output's stats describe what ships; its word split ``ws`` is stored
+    # for the repetition gate.
     boiler = paragraph_dedup(
-        kept.select(F.col("conv_id").alias("doc_id"), "text"),
-        passages=lines,
+        kept.select(F.col("conv_id").alias("doc_id"), "lines"),
+        passages=F.col("lines"),
         joiner="\n",
     ).select(
         F.col("doc_id").alias("conv_id"),
-        F.col("clean_text"),
+        F.col("clean_text").alias("text"),
         F.col("n_removed").alias("n_boiler_lines"),
     )
-    cleaned = (
-        kept.drop("text", "n_words")
+    cleaned = ck(
+        kept.drop("lines", "n_words")
         .join(boiler, "conv_id")
         .withColumn(
-            "n_words",
-            F.size(F.filter(F.split("clean_text", r"\s+"), lambda x: x != "")),
+            "ws", F.filter(F.split("text", r"\s+"), lambda x: x != "")
         )
-        .withColumnRenamed("clean_text", "text")
+        .withColumn("n_words", F.size("ws"))
     )
-    stages.append(("boilerplate_c4", cleaned))
+    yield ("boilerplate_c4", cleaned)
 
     # Gopher repetition gate on the cleaned text: conversations dominated
     # by one repeated n-gram are dropped entirely (semi-join on the
-    # oracle-gated signal frame's keep bit).
+    # oracle-gated signal frame's keep bit, fed the stored word split).
     rep_keep = (
         repetition_filters(
-            cleaned.select(F.col("conv_id").alias("doc_id"), "text")
+            cleaned.select(F.col("conv_id").alias("doc_id"), "ws"),
+            words=F.col("ws"),
         )
         .where("keep")
         .select(F.col("doc_id").alias("conv_id"))
     )
-    gated = cleaned.join(rep_keep, "conv_id", "left_semi")
-    stages.append(("repetition_gate", gated))
+    gated = ck(cleaned.drop("ws").join(rep_keep, "conv_id", "left_semi"))
+    yield ("repetition_gate", gated)
 
     # span-level benchmark decontamination (eval-overlap scrubbing): only
     # when an eval suite is supplied; n_words is recomputed on the
     # scrubbed text so the shipped stats stay truthful.
     if benchmark is not None:
-        # three consumers below (shingle explode, word base, final join)
-        # would each re-evaluate the whole extract->assemble->gate subtree
-        # (self-join recompute rule) — materialize it once
-        gated = gated.localCheckpoint(eager=True)
         corpus_sh = gated.select(
             F.col("conv_id").alias("doc_id"),
             F.posexplode(_positional_shingles_col()).alias("start", "sh"),
@@ -157,13 +198,13 @@ def curate_stages(
             F.col("n_removed").alias("n_decon_words"),
             (F.col("n_words") - F.col("n_removed")).alias("n_kept_words"),
         )
-        gated = (
+        gated = ck(
             gated.drop("text", "n_words")
             .join(scrubbed, "conv_id")
             .withColumnRenamed("clean_text", "text")
             .withColumnRenamed("n_kept_words", "n_words")
         )
-        stages.append(("decontaminate", gated))
+        yield ("decontaminate", gated)
     else:
         gated = gated.withColumn("n_decon_words", F.lit(0).cast("long"))
 
@@ -186,8 +227,7 @@ def curate_stages(
         "conv_id", split.alias("split"), "text", "n_words", "n_turns",
         "total_pages", "n_boiler_lines", "n_decon_words",
     )
-    stages.append(("redact_dedup_split", final))
-    return stages
+    yield ("redact_dedup_split", final)
 
 
 def curate_packed(
