@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pdf_extractor_spark.operators import (
     agent,
     aggregates,
+    ann_index,
     bpe,
     chunking,
     classifier,
@@ -45,7 +46,7 @@ _MODULES = [
     text_ops, windows, aggregates, dedup, graph, similarity_search,
     text_analysis, multimodal, joins, tables_md, chunking, packing, bpe,
     web, pq, sketches, retrieval, classifier, zorder, setjoin, warehouse,
-    olap, sequences, agent,
+    olap, sequences, agent, ann_index,
 ]
 
 

@@ -11,6 +11,7 @@ analysis, multimodal). Every oracle-checkable operator module exposes:
 from . import (  # noqa: F401
     agent,
     aggregates,
+    ann_index,
     bpe,
     chunking,
     classifier,

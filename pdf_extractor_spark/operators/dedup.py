@@ -66,16 +66,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_frame(docs: DataFrame) -> DataFrame:
-    """doc_id + N_MINHASH md5-based minhash columns over word 3-shingles."""
-    exploded = docs.select(
-        "doc_id", F.explode(word_shingles_expr(F.col("text"))).alias("sh")
-    )
+def _minhash_from_shingles(exploded: DataFrame) -> DataFrame:
+    """doc_id + N_MINHASH md5-based minhash columns from an exploded
+    shingle frame (any frame with doc_id + sh columns)."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
         for i in range(N_MINHASH)
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_frame(docs: DataFrame) -> DataFrame:
+    """doc_id + N_MINHASH md5-based minhash columns over word 3-shingles."""
+    return _minhash_from_shingles(
+        docs.select(
+            "doc_id", F.explode(word_shingles_expr(F.col("text"))).alias("sh")
+        )
+    )
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,22 +704,25 @@ def lsh_score_pipeline(
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, observation=None) -> DataFrame:
-    """Shingle-bucket Jaccard: pairs sharing shingles, scored
-    |A∩B| / (|A|+|B|-|A∩B|), threshold 0.2. Each document's shingle count
-    rides along with every shingle row, so one pass over the shingle table
-    yields shared counts AND set sizes — no self-join, no re-evaluation of
-    the shingle subtree, no post-hoc size joins. Set sizes count ALL of a
-    doc's shingles; only shingles passing the MAX_BUCKET_DOCS DF-cut
-    contribute to the shared count (a stop-phrase shingle would otherwise be
-    a quadratic bomb)."""
-    sh = docs.select(
+def _shingle_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_sh, sh): each document's shingle-set size riding along
+    with every shingle row — one pass yields shared counts AND set sizes
+    downstream, no post-hoc size joins."""
+    return docs.select(
         "doc_id", word_shingles_expr(F.col("text")).alias("shingles")
     ).select(
         "doc_id",
         F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("sh"),
     )
+
+
+def _shared_counts(sh: DataFrame, observation=None) -> DataFrame:
+    """(doc_a, doc_b, na, nb, shared) from a shingle frame via the
+    certified capped buckets + in-bucket pair generation — never a
+    self-join; only shingles passing the MAX_BUCKET_DOCS DF-cut contribute
+    to the shared count (a stop-phrase shingle would otherwise be a
+    quadratic bomb)."""
     buckets = _capped_buckets(
         sh.groupBy("sh").agg(
             F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ids")
@@ -720,21 +730,29 @@ def ngram_jaccard_pairs(docs: DataFrame, observation=None) -> DataFrame:
         observation,
     )
     pairs = buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
-    shared = pairs.groupBy(
+    return pairs.groupBy(
         F.col("p.a.doc_id").alias("doc_a"),
         F.col("p.b.doc_id").alias("doc_b"),
         F.col("p.a.n_sh").alias("na"),
         F.col("p.b.n_sh").alias("nb"),
-    ).agg(F.count("*").alias("shared"))
-    return (
-        shared.select(
-            "doc_a", "doc_b",
-            F.round(
-                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= 0.2)
-    )
+    ).agg(F.count(F.lit(1)).alias("shared"))
+
+
+def _jaccard_select(shared: DataFrame) -> DataFrame:
+    return shared.select(
+        "doc_a", "doc_b",
+        F.round(
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= 0.2)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, observation=None) -> DataFrame:
+    """Shingle-bucket Jaccard: pairs sharing shingles, scored
+    |A∩B| / (|A|+|B|-|A∩B|), threshold 0.2. Set sizes count ALL of a
+    doc's shingles; see _shingle_frame/_shared_counts for the one-pass,
+    no-self-join shape."""
+    return _jaccard_select(_shared_counts(_shingle_frame(docs), observation))
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, observation=None) -> DataFrame:
@@ -1952,6 +1970,7 @@ SH_COPY_MOD = 25
 SH_COPY_OFFSET = 10_000_000
 SH_HAM_MAX = 3
 SH_BANDS = 4  # 4 x 16-bit bands over the 64-bit simhash
+SH_SUB_BANDS = 4  # 4 x 12-bit sub-bands of the other 48 bits (hot buckets)
 
 
 def q_simhash_hamming_pairs(
@@ -1965,10 +1984,21 @@ def q_simhash_hamming_pairs(
     Near-duplicates are PLANTED deterministically (every {SH_COPY_MOD}th
     doc re-enters with one appended word at doc_id + {SH_COPY_OFFSET}) so
     the operator's output is non-trivial and the planted recall is
-    observable. Buckets ride the shared DF-cut (``_capped_buckets``) and
-    in-bucket pair generation — never a self-join; the simhash itself is
-    the Arrow kernel (full 64-bit md5-vote simhash), which the oracle
-    replays bit-for-bit in SQL.
+    observable.
+
+    HOT buckets recurse instead of dropping: a (band, h) bucket over
+    MAX_BUCKET_DOCS re-enters each member into {SH_SUB_BANDS} sub-buckets
+    keyed by 12-bit sub-bands of the OTHER 48 simhash bits. Inside a hot
+    bucket the band's 16 bits are all equal, so a radius-{SH_HAM_MAX} pair
+    differs in <= {SH_HAM_MAX} of the remaining 48 bits — too few to hit
+    all {SH_SUB_BANDS} sub-bands, so by the same pigeonhole the pair
+    co-locates in at least one sub-bucket. The cap then applies at the
+    sub-bucket level (drops recorded on ``observation``; expected ~0 — a
+    hot bucket of K docs spreads to ~K*{SH_SUB_BANDS}/4096 per sub-bucket),
+    so the round-4 behavior of voiding the recall guarantee for whole hot
+    bands is gone. Pair generation stays in-bucket (never a self-join);
+    the simhash itself is the Arrow kernel (full 64-bit md5-vote simhash),
+    which the oracle replays bit-for-bit in SQL, sub-banding included.
 
     Output: doc_a, doc_b, hamming."""
     from . import load
@@ -1982,6 +2012,12 @@ def q_simhash_hamming_pairs(
     sims = docs.unionByName(planted).select(
         "doc_id", simhash_udf(F.col("text")).alias("sim")
     )
+
+    def band_key(b):
+        return F.shiftrightunsigned("sim", 16 * b).bitwiseAND(F.lit(65535))
+
+    # o48 = the three OTHER band keys packed little-endian: the secondary
+    # key space for sub-banding hot buckets (nonnegative, < 2^48)
     bands = sims.select(
         "doc_id",
         "sim",
@@ -1989,17 +2025,53 @@ def q_simhash_hamming_pairs(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.shiftrightunsigned("sim", 16 * b)
-                    .bitwiseAND(F.lit(65535))
-                    .alias("h"),
+                    band_key(b).alias("h"),
+                    (
+                        band_key((b + 1) % SH_BANDS)
+                        + band_key((b + 2) % SH_BANDS) * F.lit(65536)
+                        + band_key((b + 3) % SH_BANDS) * F.lit(4294967296)
+                    ).alias("o48"),
                 )
                 for b in range(SH_BANDS)
             ])
         ).alias("bk"),
     ).select("doc_id", "sim", F.col("bk.band").alias("band"),
-             F.col("bk.h").alias("h"))
+             F.col("bk.h").alias("h"), F.col("bk.o48").alias("o48"))
+    sub_hot = F.array(*[
+        F.struct(
+            F.lit(j).alias("sb"),
+            F.shiftrightunsigned("o48", 12 * j)
+            .bitwiseAND(F.lit(4095))
+            .alias("sub"),
+        )
+        for j in range(SH_SUB_BANDS)
+    ])
+    sub_cold = F.array(
+        F.struct(F.lit(-1).alias("sb"), F.lit(0).cast("long").alias("sub"))
+    )
+    # bucket size via a window count — a join against an aggregated hot
+    # set would re-evaluate the Arrow simhash subtree on both sides (the
+    # self-join recompute rule); the window shuffles only longs, once
+    flagged = bands.withColumn(
+        "is_hot",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "h"))
+        > MAX_BUCKET_DOCS,
+    )
+    entries = (
+        flagged.select(
+            "doc_id",
+            "sim",
+            "band",
+            "h",
+            F.explode(
+                F.when(F.col("is_hot"), sub_hot).otherwise(sub_cold)
+            ).alias("sk"),
+        )
+        .select("doc_id", "sim", "band", "h",
+                F.col("sk.sb").alias("sb"), F.col("sk.sub").alias("sub"))
+    )
     buckets = _capped_buckets(
-        bands.groupBy("band", "h").agg(
+        entries.groupBy("band", "h", "sb", "sub").agg(
             F.sort_array(
                 F.collect_list(F.struct("doc_id", "sim"))
             ).alias("ids")
@@ -2060,22 +2132,47 @@ ORACLES["simhash_hamming_pairs"] = f"""
         FROM (SELECT doc_id FROM corpus) c
         CROSS JOIN (SELECT unnest(range(0, {SH_BANDS})) AS band) b
         LEFT JOIN keys0 k ON k.doc_id = c.doc_id AND k.band = b.band
-    ), ok_buckets AS (
-        SELECT band, key FROM bandkeys
-        GROUP BY band, key HAVING count(*) BETWEEN 2 AND {MAX_BUCKET_DOCS}
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bandkeys a
-        JOIN ok_buckets o ON o.band = a.band AND o.key = a.key
-        JOIN bandkeys b ON b.band = a.band AND b.key = a.key
-                       AND b.doc_id > a.doc_id
-    ), wide AS (
+    ), wide AS MATERIALIZED (
         SELECT doc_id,
                max(CASE WHEN band = 0 THEN key END) AS k0,
                max(CASE WHEN band = 1 THEN key END) AS k1,
                max(CASE WHEN band = 2 THEN key END) AS k2,
                max(CASE WHEN band = 3 THEN key END) AS k3
         FROM bandkeys GROUP BY doc_id
+    ), bcount AS (
+        SELECT band, key, count(*) AS n FROM bandkeys GROUP BY band, key
+    ), entries AS MATERIALIZED (
+        -- hot buckets (> {MAX_BUCKET_DOCS}) re-enter each member into
+        -- {SH_SUB_BANDS} sub-buckets keyed by 12-bit sub-bands of the
+        -- OTHER three band keys packed little-endian (mirrors o48)
+        SELECT bk.doc_id, bk.band, bk.key,
+               CASE WHEN c.n > {MAX_BUCKET_DOCS} THEN j.j ELSE -1 END AS sb,
+               CASE WHEN c.n > {MAX_BUCKET_DOCS} THEN
+                 ((CASE (bk.band + 1) % 4 WHEN 0 THEN w.k0 WHEN 1 THEN w.k1
+                        WHEN 2 THEN w.k2 ELSE w.k3 END)
+                  + (CASE (bk.band + 2) % 4 WHEN 0 THEN w.k0 WHEN 1 THEN w.k1
+                         WHEN 2 THEN w.k2 ELSE w.k3 END) * 65536
+                  + (CASE (bk.band + 3) % 4 WHEN 0 THEN w.k0 WHEN 1 THEN w.k1
+                         WHEN 2 THEN w.k2 ELSE w.k3 END) * 4294967296)
+                 // (1::BIGINT << (12 * j.j)) % 4096
+               ELSE 0 END AS sub
+        FROM bandkeys bk
+        JOIN bcount c ON c.band = bk.band AND c.key = bk.key
+        JOIN wide w ON w.doc_id = bk.doc_id
+        CROSS JOIN (SELECT unnest(range(0, {SH_SUB_BANDS})) AS j) j
+        WHERE c.n > {MAX_BUCKET_DOCS} OR j.j = 0
+    ), ok_buckets AS (
+        SELECT band, key, sb, sub FROM entries
+        GROUP BY band, key, sb, sub
+        HAVING count(*) BETWEEN 2 AND {MAX_BUCKET_DOCS}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM entries a
+        JOIN ok_buckets o ON o.band = a.band AND o.key = a.key
+                         AND o.sb = a.sb AND o.sub = a.sub
+        JOIN entries b ON b.band = a.band AND b.key = a.key
+                      AND b.sb = a.sb AND b.sub = a.sub
+                      AND b.doc_id > a.doc_id
     )
     SELECT c.doc_a, c.doc_b,
            (bit_count(xor(x.k0, y.k0)) + bit_count(xor(x.k1, y.k1))
@@ -2114,10 +2211,18 @@ def q_containment_pairs(
 
     Output: doc_a, doc_b, n_shared, cont_a_permille, cont_b_permille."""
     from . import load
-    from ..functions.expressions import word_shingles_expr
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    trunc = docs.where(F.col("doc_id") % CONT_COPY_MOD == 0).select(
+    corpus = docs.unionByName(_containment_planted(docs))
+    return _containment_select(
+        _shared_counts(_shingle_frame(corpus), observation)
+    )
+
+
+def _containment_planted(docs: DataFrame) -> DataFrame:
+    """The planted truncated-copy extension (every CONT_COPY_MOD-th doc's
+    first CONT_COPY_WORDS words at doc_id + CONT_COPY_OFFSET)."""
+    return docs.where(F.col("doc_id") % CONT_COPY_MOD == 0).select(
         (F.col("doc_id") + CONT_COPY_OFFSET).alias("doc_id"),
         F.array_join(
             F.slice(
@@ -2128,35 +2233,15 @@ def q_containment_pairs(
             " ",
         ).alias("text"),
     )
-    corpus = docs.unionByName(trunc)
-    sh = corpus.select(
-        "doc_id", word_shingles_expr(F.col("text")).alias("shingles")
-    ).select(
-        "doc_id",
-        F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("sh"),
-    )
-    buckets = _capped_buckets(
-        sh.groupBy("sh").agg(
-            F.sort_array(
-                F.collect_list(F.struct("doc_id", "n_sh"))
-            ).alias("ids")
-        ),
-        observation,
-    )
-    pairs = buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
-    shared = pairs.groupBy(
-        F.col("p.a.doc_id").alias("doc_a"),
-        F.col("p.b.doc_id").alias("doc_b"),
-        F.col("p.a.n_sh").alias("na"),
-        F.col("p.b.n_sh").alias("nb"),
-    ).agg(F.count(F.lit(1)).alias("n_shared"))
+
+
+def _containment_select(shared: DataFrame) -> DataFrame:
     out = shared.select(
         "doc_a",
         "doc_b",
-        "n_shared",
-        F.expr("n_shared * 1000 div nullif(na, 0)").alias("cont_a_permille"),
-        F.expr("n_shared * 1000 div nullif(nb, 0)").alias("cont_b_permille"),
+        F.col("shared").alias("n_shared"),
+        F.expr("shared * 1000 div nullif(na, 0)").alias("cont_a_permille"),
+        F.expr("shared * 1000 div nullif(nb, 0)").alias("cont_b_permille"),
     )
     return out.where(
         F.greatest("cont_a_permille", "cont_b_permille")
@@ -2209,4 +2294,218 @@ ORACLES["containment_pairs"] = f"""
     FROM cand
     WHERE greatest(n_shared * 1000 // nullif(na, 0),
                    n_shared * 1000 // nullif(nb, 0)) >= {CONT_MIN_PERMILLE}
+"""
+
+
+# --- Composed shingle pair suite (round 5) -------------------------------------------
+def shingle_pair_suite_parts(
+    docs: DataFrame, observation=None
+) -> dict[str, DataFrame]:
+    """The three shingle-bucket pair operators derived from ONE
+    materialized shingle frame — the production layout for the pair
+    family. ``dedup_ngram_jaccard``, ``containment_pairs`` and
+    ``dedup_pair_audit`` each rebuild the identical (doc_id, n_sh, sh)
+    explode + capped buckets from the raw corpus when run standalone
+    (correct for per-query oracle replay, ~3-4 s each in the round-4
+    bench); composed, the shingle frame is localCheckpointed once and
+    feeds (a) the Jaccard pairs, (b) the MinHash signatures -> LSH
+    banding -> the honest-metrics audit against the Jaccard truth, and
+    (c) the containment pairs, whose planted truncated-copy extension is
+    the only extra shingle work (CONT_COPY_MOD-th docs, 40 words each).
+
+    Returns {"jaccard": ..., "jaccard_scored": ..., "pred": ...,
+    "containment": ...} ("jaccard_scored" keeps the integer shared count
+    alongside the score for checksumming); "jaccard"/"pred"/"containment"
+    are pinned row-identical to their standalone queries by
+    tests/test_round5_ops.py."""
+    sh_base = _shingle_frame(docs).localCheckpoint(eager=True)
+    scored = _shared_counts(sh_base, observation).withColumn(
+        "jaccard",
+        F.round(
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+            4,
+        ),
+    ).where(F.col("jaccard") >= 0.2)
+    jac = scored.select("doc_a", "doc_b", "jaccard")
+    pred = _lsh_pairs_from_sigs(_minhash_from_shingles(sh_base))
+    cont = _containment_select(
+        _shared_counts(
+            sh_base.unionByName(
+                _shingle_frame(_containment_planted(docs))
+            )
+        )
+    )
+    return {
+        "jaccard": jac,
+        "jaccard_scored": scored,
+        "pred": pred,
+        "containment": cont,
+    }
+
+
+def q_shingle_pair_suite(
+    spark: SparkSession, sf_dir: str, observation=None
+) -> DataFrame:
+    """One-row integer summary of the composed pair family (see
+    shingle_pair_suite_parts): Jaccard pair counts/checksums, the
+    LSH-vs-truth audit counts (the dedup_pair_audit contract), and the
+    containment counts/checksums. All columns are exact BIGINTs so the
+    oracle replays the entire composition value-for-value; the combine is
+    bounded 1-row broadcast cross joins (the dedup_pair_audit pattern).
+
+    Output: n_jaccard_pairs, sum_jac_ids, sum_jac_shared, n_true, n_pred,
+    n_hits, n_cont_pairs, sum_cont_ids, sum_cont_permille."""
+    from . import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    parts = shingle_pair_suite_parts(docs, observation)
+    scored, pred, cont = (
+        parts["jaccard_scored"], parts["pred"], parts["containment"]
+    )
+    jac_agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_jaccard_pairs"),
+        F.coalesce(F.sum(F.col("doc_a") + F.col("doc_b")), F.lit(0))
+        .cast("long")
+        .alias("sum_jac_ids"),
+        F.coalesce(F.sum("shared"), F.lit(0))
+        .cast("long")
+        .alias("sum_jac_shared"),
+    )
+    truth = scored.where(F.col("jaccard") >= AUDIT_JACCARD_T).select(
+        "doc_a", "doc_b"
+    )
+    hit = truth.join(
+        pred.withColumn("h", F.lit(1)), ["doc_a", "doc_b"], "left"
+    )
+    t_agg = hit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.coalesce(F.sum(F.coalesce("h", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_hits"),
+    )
+    p_agg = pred.agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+    c_agg = cont.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cont_pairs"),
+        F.coalesce(F.sum(F.col("doc_a") + F.col("doc_b")), F.lit(0))
+        .cast("long")
+        .alias("sum_cont_ids"),
+        F.coalesce(
+            F.sum(F.col("cont_a_permille") + F.col("cont_b_permille")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sum_cont_permille"),
+    )
+    return (
+        jac_agg.crossJoin(F.broadcast(t_agg))
+        .crossJoin(F.broadcast(p_agg))
+        .crossJoin(F.broadcast(c_agg))
+        .select(
+            "n_jaccard_pairs", "sum_jac_ids", "sum_jac_shared",
+            "n_true", "n_pred", "n_hits",
+            "n_cont_pairs", "sum_cont_ids", "sum_cont_permille",
+        )
+    )
+
+
+QUERIES["shingle_pair_suite"] = q_shingle_pair_suite
+
+ORACLES["shingle_pair_suite"] = _DUCK_MINHASH + f"""
+    , sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+    ), kept AS (
+        SELECT sh FROM ex GROUP BY sh
+        HAVING count(*) BETWEEN 2 AND {MAX_BUCKET_DOCS}
+    ), shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM ex a
+        JOIN kept k ON a.sh = k.sh
+        JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), jac AS MATERIALIZED (
+        SELECT doc_a, doc_b, shared,
+               round(shared::DOUBLE / (sa.n_sh + sb.n_sh - shared), 4)
+                   AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(shared::DOUBLE / (sa.n_sh + sb.n_sh - shared), 4) >= 0.2
+    ), bands AS (
+        SELECT doc_id, b.band, b.h FROM sigs,
+        LATERAL (SELECT unnest([
+            {{'band': 0, 'h': mh0}}, {{'band': 1, 'h': mh1}},
+            {{'band': 2, 'h': mh2}}, {{'band': 3, 'h': mh3}},
+            {{'band': 4, 'h': mh4}}, {{'band': 5, 'h': mh5}},
+            {{'band': 6, 'h': mh6}}, {{'band': 7, 'h': mh7}}
+        ], recursive := true)) b(band, h)
+    ), keptb AS (
+        SELECT band, h FROM bands GROUP BY band, h
+        HAVING count(*) BETWEEN 2 AND {MAX_BUCKET_DOCS}
+    ), pred AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN keptb k ON a.band = k.band AND a.h = k.h
+        JOIN bands b ON a.band = b.band AND a.h = b.h
+        WHERE a.doc_id < b.doc_id
+    ), truth AS (
+        SELECT doc_a, doc_b FROM jac WHERE jaccard >= {AUDIT_JACCARD_T}
+    ), ccorpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {CONT_COPY_OFFSET},
+               array_to_string(list_slice(
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> ''), 1, {CONT_COPY_WORDS}), ' ')
+        FROM documents WHERE doc_id % {CONT_COPY_MOD} = 0
+    ), cwords AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS ws
+        FROM ccorpus
+    ), cshl AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) = 0 THEN []
+                    WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                         i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+               END AS shingles
+        FROM cwords
+    ), cex AS MATERIALIZED (
+        SELECT doc_id, len(shingles)::BIGINT AS n_sh, unnest(shingles) AS sh
+        FROM cshl
+    ), cok AS (
+        SELECT sh FROM cex GROUP BY sh
+        HAVING count(*) BETWEEN 2 AND {MAX_BUCKET_DOCS}
+    ), ccand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_sh AS na, b.n_sh AS nb,
+               count(*)::BIGINT AS n_shared
+        FROM cex a
+        JOIN cok o ON o.sh = a.sh
+        JOIN cex b ON b.sh = a.sh AND b.doc_id > a.doc_id
+        GROUP BY 1, 2, 3, 4
+    ), cont AS MATERIALIZED (
+        SELECT doc_a, doc_b, n_shared,
+               (n_shared * 1000 // nullif(na, 0))::BIGINT AS pa,
+               (n_shared * 1000 // nullif(nb, 0))::BIGINT AS pb
+        FROM ccand
+        WHERE greatest(n_shared * 1000 // nullif(na, 0),
+                       n_shared * 1000 // nullif(nb, 0))
+              >= {CONT_MIN_PERMILLE}
+    )
+    SELECT
+        (SELECT count(*) FROM jac)::BIGINT AS n_jaccard_pairs,
+        (SELECT coalesce(sum(doc_a + doc_b), 0) FROM jac)::BIGINT
+            AS sum_jac_ids,
+        (SELECT coalesce(sum(shared), 0) FROM jac)::BIGINT AS sum_jac_shared,
+        (SELECT count(*) FROM truth)::BIGINT AS n_true,
+        (SELECT count(*) FROM pred)::BIGINT AS n_pred,
+        (SELECT count(*) FROM truth t
+         JOIN pred p ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b)::BIGINT
+            AS n_hits,
+        (SELECT count(*) FROM cont)::BIGINT AS n_cont_pairs,
+        (SELECT coalesce(sum(doc_a + doc_b), 0) FROM cont)::BIGINT
+            AS sum_cont_ids,
+        (SELECT coalesce(sum(pa + pb), 0) FROM cont)::BIGINT
+            AS sum_cont_permille
 """

@@ -380,14 +380,28 @@ def repetition_filters(
     Scale shape: ZERO shuffles. The former (doc_id, n, gram) groupBy was a
     corpus-of-gram-TEXT shuffle for a key that is doc-scoped — per-doc gram
     frequencies never need to leave the row. Each n's grams are built once
-    by shifted-zip, sorted in place (equal grams become adjacent; only
-    equality grouping matters, so collation is irrelevant), and a single
-    flat run-length fold extracts max-coverage and duplicated-coverage per
-    n. The fold state is four scalars + the previous gram; every step is a
-    string equality + conditional adds (flat arithmetic — the interpreted-
-    HOF rule from cdc_chunk_dedup). One projection per row, no joins, no
-    windows, no aggregation exchange. Callers feeding a compute-dense tiny
-    file should pre-spread partitions (``spread_for_cpu_map``).
+    by shifted-zip and sorted in place (equal grams become adjacent; only
+    equality grouping matters, so collation is irrelevant); run boundaries
+    are then extracted as an INDEX array (one flat compare-with-previous
+    transform + filter), and coverage is per-RUN zip_with arithmetic over
+    (starts, next-starts). Everything per element is flat — element_at on
+    a materialized column + string equality + integer ops. A struct-fold
+    formulation of the same run-length pass (4-field accumulator rebuilt
+    per element) measured 16 s of a 20 s stage at 1M turns vs ~4 s for
+    build+sort — the interpreted-HOF rule from cdc_chunk_dedup, again.
+    No joins, no windows, no aggregation exchange. Callers feeding a
+    compute-dense tiny file should pre-spread partitions
+    (``spread_for_cpu_map``).
+
+    CONSUMER HAZARD: filter on ``keep`` (or prune to a column subset)
+    only AFTER materializing this frame (localCheckpoint / cache — the
+    output is 8 scalars per doc, so that is cheap; plans.training_data
+    does). Pushing a predicate through the staged projections substitutes
+    the sorted-gram alias trees into the condition, where the zip_with
+    lambdas re-evaluate the captured sort per ELEMENT — a measured >40x
+    blowup on the bench corpus (the full-output plan evaluates each
+    sort_array once; the pushed-down one evaluated it 32 times per row,
+    quadratically).
 
     ``words`` optionally supplies the tokenized array<string> expression
     (e.g. a split the caller already materialized — plans.training_data
@@ -420,59 +434,10 @@ def repetition_filters(
         # cut the trailing arrays_zip pad entries (partial grams)
         return F.slice(grams, 1, F.greatest(m - (n - 1), F.lit(0)))
 
-    def covers(n: int) -> F.Column:
-        """(top_cover, dup_cover) for one n: run-length fold over the
-        sorted gram array. cover(gram) = cnt * (len(gram) - (n-1));
-        top = max over all distinct grams, dup = sum where cnt >= 2."""
-        zero = F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("top"),
-            F.lit(0).cast("long").alias("dup"),
-        )
-
-        def run_cover(acc):
-            # evaluated only under a prev-not-null branch (CASE laziness)
-            return acc["run"] * (F.length(acc["prev"]) - F.lit(n - 1))
-
-        def merge(acc, g):
-            same = acc["prev"].isNotNull() & (acc["prev"] == g)
-            ends = acc["prev"].isNotNull() & (acc["prev"] != g)
-            return F.struct(
-                g.alias("prev"),
-                F.when(same, acc["run"] + 1)
-                .otherwise(F.lit(1).cast("long"))
-                .alias("run"),
-                F.when(ends, F.greatest(acc["top"], run_cover(acc)))
-                .otherwise(acc["top"])
-                .alias("top"),
-                F.when(
-                    ends & (acc["run"] >= 2), acc["dup"] + run_cover(acc)
-                )
-                .otherwise(acc["dup"])
-                .alias("dup"),
-            )
-
-        def finish(acc):
-            return F.struct(
-                F.when(
-                    acc["prev"].isNotNull(),
-                    F.greatest(acc["top"], run_cover(acc)),
-                )
-                .otherwise(acc["top"])
-                .alias("top"),
-                F.when(
-                    acc["prev"].isNotNull() & (acc["run"] >= 2),
-                    acc["dup"] + run_cover(acc),
-                )
-                .otherwise(acc["dup"])
-                .alias("dup"),
-            )
-
-        return F.aggregate(F.sort_array(gram_array(n)), zero, merge, finish)
-
-    cov = {n: covers(n) for n in (*REP_TOP_PCT, 5)}
-    d = base.select(
+    ns = (*REP_TOP_PCT, 5)
+    # proj 2: sorted gram arrays materialized as columns — every later
+    # element_at/capture is a cheap attribute reference, never a re-sort
+    sorted_grams = base.select(
         "doc_id",
         F.size("ws").alias("n_words"),
         F.size(F.array_distinct("ws")).alias("n_distinct_words"),
@@ -481,8 +446,84 @@ def repetition_filters(
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         ).alias("sum_chars"),
-        *[cov[n]["top"].alias(f"top{n}_cover") for n in REP_TOP_PCT],
-        cov[5]["dup"].alias("dup5_cover"),
+        *[F.sort_array(gram_array(n)).alias(f"g{n}") for n in ns],
+    )
+
+    def starts(n: int) -> F.Column:
+        # 0-based indexes where a new run of equal grams begins. The
+        # greatest(i, 1) keeps element_at in range at i=0 (the i==0 arm
+        # wins there regardless of what the compare evaluates to).
+        g = F.col(f"g{n}")
+        return F.filter(
+            F.transform(
+                g,
+                lambda x, i: F.when(
+                    (i == 0)
+                    | (x != F.element_at(g, F.greatest(i, F.lit(1)))),
+                    i,
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda v: v >= 0,
+        )
+
+    # proj 3: run-start index arrays (per-element work: one element_at +
+    # one string compare)
+    with_starts = sorted_grams.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "sum_chars",
+        *[F.col(f"g{n}") for n in ns],
+        *[starts(n).alias(f"s{n}") for n in ns],
+    )
+
+    def run_cover(n: int):
+        """Per-run cover lambda: (next_start - start) * (gram_chars - the
+        n-1 separators). Runs = zip of starts with shifted starts (last
+        run ends at size(g))."""
+        g, s = F.col(f"g{n}"), F.col(f"s{n}")
+        nexts = F.concat(
+            F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))),
+            F.array(F.size(g)),
+        )
+        return g, s, nexts
+
+    def top_cover(n: int) -> F.Column:
+        g, s, nexts = run_cover(n)
+        covers = F.zip_with(
+            s,
+            nexts,
+            lambda a, b: (b - a).cast("long")
+            * (F.length(F.element_at(g, a + 1)) - F.lit(n - 1)),
+        )
+        return F.coalesce(F.array_max(covers), F.lit(0).cast("long"))
+
+    def dup_cover(n: int) -> F.Column:
+        g, s, nexts = run_cover(n)
+        per_run = F.zip_with(
+            s,
+            nexts,
+            lambda a, b: F.when(
+                b - a >= 2,
+                (b - a).cast("long")
+                * (F.length(F.element_at(g, a + 1)) - F.lit(n - 1)),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return F.coalesce(
+            F.aggregate(
+                per_run, F.lit(0).cast("long"), lambda acc, v: acc + v
+            ),
+            F.lit(0).cast("long"),
+        )
+
+    # proj 4: per-run rollups (top for 2/3/4, duplicated-coverage for 5)
+    d = with_starts.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "sum_chars",
+        *[top_cover(n).alias(f"top{n}_cover") for n in REP_TOP_PCT],
+        dup_cover(5).alias("dup5_cover"),
     )
     keep = F.lit(True)
     for n, pct in REP_TOP_PCT.items():

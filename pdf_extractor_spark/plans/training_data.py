@@ -164,13 +164,20 @@ def iter_curate_stages(
     # Gopher repetition gate on the cleaned text: conversations dominated
     # by one repeated n-gram are dropped entirely (semi-join on the
     # oracle-gated signal frame's keep bit, fed the stored word split).
-    rep_keep = (
+    # The signal frame MUST materialize before the keep filter: pushing
+    # the predicate through the operator's staged projections substitutes
+    # the sorted-gram alias trees into the condition, where zip_with
+    # lambdas then re-evaluate the captured sort per ELEMENT — measured as
+    # a >40x blowup (8 s -> stuck) on the bench corpus. The frame is 8
+    # small columns per conversation, so the checkpoint is cheap.
+    rep_sig = ck(
         repetition_filters(
             cleaned.select(F.col("conv_id").alias("doc_id"), "ws"),
             words=F.col("ws"),
         )
-        .where("keep")
-        .select(F.col("doc_id").alias("conv_id"))
+    )
+    rep_keep = rep_sig.where("keep").select(
+        F.col("doc_id").alias("conv_id")
     )
     gated = ck(cleaned.drop("ws").join(rep_keep, "conv_id", "left_semi"))
     yield ("repetition_gate", gated)

@@ -3,10 +3,20 @@ on Spark and its oracle_sql() on DuckDB over the same sf dir; compare row
 count, sorted column names, and order-insensitive values.
 
 Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+
+A FULL sweep (no query names given) writes a machine-readable,
+count-asserted artifact to BENCH/<tag>_oracle_sweep.json
+(tag = $SPARK_GRAFT_BENCH_TAG, default r05): {n_queries, n_ok,
+n_rows_only, ok, rows_only, failures}. The sweep exits non-zero unless
+every registered query is accounted for as ok or rows-only — an artifact
+that silently under-covers (e.g. a hand-spliced log) can never claim
+ALL MATCH again.
 """
 from __future__ import annotations
 
+import json
 import math
+import os
 import sys
 from decimal import Decimal
 
@@ -68,7 +78,7 @@ def main():
         # a typo'd or unregistered name must never pass as vacuous ALL MATCH
         print(f"FAIL  unknown query names: {sorted(unknown)}")
         sys.exit(1)
-    failures = []
+    failures, oks, rows_only = [], [], []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -81,6 +91,7 @@ def main():
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             continue
         if name not in oracles:
+            rows_only.append(name)
             print(f"rows  {name}: {len(spark_rows)} rows (no oracle)")
             continue
         try:
@@ -106,8 +117,35 @@ def main():
             diff = [(a, b) for a, b in zip(s_keys, d_keys) if a != b][:3]
             print(f"FAIL  {name}: value mismatch; first diffs: {diff}")
             continue
+        oks.append(name)
         print(f"ok    {name}: {len(spark_rows)} rows match")
     print()
+    if not only:
+        # full sweep: emit the count-asserted artifact. The assertion is
+        # structural — every registered query must be accounted for — so a
+        # truncated or spliced log can never masquerade as full coverage.
+        tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "r05")
+        bench_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH")
+        os.makedirs(bench_dir, exist_ok=True)
+        art = {
+            "sf_dir": sf_dir,
+            "n_queries": len(qs),
+            "n_ok": len(oks),
+            "n_rows_only": len(rows_only),
+            "n_failures": len(failures),
+            "ok": sorted(oks),
+            "rows_only": sorted(rows_only),
+            "failures": sorted(failures),
+        }
+        path = os.path.join(bench_dir, f"{tag}_oracle_sweep.json")
+        with open(path, "w") as fh:
+            json.dump(art, fh, indent=1, sort_keys=True)
+        print(f"wrote {path}: {art['n_ok']} ok + {art['n_rows_only']} "
+              f"rows-only + {art['n_failures']} fail of {art['n_queries']}")
+        if len(oks) + len(rows_only) != len(qs):
+            print("FAIL  sweep does not account for every registered query")
+            sys.exit(1)
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)

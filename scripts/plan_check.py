@@ -85,6 +85,16 @@ RULES = {
     "pq_codes": ([], [r"SortMergeJoin", r"\bWindow\b", r"ArrowEvalPython"]),
     "pq_adc_recall": ([r"BroadcastHashJoin", r"pmod"], [r"SortMergeJoin", r"ArrowEvalPython"]),
     "ann_ivfpq_recall": ([r"BroadcastHashJoin", r"pmod"], [r"SortMergeJoin", r"ArrowEvalPython"]),
+    # train-once/serve-many: the serve path must keep the IVF-PQ shape —
+    # broadcast LUT equi-joins + salted two-stage rank — with model/code
+    # inputs read from the committed snapshot (a parquet scan, no refit
+    # in the served plan)
+    "ann_index_query": ([r"BroadcastHashJoin", r"pmod"], [r"SortMergeJoin", r"ArrowEvalPython"]),
+    # the build inventory is committed-snapshot scans + hash aggregates
+    "ann_index_build": ([r"HashAggregate"], [r"SortMergeJoin", r"ArrowEvalPython", r"\bWindow\b"]),
+    # composed pair family: one checkpointed shingle frame feeds jaccard +
+    # LSH audit + containment; the combine is bounded 1-row broadcasts
+    "shingle_pair_suite": ([r"HashAggregate"], [r"SortMergeJoin", r"ArrowEvalPython"]),
     # sketches: the HLL register frame is a pure two-level hash aggregate
     # (no windows, no Python); the Bloom word table (<= 64 rows) must ride
     # a broadcast join on the probe side
@@ -275,9 +285,12 @@ RULES = {
     "winnow_fingerprints": ([r"\bWindow\b", r"HashAggregate"],
                             [r"ArrowEvalPython",
                              r"BroadcastNestedLoopJoin"]),
-    # simhash kernel -> banded buckets -> in-bucket pair gen: the Arrow
-    # node IS the hash; joins would mean the pair gen degraded to self-join
-    "simhash_hamming_pairs": ([r"ArrowEvalPython", r"HashAggregate"],
+    # simhash kernel -> banded buckets (window bucket-size for hot-bucket
+    # sub-banding) -> in-bucket pair gen: the Arrow node IS the hash; a
+    # join would mean either pair gen degraded to self-join or the hot-set
+    # detection re-evaluating the Arrow subtree on a second side
+    "simhash_hamming_pairs": ([r"ArrowEvalPython", r"HashAggregate",
+                               r"\bWindow\b"],
                               [r"Join"]),
     "shard_assign": ([r"HashAggregate", r"\bWindow\b"],
                      [r"Join", r"ArrowEvalPython"]),
@@ -382,7 +395,8 @@ NLJ_ALLOWED = {
     "temperature_mixture",
     # broadcast DATA-row crossJoins (1-row codebooks/centroid tables —
     # the assign_broadcast pattern; plan stays O(1) in model size):
-    "pq_codes", "pq_adc_recall", "ann_ivfpq_recall",
+    "pq_codes", "pq_adc_recall", "ann_ivfpq_recall", "ann_index_query",
+    "shingle_pair_suite",
     # 1-row corpus-stat / totals / boundary combines (logreg pattern),
     # audited sound in VERDICT r03's collect/NLJ sweep:
     "bm25_top_k", "cooccurrence_pmi", "coverage_gaps",

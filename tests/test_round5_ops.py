@@ -1,0 +1,109 @@
+"""Round-5 invariants: the composed shingle pair suite is pinned
+row-identical to its standalone queries, and the IVF-PQ index lifecycle
+(build -> committed snapshot -> serve) matches the inline-fit query and
+honors the fsio commit protocol."""
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.ann_index import (
+    ANN_IDX_PREFIX,
+    ann_index_build,
+    ann_index_load,
+    ann_index_serve,
+)
+from pdf_extractor_spark.operators.dedup import (
+    q_containment_pairs,
+    q_dedup_ngram_jaccard,
+    shingle_pair_suite_parts,
+)
+from pdf_extractor_spark.operators.dedup import minhash_lsh_pairs
+from pdf_extractor_spark.operators.pq import q_ann_ivfpq_recall
+from pdf_extractor_spark.operators.similarity_search import (
+    _emb,
+    _quantized_vecs,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _same_rows(a, b) -> bool:
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_shingle_pair_suite_parts_pinned(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    parts = shingle_pair_suite_parts(docs)
+    assert _same_rows(parts["jaccard"], q_dedup_ngram_jaccard(spark, SF_DIR))
+    assert _same_rows(parts["pred"], minhash_lsh_pairs(docs))
+    assert _same_rows(
+        parts["containment"], q_containment_pairs(spark, SF_DIR)
+    )
+    # the scored frame is the jaccard frame plus its integer evidence
+    assert _same_rows(
+        parts["jaccard_scored"].select("doc_a", "doc_b", "jaccard"),
+        parts["jaccard"],
+    )
+
+
+def test_ann_index_roundtrip_matches_inline_fit(spark):
+    ev = _quantized_vecs(_emb(spark, SF_DIR)).localCheckpoint(eager=True)
+    root = tempfile.mkdtemp(prefix="ann_idx_test_")
+    try:
+        v0 = ann_index_build(ev, root)
+        assert v0 == 0
+        snap = ann_index_load(spark, root).localCheckpoint(eager=True)
+        served = ann_index_serve(ev, snap)
+        inline = q_ann_ivfpq_recall(spark, SF_DIR)
+        assert _same_rows(served, inline)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ann_index_versioning_and_crash_invisibility(spark):
+    ev = _quantized_vecs(_emb(spark, SF_DIR)).localCheckpoint(eager=True)
+    root = tempfile.mkdtemp(prefix="ann_idx_test_")
+    try:
+        v0 = ann_index_build(ev, root)
+        # materialize: v0's files are pruned by the second build below
+        snap0 = ann_index_load(spark, root).localCheckpoint(eager=True)
+        n0 = snap0.count()
+        # a crashed successor attempt (no _SUCCESS) must stay invisible
+        debris = f"{root}/{ANN_IDX_PREFIX}{v0 + 1}"
+        os.makedirs(debris, exist_ok=True)
+        with open(f"{debris}/part-00000.parquet", "wb") as fh:
+            fh.write(b"torn")
+        assert ann_index_load(spark, root).count() == n0
+        # the next build replaces the debris version and prunes v0
+        v1 = ann_index_build(ev, root)
+        assert v1 == v0 + 1
+        assert not os.path.exists(f"{root}/{ANN_IDX_PREFIX}{v0}")
+        snap1 = ann_index_load(spark, root)
+        assert _same_rows(
+            snap0.select(sorted(snap0.columns)),
+            snap1.select(sorted(snap1.columns)),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_repetition_keep_filter_after_materialize(spark):
+    """The documented consumer contract: filtering the materialized signal
+    frame equals filtering the lazy one (values, not plan, are the
+    contract; the lazy form is the pushdown-blowup hazard the curate path
+    avoids)."""
+    from pdf_extractor_spark.operators.text_analysis import (
+        q_repetition_filters,
+    )
+
+    sig = q_repetition_filters(spark, SF_DIR)
+    lazy_kept = {r["doc_id"] for r in sig.where("keep").collect()}
+    mat_kept = {
+        r["doc_id"]
+        for r in sig.localCheckpoint(eager=True).where("keep").collect()
+    }
+    assert lazy_kept == mat_kept and lazy_kept
