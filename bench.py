@@ -207,6 +207,10 @@ BENCH_QUERIES = [
     "context_truncate",
     "robots_rules_filter",
     "containment_pairs",
+    # round 5 additions
+    "shingle_pair_suite",
+    "ann_index_build",
+    "ann_index_query",
 ]
 
 # Queries whose pair-generating buckets are DF-cut capped: bench threads an
@@ -224,6 +228,7 @@ CAP_OBSERVED = {
     "interval_overlap_join",
     "simhash_hamming_pairs",
     "containment_pairs",
+    "shingle_pair_suite",
 }
 
 # v3: cache key versioned with the generator (round 4 added markdown-image
@@ -351,6 +356,38 @@ def main() -> None:
     curate_packed(transcripts).write.mode("overwrite").format("noop").save()
     packed_sec = time.perf_counter() - t0
 
+    # ANN train-once/serve-many split: the registered ann_index_query pays
+    # its fit inline (self-contained for the oracle), so the number a
+    # production serve actually costs is measured here against ONE
+    # prebuilt committed snapshot — best-of-2 like every other timing.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pdf_extractor_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_load,
+        ann_index_serve,
+    )
+    from pdf_extractor_spark.operators.similarity_search import (
+        _emb,
+        _quantized_vecs,
+    )
+
+    ev = _quantized_vecs(_emb(spark, sf_dir)).localCheckpoint(eager=True)
+    ann_root = _tempfile.mkdtemp(prefix="bench_ann_idx_")
+    t0 = time.perf_counter()
+    ann_index_build(ev, ann_root)
+    ann_build_sec = time.perf_counter() - t0
+    snap = ann_index_load(spark, ann_root).localCheckpoint(eager=True)
+    ann_serve_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ann_index_serve(ev, snap).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        ann_serve_sec = min(ann_serve_sec, time.perf_counter() - t0)
+    _shutil.rmtree(ann_root, ignore_errors=True)
+
     # Full per-query map -> a BENCH artifact; stdout line stays compact so
     # the driver's tail capture carries the headline un-truncated.
     tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "r05")
@@ -365,6 +402,8 @@ def main() -> None:
         "curate_sec": round(curate_sec, 3),
         "curate_stage_secs": stage_secs,
         "curate_packed_sec": round(packed_sec, 3),
+        "ann_index_build_sec": round(ann_build_sec, 3),
+        "ann_index_serve_sec": round(ann_serve_sec, 3),
         "sf": sf_dir,
         "turns": n_turns,
         "cpus": cpus,

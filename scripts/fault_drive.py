@@ -230,6 +230,86 @@ def main() -> None:
     print(f"  crash-before-manifest: retry reprocessed {n_retry} rows "
           f"idempotently; third run = 0; output == clean run")
 
+    # ---------------- E. ann_index snapshot commit windows ----------------
+    print("E. ann_index snapshot commit windows")
+    from pdf_extractor_spark.operators.ann_index import (
+        ANN_IDX_PREFIX,
+        ann_index_build,
+        ann_index_load,
+        ann_index_serve,
+    )
+    from pdf_extractor_spark.operators.similarity_search import (
+        _emb,
+        _quantized_vecs,
+    )
+
+    ev = _quantized_vecs(
+        _emb(spark, "/root/testdata/sf0.001")
+    ).localCheckpoint(eager=True)
+    idx, idx_c = f"{ROOT}/ann_idx", f"{ROOT}/ann_idx_clean"
+
+    # E1: crash AT the snapshot write -> nothing committed; a reader must
+    # refuse the store; the rebuild reuses the version and overwrites the
+    # crashed attempt's debris
+    _arm["path"] = f"{idx}/{ANN_IDX_PREFIX}0"
+    expect_crash(ann_index_build, ev, idx)
+    os.makedirs(f"{idx}/{ANN_IDX_PREFIX}0", exist_ok=True)
+    debris_part = f"{idx}/{ANN_IDX_PREFIX}0/part-debris.parquet"
+    with open(debris_part, "w") as fh:
+        fh.write("torn")
+    assert fsio.committed_versions(spark, idx, ANN_IDX_PREFIX) == []
+    try:
+        ann_index_load(spark, idx)
+        raise AssertionError("load must refuse an uncommitted store")
+    except ValueError:
+        pass
+    v0 = ann_index_build(ev, idx)
+    assert v0 == 0
+    assert fsio.committed_versions(spark, idx, ANN_IDX_PREFIX) == [0]
+    assert not os.path.exists(debris_part), \
+        "crashed-attempt debris must be gone after the committed rebuild"
+    served0 = rows_of(
+        ann_index_serve(
+            ev, ann_index_load(spark, idx).localCheckpoint(eager=True)
+        )
+    )
+    print("  write-crash: store stayed unreadable, rebuild overwrote "
+          f"debris, serve returned {len(served0)} query rows")
+
+    # E2: crash mid-prune after the successor commits — both versions
+    # committed, the max-committed read rule takes the newer one
+    orig_idx_prune = fsio.prune_versions_below
+
+    def crash_idx_prune(*a, **kw):
+        fsio.prune_versions_below = orig_idx_prune
+        raise CRASH("injected crash mid-prune (v1 already committed)")
+
+    fsio.prune_versions_below = crash_idx_prune
+    expect_crash(ann_index_build, ev, idx)
+    vs = fsio.committed_versions(spark, idx, ANN_IDX_PREFIX)
+    assert vs == [0, 1], f"expected both versions committed, got {vs}"
+    served1 = rows_of(
+        ann_index_serve(
+            ev, ann_index_load(spark, idx).localCheckpoint(eager=True)
+        )
+    )
+
+    # E3: clean-room build + serve must match every faulted serve; the
+    # next build prunes everything below its new version
+    ann_index_build(ev, idx_c)
+    served_c = rows_of(
+        ann_index_serve(
+            ev, ann_index_load(spark, idx_c).localCheckpoint(eager=True)
+        )
+    )
+    assert served0 == served1 == served_c, \
+        "faulted-store serve != no-fault serve"
+    v2 = ann_index_build(ev, idx)
+    assert v2 == 2
+    assert fsio.committed_versions(spark, idx, ANN_IDX_PREFIX) == [2]
+    print("  mid-prune crash left [0, 1]; reader took v1; serve identical "
+          "to the no-fault run; next build pruned to [2]")
+
     print("FAULT DRIVE PASSED: every injected crash window replayed "
           "to outputs identical to the no-fault run")
     spark.stop()

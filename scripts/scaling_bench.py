@@ -58,9 +58,35 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, corpus: str) -> dict:
+CURATE_JOB = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pdf_extractor_spark.session import get_spark
+from pdf_extractor_spark.plans.pipeline import run_pipeline
+from pdf_extractor_spark.plans.training_data import iter_curate_stages
+cpus = int(sys.argv[1]); corpus = sys.argv[2]; n_runs = int(sys.argv[3])
+spark = get_spark(app_name=f"scale-curate-{{cpus}}",
+                  master=f"local[{{cpus}}]", shuffle_partitions=64)
+t = spark.read.parquet(corpus)
+n = t.count()
+run_pipeline(t.limit(2000)).write.mode("overwrite").format("noop").save()  # warmup
+secs = []
+for _ in range(n_runs):
+    t0 = time.perf_counter()
+    for _name, sdf in iter_curate_stages(t):
+        pass
+    sdf.write.mode("overwrite").format("noop").save()
+    secs.append(time.perf_counter() - t0)
+best = min(secs)
+print(json.dumps({{"cpus": cpus, "sec": best, "all_secs": secs, "turns": n,
+                  "tps": n / best}}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, corpus: str, job: str = JOB) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", JOB.format(repo=REPO), str(cpus), corpus,
+        [sys.executable, "-c", job.format(repo=REPO), str(cpus), corpus,
          str(N_RUNS)],
         capture_output=True, text=True, timeout=3600, check=True,
     )
@@ -81,14 +107,32 @@ def main() -> None:
     # same JVM config swings +-40% between attempts minutes apart). Interleave
     # the two levels across time and keep each level's best, so a slow window
     # cannot bias one level systematically.
+    # curate (product path) gets its own, half-size corpus: the stage
+    # checkpoints hold text + word-split arrays, and the scaling runs
+    # share one JVM heap per level — half size keeps the local[2] run
+    # memory-comfortable without changing what is measured (per-turn work)
+    n_curate = max(n_convs // 2, 1000)
+    spark = get_spark(app_name="scale-gen-curate", master="local[32]")
+    curate_corpus = ensure_corpus(spark, n_curate)
+    spark.stop()
+
     low: dict = {}
     high: dict = {}
+    clow: dict = {}
+    chigh: dict = {}
     for _ in range(N_ROUNDS):
-        for level, acc in ((N_LOW, low), (N_HIGH, high)):
-            r = run_level(level, corpus)
+        for level, acc, job in (
+            (N_LOW, low, JOB),
+            (N_HIGH, high, JOB),
+            (N_LOW, clow, CURATE_JOB),
+            (N_HIGH, chigh, CURATE_JOB),
+        ):
+            r = run_level(level, corpus if job is JOB else curate_corpus,
+                          job)
             if not acc or r["sec"] < acc["sec"]:
                 acc.update(r)
     eff = (high["tps"] / low["tps"]) / (N_HIGH / N_LOW)
+    ceff = (chigh["tps"] / clow["tps"]) / (N_HIGH / N_LOW)
 
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
@@ -110,8 +154,25 @@ bursty background load).
 
 **Scaling efficiency (tps_4N / tps_N) / 4 = {eff:.3f}** (target >= 0.8).
 
+The composed `curate` PRODUCT path (extract -> assemble -> quality gate ->
+C4 boilerplate -> repetition gate -> redact/dedup/split), same method, on
+its own {n_curate}-conversation corpus ({clow["turns"]} turns — half size
+so the stage checkpoints stay memory-comfortable at local[{N_LOW}]):
+
+| parallelism | wall sec | curated turns/sec |
+|---|---|---|
+| local[{N_LOW}] (N)  | {clow["sec"]:.2f} | {clow["tps"]:.1f} |
+| local[{N_HIGH}] (4N) | {chigh["sec"]:.2f} | {chigh["tps"]:.1f} |
+
+**Curate scaling efficiency = {ceff:.3f}** (target >= 0.8). The product
+path adds corpus-wide shuffles the flagship lacks (C4 digest groupBy,
+semi-joins, checkpoint materialization), so this row is the evidence the
+heavy stages — not just the embarrassingly-parallel extraction — hold
+their parallel efficiency.
+
 Raw per-level samples for this run (best is what the table shows):
-low all_secs = {low["all_secs"]}, high all_secs = {high["all_secs"]}.
+low all_secs = {low["all_secs"]}, high all_secs = {high["all_secs"]};
+curate low = {clow["all_secs"]}, curate high = {chigh["all_secs"]}.
 Run-to-run: same-day runs of this identical job have measured 0.870,
 1.041, and 0.984 — read the efficiency as a 0.87–1.04 band, comfortably
 above the 0.8 target; the spread is the host's bursty background load
@@ -163,10 +224,13 @@ Method notes:
   recorded in the artifact's `samples: [...]`, `value` = best-of.
 - **bench.py product path (round 4 on):** the artifact also carries
   `curate_turns_per_sec` / `curate_sec` / `curate_packed_sec` plus
-  `curate_stage_secs` (per-stage wall-time from timing each cumulative
-  stage prefix once — read comparatively, not as precision figures).
+  `curate_stage_secs` (round 5 on: each stage is an eagerly-materialized
+  generator step timed as its own action, so the stage figures sum to the
+  end-to-end total).
 """)
-    print(json.dumps({"low": low, "high": high, "efficiency": round(eff, 3)}))
+    print(json.dumps({"low": low, "high": high, "efficiency": round(eff, 3),
+                      "curate_low": clow, "curate_high": chigh,
+                      "curate_efficiency": round(ceff, 3)}))
 
 
 if __name__ == "__main__":
