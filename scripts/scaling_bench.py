@@ -197,7 +197,12 @@ Method notes:
   refresh BENCH/r04_local_full_suite_b.json measured 185,219 turns/sec
   headline and curate 15,727 turns/sec (64.0 s — the shifted-zip
   repetition-gram rewrite) over 177 benched queries with a per-stage
-  breakdown) — read the local[32] figure as a band whose spread is the
+  breakdown); the round-5 full-suite run measured 231,464 turns/sec
+  (interleaved best-of-4 samples [5.662, 4.348, 4.46, 5.318] s —
+  BENCH/r05b_queries.json, 182 benched queries, zero per-query
+  regressions vs round 4, curate product path 45,522 turns/sec with
+  per-stage times summing to the 22.1 s total, ANN index build 6.6 s /
+  serve 1.8 s) — read the local[32] figure as a band whose spread is the
   host's bursty background load, not the job. Every number traces to a
   checked-in artifact.
 - the corpus is sized (~4M turns) so the job's fixed cost (~6s of driver /
