@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-from .fsio import exists as _fs_exists  # Hadoop FS, never driver-local
+from .fsio import committed as _fs_committed  # Hadoop FS, never driver-local
 
 
 BUCKET_COL = "bucket"
@@ -31,8 +31,14 @@ def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
 
 
 def completed_buckets(spark: SparkSession, manifest_path: str) -> DataFrame:
-    """Buckets already recorded as done (empty frame when no manifest yet)."""
-    if not _fs_exists(spark, manifest_path):
+    """Buckets already recorded as done (empty frame when no manifest yet).
+
+    Gates on ``_SUCCESS`` (fsio.committed), not bare directory existence:
+    a crash between mkdir and the first append's commit leaves an empty or
+    staging-only directory, which must read as "no manifest" (the resumed
+    run reprocesses everything idempotently) rather than fail the scan —
+    any successful append restores ``_SUCCESS``."""
+    if not _fs_committed(spark, manifest_path):
         return spark.createDataFrame([], f"{BUCKET_COL} int")
     return (
         spark.read.parquet(manifest_path)

@@ -57,3 +57,20 @@ def test_partial_failure_reruns_only_missing_buckets(spark, tmp_path):
     # full corpus present exactly once
     total = t.count()
     assert spark.read.parquet(out).count() == total
+
+
+def test_empty_manifest_dir_reads_as_no_manifest(spark, tmp_path):
+    """A crash between mkdir and the first append's commit leaves a
+    manifest directory without _SUCCESS — resume must treat it as "no
+    manifest yet" (reprocess everything idempotently), never fail the
+    parquet scan (round-5 drive finding)."""
+    out = str(tmp_path / "out")
+    man = tmp_path / "manifest"
+    man.mkdir()  # exists, empty, no _SUCCESS
+    t = transcripts_df(spark, 6, seed=3)
+    assert completed_buckets(spark, str(man)).count() == 0
+    n1 = run_resumable(spark, t, out, str(man), run_id="r1", n_buckets=8)
+    assert n1 == t.count()
+    # the successful append committed the manifest: second run is a no-op
+    n2 = run_resumable(spark, t, out, str(man), run_id="r2", n_buckets=8)
+    assert n2 == 0
