@@ -273,7 +273,11 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     spark = get_spark(
-        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 32)
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 32),
+        # the console progress bar writes \r-separated stage updates that,
+        # under a merged stdout/stderr capture, land ON the final summary
+        # line and break the driver's JSON parse of it
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
     corpus = ensure_corpus(spark, n_convs)
