@@ -182,9 +182,42 @@ def q_dedup_retention(
     )
 
 
+def q_cluster_holdout_split(
+    spark: SparkSession, sf_dir: str, observation=None
+) -> DataFrame:
+    """Leakage-free train/val/test assignment: the split key is the
+    near-dup CLUSTER representative (coalesced to the doc itself for
+    singletons), so every verified duplicate cluster lands wholly in one
+    split. `split_leakage` audits the per-doc splitter's cross-split
+    near-dup violations after the fact; this operator removes them by
+    construction — the correct way to cut a training corpus
+    (cf. Lee et al. 2022, dedup-before-split). Singletons hash exactly
+    like q_holdout_split (same md5-bucket rule on the same id), so split
+    shares drift from the nominal 80/10/10 only by the clustered few
+    percent of the corpus — and deterministically.
+
+    Scale shape: everything q_dedup_components already costs, plus ONE
+    doc_id equi-join against the scan and a pure-expression md5 bucket —
+    no new iterative or quadratic work (the dedup_retention wrapper
+    shape)."""
+    from . import load
+    from .text_ops import holdout_split_expr
+
+    labels = q_dedup_components(spark, sf_dir, observation)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    key = F.coalesce("cluster_rep", F.col("doc_id"))
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        key.alias("split_key"),
+        F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+        holdout_split_expr(key).alias("split"),
+    )
+
+
 QUERIES = {
     "dedup_components": q_dedup_components,
     "dedup_retention": q_dedup_retention,
+    "cluster_holdout_split": q_cluster_holdout_split,
 }
 
 # Oracle: transitive closure by recursive CTE over the same capped LSH
@@ -248,6 +281,31 @@ ORACLES["dedup_retention"] = f"""
         FROM documents d
         LEFT JOIN ({ORACLES["dedup_components"]}) t USING (doc_id)
 """
+
+
+def _cluster_split_oracle() -> str:
+    # constants imported lazily to dodge a circular import at module load
+    from .text_ops import SPLIT_TEST_PCT, SPLIT_VAL_PCT
+
+    return f"""
+        SELECT doc_id, split_key, cluster_size,
+               CASE WHEN bucket < {SPLIT_VAL_PCT} THEN 'val'
+                    WHEN bucket < {SPLIT_VAL_PCT + SPLIT_TEST_PCT} THEN 'test'
+                    ELSE 'train' END AS split
+        FROM (
+            SELECT d.doc_id,
+                   coalesce(t.cluster_rep, d.doc_id) AS split_key,
+                   coalesce(t.cluster_size, 1)::BIGINT AS cluster_size,
+                   ('0x' || substring(md5(
+                        coalesce(t.cluster_rep, d.doc_id)::VARCHAR), 1, 4)
+                   )::BIGINT % 100 AS bucket
+            FROM documents d
+            LEFT JOIN ({ORACLES["dedup_components"]}) t USING (doc_id)
+        )
+"""
+
+
+ORACLES["cluster_holdout_split"] = _cluster_split_oracle()
 
 
 # ---------------------------------------------------------------------------

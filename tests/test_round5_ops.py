@@ -107,3 +107,32 @@ def test_repetition_keep_filter_after_materialize(spark):
         for r in sig.localCheckpoint(eager=True).where("keep").collect()
     }
     assert lazy_kept == mat_kept and lazy_kept
+
+
+def test_cluster_holdout_split_leakage_free(spark):
+    """Every verified near-dup edge has both endpoints in the SAME split
+    (leakage-free by construction), and singleton docs get exactly the
+    per-doc q_holdout_split assignment."""
+    from pdf_extractor_spark.operators.graph import (
+        q_cluster_holdout_split,
+        q_dedup_components,
+    )
+    from pdf_extractor_spark.operators.text_ops import holdout_split_expr
+
+    sf = SF_DIR
+    assign = q_cluster_holdout_split(spark, sf).localCheckpoint(eager=True)
+    labels = q_dedup_components(spark, sf)
+    # all docs of one cluster share one split: per-rep distinct splits == 1
+    per_cluster = (
+        labels.join(assign, "doc_id")
+        .groupBy("cluster_rep")
+        .agg(F.countDistinct("split").alias("n_splits"))
+    )
+    assert per_cluster.where("n_splits > 1").count() == 0
+    assert per_cluster.count() > 0  # fixture actually has clusters
+    # singletons follow the per-doc md5 rule exactly
+    singles = assign.where(F.col("cluster_size") == 1)
+    mismatch = singles.where(
+        F.col("split") != holdout_split_expr(F.col("doc_id"))
+    )
+    assert mismatch.count() == 0 and singles.count() > 0
