@@ -45,6 +45,7 @@ Registered queries (oracle-gated):
 """
 from __future__ import annotations
 
+import shutil as _shutil
 import tempfile
 
 import pyspark.sql.functions as F
@@ -211,7 +212,11 @@ def q_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _quantized_vecs(_emb(spark, sf_dir)).localCheckpoint(eager=True)
     root = _tmp_store()
     ann_index_build(ev, root)
-    snap = ann_index_load(spark, root)
+    # eager checkpoint frees the temp store immediately: the returned frame
+    # no longer reads the on-disk snapshot, so the per-run /tmp directory
+    # (a full encoded-corpus copy) never outlives query construction.
+    snap = ann_index_load(spark, root).localCheckpoint(eager=True)
+    _shutil.rmtree(root, ignore_errors=True)
     code_rows = snap.where(F.col("part") == "code")
     cell_counts = code_rows.groupBy(
         F.col("cell").alias("cid")
@@ -257,6 +262,10 @@ def q_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _tmp_store()
     ann_index_build(ev, root)
     snap = ann_index_load(spark, root).localCheckpoint(eager=True)
+    # every serve input (ev, snap) is eagerly checkpointed — the temp
+    # store is already dead weight; drop it so repeated runs (bench
+    # best-of-2, sweeps, plan checks) leave no /tmp debris.
+    _shutil.rmtree(root, ignore_errors=True)
     return ann_index_serve(ev, snap)
 
 

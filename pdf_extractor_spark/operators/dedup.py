@@ -109,9 +109,9 @@ def _bucket_pairs(ids):
     )
 
 
-def _lsh_pairs_from_sigs(sigs: DataFrame, observation=None) -> DataFrame:
-    """LSH candidate pairs from a signature frame (doc_id, mh0..mhN): band
-    explode -> (band, hash)-keyed buckets -> DF-cut -> in-bucket pair gen."""
+def _lsh_band_buckets(sigs: DataFrame) -> DataFrame:
+    """Pre-cap LSH bucket frame from a signature frame (doc_id, mh0..mhN):
+    band explode -> (band, hash)-keyed buckets with sorted member arrays."""
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -121,16 +121,26 @@ def _lsh_pairs_from_sigs(sigs: DataFrame, observation=None) -> DataFrame:
             ])
         ).alias("b"),
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.h").alias("h"))
-    buckets = _capped_buckets(
-        bands.groupBy("band", "h").agg(
-            F.sort_array(F.collect_list("doc_id")).alias("ids")
-        ),
-        observation,
+    return bands.groupBy("band", "h").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
+
+
+def _lsh_pairs_from_buckets(buckets: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from a CAPPED bucket frame whose ``ids``
+    arrays hold doc ids (in-bucket pair gen, never a self-join)."""
     return (
         buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
+    )
+
+
+def _lsh_pairs_from_sigs(sigs: DataFrame, observation=None) -> DataFrame:
+    """LSH candidate pairs from a signature frame (doc_id, mh0..mhN): band
+    explode -> (band, hash)-keyed buckets -> DF-cut -> in-bucket pair gen."""
+    return _lsh_pairs_from_buckets(
+        _capped_buckets(_lsh_band_buckets(sigs), observation)
     )
 
 
@@ -717,18 +727,17 @@ def _shingle_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shared_counts(sh: DataFrame, observation=None) -> DataFrame:
-    """(doc_a, doc_b, na, nb, shared) from a shingle frame via the
-    certified capped buckets + in-bucket pair generation — never a
-    self-join; only shingles passing the MAX_BUCKET_DOCS DF-cut contribute
-    to the shared count (a stop-phrase shingle would otherwise be a
-    quadratic bomb)."""
-    buckets = _capped_buckets(
-        sh.groupBy("sh").agg(
-            F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ids")
-        ),
-        observation,
+def _shingle_buckets(sh: DataFrame) -> DataFrame:
+    """Pre-cap shingle bucket frame: one bucket per shingle, members as a
+    sorted array of (doc_id, n_sh) structs."""
+    return sh.groupBy("sh").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ids")
     )
+
+
+def _shared_from_buckets(buckets: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, na, nb, shared) from a CAPPED shingle bucket frame
+    via in-bucket pair generation — never a self-join."""
     pairs = buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
     return pairs.groupBy(
         F.col("p.a.doc_id").alias("doc_a"),
@@ -736,6 +745,17 @@ def _shared_counts(sh: DataFrame, observation=None) -> DataFrame:
         F.col("p.a.n_sh").alias("na"),
         F.col("p.b.n_sh").alias("nb"),
     ).agg(F.count(F.lit(1)).alias("shared"))
+
+
+def _shared_counts(sh: DataFrame, observation=None) -> DataFrame:
+    """(doc_a, doc_b, na, nb, shared) from a shingle frame via the
+    certified capped buckets + in-bucket pair generation — never a
+    self-join; only shingles passing the MAX_BUCKET_DOCS DF-cut contribute
+    to the shared count (a stop-phrase shingle would otherwise be a
+    quadratic bomb)."""
+    return _shared_from_buckets(
+        _capped_buckets(_shingle_buckets(sh), observation)
+    )
 
 
 def _jaccard_select(shared: DataFrame) -> DataFrame:
@@ -2313,13 +2333,52 @@ def shingle_pair_suite_parts(
     (c) the containment pairs, whose planted truncated-copy extension is
     the only extra shingle work (CONT_COPY_MOD-th docs, 40 words each).
 
+    All three cuts flow through ONE tagged bucket union, so a single
+    ``Observation`` accounts for every cap drop in the composed path
+    (the "never silent" contract — drops are the SUM across the Jaccard,
+    LSH-band, and containment cuts); the capped union is checkpointed
+    once and each output reads its tag slice.
+
     Returns {"jaccard": ..., "jaccard_scored": ..., "pred": ...,
     "containment": ...} ("jaccard_scored" keeps the integer shared count
     alongside the score for checksumming); "jaccard"/"pred"/"containment"
     are pinned row-identical to their standalone queries by
     tests/test_round5_ops.py."""
     sh_base = _shingle_frame(docs).localCheckpoint(eager=True)
-    scored = _shared_counts(sh_base, observation).withColumn(
+    # normalize the LSH member arrays (plain doc ids, already sorted) to
+    # the shingle buckets' struct shape — transform preserves order, and
+    # sorting (doc_id, n_sh=0) structs == sorting doc ids
+    as_structs = F.transform(
+        F.col("ids"),
+        lambda d: F.struct(
+            d.alias("doc_id"), F.lit(0).cast("int").alias("n_sh")
+        ),
+    )
+    tagged = (
+        _shingle_buckets(sh_base)
+        .select(F.lit("jac").alias("cut"), "ids")
+        .unionByName(
+            _lsh_band_buckets(_minhash_from_shingles(sh_base)).select(
+                F.lit("lsh").alias("cut"), as_structs.alias("ids")
+            )
+        )
+        .unionByName(
+            _shingle_buckets(
+                sh_base.unionByName(
+                    _shingle_frame(_containment_planted(docs))
+                )
+            ).select(F.lit("cont").alias("cut"), "ids")
+        )
+    )
+    # persist + a real SQL action (count), NOT localCheckpoint: observation
+    # metrics are delivered by the SQL execution listener, and checkpoint's
+    # internal RDD materialization bypasses it — the count fires the
+    # metrics AND fills the cache the three tag slices read
+    capped = _capped_buckets(tagged, observation).persist()
+    capped.count()
+    scored = _shared_from_buckets(
+        capped.where(F.col("cut") == "jac")
+    ).withColumn(
         "jaccard",
         F.round(
             F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
@@ -2327,13 +2386,17 @@ def shingle_pair_suite_parts(
         ),
     ).where(F.col("jaccard") >= 0.2)
     jac = scored.select("doc_a", "doc_b", "jaccard")
-    pred = _lsh_pairs_from_sigs(_minhash_from_shingles(sh_base))
-    cont = _containment_select(
-        _shared_counts(
-            sh_base.unionByName(
-                _shingle_frame(_containment_planted(docs))
-            )
+    pred = (
+        capped.where(F.col("cut") == "lsh")
+        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
         )
+        .distinct()
+    )
+    cont = _containment_select(
+        _shared_from_buckets(capped.where(F.col("cut") == "cont"))
     )
     return {
         "jaccard": jac,

@@ -143,6 +143,12 @@ def main():
             json.dump(art, fh, indent=1, sort_keys=True)
         print(f"wrote {path}: {art['n_ok']} ok + {art['n_rows_only']} "
               f"rows-only + {art['n_failures']} fail of {art['n_queries']}")
+        # real failures first: a value mismatch must be diagnosed as one,
+        # not as the structural under-coverage message below (which is for
+        # a sweep that silently skipped queries, e.g. a spliced log).
+        if failures:
+            print("FAILURES:", failures)
+            sys.exit(1)
         if len(oks) + len(rows_only) != len(qs):
             print("FAIL  sweep does not account for every registered query")
             sys.exit(1)

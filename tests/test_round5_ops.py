@@ -50,6 +50,59 @@ def test_shingle_pair_suite_parts_pinned(spark):
     )
 
 
+def test_shingle_pair_suite_drops_all_cuts_observed(spark):
+    """The composed path's single Observation accounts for cap drops in
+    ALL THREE cuts (Jaccard, LSH-band, containment) — exactly the sum of
+    the standalone queries' own observed drops on the same corpus. 60
+    identical docs overflow the MAX_BUCKET_DOCS=50 cap in every cut, so
+    a silent cut would make the totals diverge."""
+    from pyspark.sql.observation import Observation
+
+    from pdf_extractor_spark.operators import dedup as D
+
+    hot = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta").alias("text"),
+    )
+    # a small non-overflowing near-dup pair keeps every output non-empty
+    # (a fully-empty observed plan is pruned to an empty relation under
+    # AQE and its metrics are never delivered — pathological-corpus
+    # artifact, not an operator property)
+    pair = spark.createDataFrame(
+        [(100, "one two three four five six seven"),
+         (101, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    docs = hot.unionByName(pair)
+    suite_obs = Observation()
+    # the eager capped-union checkpoint inside parts() runs the observed
+    # node at construction time, so metrics are already collected here
+    D.shingle_pair_suite_parts(docs, suite_obs)
+    got = suite_obs.get
+
+    def drops(build):
+        o = Observation()
+        build(o).count()
+        return o.get
+
+    jac = drops(lambda o: D.ngram_jaccard_pairs(docs, o))
+    lsh = drops(lambda o: D.minhash_lsh_pairs(docs, o))
+    cont = drops(
+        lambda o: D._containment_select(
+            D._shared_counts(
+                D._shingle_frame(
+                    docs.unionByName(D._containment_planted(docs))
+                ),
+                o,
+            )
+        )
+    )
+    for k in ("n_buckets_dropped", "n_ids_dropped"):
+        standalone_sum = jac[k] + lsh[k] + cont[k]
+        assert got[k] == standalone_sum
+        assert got[k] > 0
+
+
 def test_ann_index_roundtrip_matches_inline_fit(spark):
     ev = _quantized_vecs(_emb(spark, SF_DIR)).localCheckpoint(eager=True)
     root = tempfile.mkdtemp(prefix="ann_idx_test_")
