@@ -2336,14 +2336,60 @@ def shingle_pair_suite_parts(
     All three cuts flow through ONE tagged bucket union, so a single
     ``Observation`` accounts for every cap drop in the composed path
     (the "never silent" contract — drops are the SUM across the Jaccard,
-    LSH-band, and containment cuts); the capped union is checkpointed
-    once and each output reads its tag slice.
+    LSH-band, and containment cuts); one (cut, pair)-keyed count shuffle
+    replaces the three per-cut shuffles and only that small flat frame is
+    materialized for reuse.
 
     Returns {"jaccard": ..., "jaccard_scored": ..., "pred": ...,
     "containment": ...} ("jaccard_scored" keeps the integer shared count
     alongside the score for checksumming); "jaccard"/"pred"/"containment"
     are pinned row-identical to their standalone queries by
     tests/test_round5_ops.py."""
+    # One pass does ALL the heavy work — cap (observed), in-bucket pair
+    # generation, and the (cut, pair) count shuffle. persist + a real SQL
+    # action (count), NOT localCheckpoint: observation metrics are
+    # delivered by the SQL execution listener, and checkpoint's internal
+    # RDD materialization bypasses it — the count fires the metrics AND
+    # fills the cache the three tag slices read.
+    pair_counts = (
+        _capped_buckets(_suite_tagged_buckets(docs), observation)
+        .select("cut", F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .groupBy(
+            "cut",
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.n_sh").alias("na"),
+            F.col("p.b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .persist()
+    )
+    pair_counts.count()
+    scored = (
+        pair_counts.where(F.col("cut") == "jac")
+        .drop("cut")
+        .withColumn("jaccard", _suite_jaccard())
+        .where(F.col("jaccard") >= 0.2)
+    )
+    jac = scored.select("doc_a", "doc_b", "jaccard")
+    # the (cut, pair) groupBy already collapsed same-pair multi-band hits,
+    # so the lsh slice is distinct by construction
+    pred = pair_counts.where(F.col("cut") == "lsh").select("doc_a", "doc_b")
+    cont = _containment_select(
+        pair_counts.where(F.col("cut") == "cont").drop("cut")
+    )
+    return {
+        "jaccard": jac,
+        "jaccard_scored": scored,
+        "pred": pred,
+        "containment": cont,
+    }
+
+
+def _suite_tagged_buckets(docs: DataFrame) -> DataFrame:
+    """The suite's tagged pre-cap bucket union (cut, ids): Jaccard shingle
+    buckets, LSH band buckets, and containment shingle buckets (planted
+    extension included), all in the shingle buckets' struct shape."""
     sh_base = _shingle_frame(docs).localCheckpoint(eager=True)
     # normalize the LSH member arrays (plain doc ids, already sorted) to
     # the shingle buckets' struct shape — transform preserves order, and
@@ -2354,7 +2400,7 @@ def shingle_pair_suite_parts(
             d.alias("doc_id"), F.lit(0).cast("int").alias("n_sh")
         ),
     )
-    tagged = (
+    return (
         _shingle_buckets(sh_base)
         .select(F.lit("jac").alias("cut"), "ids")
         .unionByName(
@@ -2370,40 +2416,14 @@ def shingle_pair_suite_parts(
             ).select(F.lit("cont").alias("cut"), "ids")
         )
     )
-    # persist + a real SQL action (count), NOT localCheckpoint: observation
-    # metrics are delivered by the SQL execution listener, and checkpoint's
-    # internal RDD materialization bypasses it — the count fires the
-    # metrics AND fills the cache the three tag slices read
-    capped = _capped_buckets(tagged, observation).persist()
-    capped.count()
-    scored = _shared_from_buckets(
-        capped.where(F.col("cut") == "jac")
-    ).withColumn(
-        "jaccard",
-        F.round(
-            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
-            4,
-        ),
-    ).where(F.col("jaccard") >= 0.2)
-    jac = scored.select("doc_a", "doc_b", "jaccard")
-    pred = (
-        capped.where(F.col("cut") == "lsh")
-        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
-        .select(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
-        )
-        .distinct()
+
+
+def _suite_jaccard():
+    """The suite's per-pair Jaccard expression over (shared, na, nb) —
+    identical to _jaccard_select's scoring."""
+    return F.round(
+        F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
     )
-    cont = _containment_select(
-        _shared_from_buckets(capped.where(F.col("cut") == "cont"))
-    )
-    return {
-        "jaccard": jac,
-        "jaccard_scored": scored,
-        "pred": pred,
-        "containment": cont,
-    }
 
 
 def q_shingle_pair_suite(
@@ -2413,61 +2433,114 @@ def q_shingle_pair_suite(
     shingle_pair_suite_parts): Jaccard pair counts/checksums, the
     LSH-vs-truth audit counts (the dedup_pair_audit contract), and the
     containment counts/checksums. All columns are exact BIGINTs so the
-    oracle replays the entire composition value-for-value; the combine is
-    bounded 1-row broadcast cross joins (the dedup_pair_audit pattern).
+    oracle replays the entire composition value-for-value.
+
+    The registered form is ONE fused linear plan — tagged bucket union ->
+    cap -> in-bucket pair gen -> (cut, pair) count -> per-pair pivot ->
+    single conditional-aggregate row — with over-cap buckets carried as
+    marker rows so the ``Observation`` attaches to the one consumed frame
+    and metrics ride the query's own action (no extra materialization
+    pass, no joins; the truth-vs-pred audit intersection is a per-pair
+    conditional instead of a join because the pivot already co-locates
+    each pair's cuts).
 
     Output: n_jaccard_pairs, sum_jac_ids, sum_jac_shared, n_true, n_pred,
     n_hits, n_cont_pairs, sum_cont_ids, sum_cont_permille."""
     from . import load
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    parts = shingle_pair_suite_parts(docs, observation)
-    scored, pred, cont = (
-        parts["jaccard_scored"], parts["pred"], parts["containment"]
+    return shingle_pair_suite_summary(docs, observation)
+
+
+def shingle_pair_suite_summary(
+    docs: DataFrame, observation=None
+) -> DataFrame:
+    """The fused one-pass suite summary over an arbitrary (doc_id, text)
+    frame — see q_shingle_pair_suite for the plan shape and contract."""
+    b = _suite_tagged_buckets(docs).select(
+        "cut", "ids", F.size("ids").alias("n")
     )
-    jac_agg = scored.agg(
-        F.count(F.lit(1)).cast("long").alias("n_jaccard_pairs"),
-        F.coalesce(F.sum(F.col("doc_a") + F.col("doc_b")), F.lit(0))
-        .cast("long")
-        .alias("sum_jac_ids"),
-        F.coalesce(F.sum("shared"), F.lit(0))
-        .cast("long")
-        .alias("sum_jac_shared"),
-    )
-    truth = scored.where(F.col("jaccard") >= AUDIT_JACCARD_T).select(
-        "doc_a", "doc_b"
-    )
-    hit = truth.join(
-        pred.withColumn("h", F.lit(1)), ["doc_a", "doc_b"], "left"
-    )
-    t_agg = hit.agg(
-        F.count(F.lit(1)).cast("long").alias("n_true"),
-        F.coalesce(F.sum(F.coalesce("h", F.lit(0))), F.lit(0))
-        .cast("long")
-        .alias("n_hits"),
-    )
-    p_agg = pred.agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
-    c_agg = cont.agg(
-        F.count(F.lit(1)).cast("long").alias("n_cont_pairs"),
-        F.coalesce(F.sum(F.col("doc_a") + F.col("doc_b")), F.lit(0))
-        .cast("long")
-        .alias("sum_cont_ids"),
-        F.coalesce(
-            F.sum(F.col("cont_a_permille") + F.col("cont_b_permille")),
-            F.lit(0),
+    kept_pairs = (
+        b.where(F.col("n").between(2, MAX_BUCKET_DOCS))
+        .select("cut", F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .groupBy(
+            "cut",
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.n_sh").alias("na"),
+            F.col("p.b.n_sh").alias("nb"),
         )
-        .cast("long")
-        .alias("sum_cont_permille"),
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
-    return (
-        jac_agg.crossJoin(F.broadcast(t_agg))
-        .crossJoin(F.broadcast(p_agg))
-        .crossJoin(F.broadcast(c_agg))
-        .select(
-            "n_jaccard_pairs", "sum_jac_ids", "sum_jac_shared",
-            "n_true", "n_pred", "n_hits",
-            "n_cont_pairs", "sum_cont_ids", "sum_cont_permille",
+    drops = b.where(F.col("n") > MAX_BUCKET_DOCS).select(
+        F.lit("_drop").alias("cut"),
+        F.lit(None).cast("long").alias("doc_a"),
+        F.lit(None).cast("long").alias("doc_b"),
+        F.lit(None).cast("int").alias("na"),
+        F.lit(None).cast("int").alias("nb"),
+        F.col("n").cast("long").alias("shared"),
+    )
+    stream = kept_pairs.unionByName(drops)
+    if observation is not None:
+        stream = stream.observe(
+            observation,
+            F.sum((F.col("cut") == "_drop").cast("long")).alias(
+                "n_buckets_dropped"
+            ),
+            F.sum(
+                F.when(F.col("cut") == "_drop", F.col("shared")).otherwise(0)
+            ).alias("n_ids_dropped"),
         )
+    is_cut = lambda c: F.col("cut") == c  # noqa: E731
+    per_pair = (
+        stream.where(F.col("cut") != "_drop")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(F.when(is_cut("jac"), F.col("shared"))).alias("jshared"),
+            F.max(F.when(is_cut("jac"), F.col("na"))).alias("jna"),
+            F.max(F.when(is_cut("jac"), F.col("nb"))).alias("jnb"),
+            F.max(F.when(is_cut("lsh"), 1).otherwise(0)).alias("is_pred"),
+            F.max(F.when(is_cut("cont"), F.col("shared"))).alias("cshared"),
+            F.max(F.when(is_cut("cont"), F.col("na"))).alias("cna"),
+            F.max(F.when(is_cut("cont"), F.col("nb"))).alias("cnb"),
+        )
+    )
+    j = F.round(
+        F.col("jshared") / (F.col("jna") + F.col("jnb") - F.col("jshared")),
+        4,
+    )
+    ca = F.expr("cshared * 1000 div nullif(cna, 0)")
+    cb = F.expr("cshared * 1000 div nullif(cnb, 0)")
+    scored = per_pair.select(
+        "doc_a",
+        "doc_b",
+        "jshared",
+        "is_pred",
+        j.alias("j"),
+        ca.alias("ca"),
+        cb.alias("cb"),
+    )
+    jac_keep = F.col("j") >= 0.2
+    is_true = F.col("j") >= AUDIT_JACCARD_T
+    cont_keep = F.greatest("ca", "cb") >= CONT_MIN_PERMILLE
+    ids = F.col("doc_a") + F.col("doc_b")
+
+    def csum(expr, name):
+        return F.coalesce(F.sum(expr), F.lit(0)).cast("long").alias(name)
+
+    return scored.agg(
+        csum(F.when(jac_keep, 1).otherwise(0), "n_jaccard_pairs"),
+        csum(F.when(jac_keep, ids).otherwise(0), "sum_jac_ids"),
+        csum(F.when(jac_keep, F.col("jshared")).otherwise(0),
+             "sum_jac_shared"),
+        csum(F.when(is_true, 1).otherwise(0), "n_true"),
+        csum(F.col("is_pred"), "n_pred"),
+        csum(F.when(is_true & (F.col("is_pred") == 1), 1).otherwise(0),
+             "n_hits"),
+        csum(F.when(cont_keep, 1).otherwise(0), "n_cont_pairs"),
+        csum(F.when(cont_keep, ids).otherwise(0), "sum_cont_ids"),
+        csum(F.when(cont_keep, F.col("ca") + F.col("cb")).otherwise(0),
+             "sum_cont_permille"),
     )
 
 

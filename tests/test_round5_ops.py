@@ -102,6 +102,14 @@ def test_shingle_pair_suite_drops_all_cuts_observed(spark):
         assert got[k] == standalone_sum
         assert got[k] > 0
 
+    # the registered query's fused plan (drop-marker rows, observation on
+    # the single consumed frame) must account for the same drops
+    q_obs = Observation()
+    D.shingle_pair_suite_summary(docs, q_obs).count()
+    q_got = q_obs.get
+    for k in ("n_buckets_dropped", "n_ids_dropped"):
+        assert q_got[k] == got[k]
+
 
 def test_ann_index_roundtrip_matches_inline_fit(spark):
     ev = _quantized_vecs(_emb(spark, SF_DIR)).localCheckpoint(eager=True)
