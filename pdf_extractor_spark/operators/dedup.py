@@ -758,12 +758,19 @@ def _shared_counts(sh: DataFrame, observation=None) -> DataFrame:
     )
 
 
+def _jaccard_expr(shared: str, na: str, nb: str):
+    """THE Jaccard scoring expression — round(|A∩B| / |A∪B|, 4) — used by
+    the standalone query, the suite parts, and the fused suite summary so
+    the three stay value-identical by construction."""
+    return F.round(
+        F.col(shared) / (F.col(na) + F.col(nb) - F.col(shared)), 4
+    )
+
+
 def _jaccard_select(shared: DataFrame) -> DataFrame:
     return shared.select(
         "doc_a", "doc_b",
-        F.round(
-            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
-        ).alias("jaccard"),
+        _jaccard_expr("shared", "na", "nb").alias("jaccard"),
     ).where(F.col("jaccard") >= 0.2)
 
 
@@ -2255,13 +2262,20 @@ def _containment_planted(docs: DataFrame) -> DataFrame:
     )
 
 
+def _cont_permille(shared: str, size: str):
+    """THE containment permille expression — shared * 1000 div |side| —
+    used by the standalone query, the suite parts, and the fused suite
+    summary so the three stay value-identical by construction."""
+    return F.expr(f"{shared} * 1000 div nullif({size}, 0)")
+
+
 def _containment_select(shared: DataFrame) -> DataFrame:
     out = shared.select(
         "doc_a",
         "doc_b",
         F.col("shared").alias("n_shared"),
-        F.expr("shared * 1000 div nullif(na, 0)").alias("cont_a_permille"),
-        F.expr("shared * 1000 div nullif(nb, 0)").alias("cont_b_permille"),
+        _cont_permille("shared", "na").alias("cont_a_permille"),
+        _cont_permille("shared", "nb").alias("cont_b_permille"),
     )
     return out.where(
         F.greatest("cont_a_permille", "cont_b_permille")
@@ -2368,7 +2382,7 @@ def shingle_pair_suite_parts(
     scored = (
         pair_counts.where(F.col("cut") == "jac")
         .drop("cut")
-        .withColumn("jaccard", _suite_jaccard())
+        .withColumn("jaccard", _jaccard_expr("shared", "na", "nb"))
         .where(F.col("jaccard") >= 0.2)
     )
     jac = scored.select("doc_a", "doc_b", "jaccard")
@@ -2418,12 +2432,6 @@ def _suite_tagged_buckets(docs: DataFrame) -> DataFrame:
     )
 
 
-def _suite_jaccard():
-    """The suite's per-pair Jaccard expression over (shared, na, nb) —
-    identical to _jaccard_select's scoring."""
-    return F.round(
-        F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
-    )
 
 
 def q_shingle_pair_suite(
@@ -2460,9 +2468,40 @@ def shingle_pair_suite_summary(
     b = _suite_tagged_buckets(docs).select(
         "cut", "ids", F.size("ids").alias("n")
     )
-    kept_pairs = (
-        b.where(F.col("n").between(2, MAX_BUCKET_DOCS))
-        .select("cut", F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+    # single consumption of the bucket frame: each bucket explodes to
+    # either its in-bucket pairs (cap-kept) or ONE null-pair marker row
+    # (over-cap) — the Observation sits on the exploded stream, so drop
+    # metrics ride the same pass that generates the pairs and nothing is
+    # computed twice. Size-1 buckets pair with nothing and are not drops
+    # (identical to _capped_buckets' 2..cap keep + >cap count).
+    null_member = F.struct(
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("int").alias("n_sh"),
+    )
+    marker = F.array(
+        F.struct(null_member.alias("a"), null_member.alias("b"))
+    )
+    rows = b.where(F.col("n") >= 2).select(
+        "cut",
+        "n",
+        F.explode(
+            F.when(F.col("n") <= MAX_BUCKET_DOCS, _bucket_pairs(F.col("ids")))
+            .otherwise(marker)
+        ).alias("p"),
+    )
+    if observation is not None:
+        rows = rows.observe(
+            observation,
+            F.sum(F.col("p.a.doc_id").isNull().cast("long")).alias(
+                "n_buckets_dropped"
+            ),
+            F.sum(
+                F.when(F.col("p.a.doc_id").isNull(), F.col("n")).otherwise(0)
+            ).alias("n_ids_dropped"),
+        )
+    is_cut = lambda c: F.col("cut") == c  # noqa: E731
+    per_pair = (
+        rows.where(F.col("p.a.doc_id").isNotNull())
         .groupBy(
             "cut",
             F.col("p.a.doc_id").alias("doc_a"),
@@ -2471,29 +2510,6 @@ def shingle_pair_suite_summary(
             F.col("p.b.n_sh").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    drops = b.where(F.col("n") > MAX_BUCKET_DOCS).select(
-        F.lit("_drop").alias("cut"),
-        F.lit(None).cast("long").alias("doc_a"),
-        F.lit(None).cast("long").alias("doc_b"),
-        F.lit(None).cast("int").alias("na"),
-        F.lit(None).cast("int").alias("nb"),
-        F.col("n").cast("long").alias("shared"),
-    )
-    stream = kept_pairs.unionByName(drops)
-    if observation is not None:
-        stream = stream.observe(
-            observation,
-            F.sum((F.col("cut") == "_drop").cast("long")).alias(
-                "n_buckets_dropped"
-            ),
-            F.sum(
-                F.when(F.col("cut") == "_drop", F.col("shared")).otherwise(0)
-            ).alias("n_ids_dropped"),
-        )
-    is_cut = lambda c: F.col("cut") == c  # noqa: E731
-    per_pair = (
-        stream.where(F.col("cut") != "_drop")
         .groupBy("doc_a", "doc_b")
         .agg(
             F.max(F.when(is_cut("jac"), F.col("shared"))).alias("jshared"),
@@ -2505,12 +2521,9 @@ def shingle_pair_suite_summary(
             F.max(F.when(is_cut("cont"), F.col("nb"))).alias("cnb"),
         )
     )
-    j = F.round(
-        F.col("jshared") / (F.col("jna") + F.col("jnb") - F.col("jshared")),
-        4,
-    )
-    ca = F.expr("cshared * 1000 div nullif(cna, 0)")
-    cb = F.expr("cshared * 1000 div nullif(cnb, 0)")
+    j = _jaccard_expr("jshared", "jna", "jnb")
+    ca = _cont_permille("cshared", "cna")
+    cb = _cont_permille("cshared", "cnb")
     scored = per_pair.select(
         "doc_a",
         "doc_b",

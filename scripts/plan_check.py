@@ -92,9 +92,12 @@ RULES = {
     "ann_index_query": ([r"BroadcastHashJoin", r"pmod"], [r"SortMergeJoin", r"ArrowEvalPython"]),
     # the build inventory is committed-snapshot scans + hash aggregates
     "ann_index_build": ([r"HashAggregate"], [r"SortMergeJoin", r"ArrowEvalPython", r"\bWindow\b"]),
-    # composed pair family: one checkpointed shingle frame feeds jaccard +
-    # LSH audit + containment; the combine is bounded 1-row broadcasts
-    "shingle_pair_suite": ([r"HashAggregate"], [r"SortMergeJoin", r"ArrowEvalPython"]),
+    # composed pair family: ONE fused linear plan (tagged bucket union ->
+    # cap/marker explode -> pair count -> per-pair pivot -> conditional
+    # aggregates) — zero joins of any kind
+    "shingle_pair_suite": ([r"HashAggregate"],
+                           [r"SortMergeJoin", r"ArrowEvalPython",
+                            r"NestedLoopJoin", r"BroadcastHashJoin"]),
     # sketches: the HLL register frame is a pure two-level hash aggregate
     # (no windows, no Python); the Bloom word table (<= 64 rows) must ride
     # a broadcast join on the probe side
@@ -396,7 +399,6 @@ NLJ_ALLOWED = {
     # broadcast DATA-row crossJoins (1-row codebooks/centroid tables —
     # the assign_broadcast pattern; plan stays O(1) in model size):
     "pq_codes", "pq_adc_recall", "ann_ivfpq_recall", "ann_index_query",
-    "shingle_pair_suite",
     # 1-row corpus-stat / totals / boundary combines (logreg pattern),
     # audited sound in VERDICT r03's collect/NLJ sweep:
     "bm25_top_k", "cooccurrence_pmi", "coverage_gaps",

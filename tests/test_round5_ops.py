@@ -75,8 +75,8 @@ def test_shingle_pair_suite_drops_all_cuts_observed(spark):
     )
     docs = hot.unionByName(pair)
     suite_obs = Observation()
-    # the eager capped-union checkpoint inside parts() runs the observed
-    # node at construction time, so metrics are already collected here
+    # parts() materializes the observed pair-counts frame (persist + a
+    # metrics-firing count) at construction, so metrics are collected here
     D.shingle_pair_suite_parts(docs, suite_obs)
     got = suite_obs.get
 
@@ -103,12 +103,36 @@ def test_shingle_pair_suite_drops_all_cuts_observed(spark):
         assert got[k] > 0
 
     # the registered query's fused plan (drop-marker rows, observation on
-    # the single consumed frame) must account for the same drops
+    # the single consumed frame) must account for the same drops AND its
+    # 9 summary values must equal the combine-of-parts on this drop-heavy
+    # corpus (cross-cut asymmetry: jac/lsh fully capped, cont partially)
+    parts = D.shingle_pair_suite_parts(docs)
     q_obs = Observation()
-    D.shingle_pair_suite_summary(docs, q_obs).count()
+    srow = D.shingle_pair_suite_summary(docs, q_obs).collect()[0]
     q_got = q_obs.get
     for k in ("n_buckets_dropped", "n_ids_dropped"):
         assert q_got[k] == got[k]
+    sc = parts["jaccard_scored"].collect()
+    pred_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in parts["pred"].collect()
+    }
+    cont_rows = parts["containment"].collect()
+    truth = [r for r in sc if r["jaccard"] >= 0.5]
+    assert srow["n_jaccard_pairs"] == len(sc)
+    assert srow["sum_jac_ids"] == sum(r["doc_a"] + r["doc_b"] for r in sc)
+    assert srow["sum_jac_shared"] == sum(r["shared"] for r in sc)
+    assert srow["n_true"] == len(truth)
+    assert srow["n_pred"] == len(pred_pairs)
+    assert srow["n_hits"] == sum(
+        1 for r in truth if (r["doc_a"], r["doc_b"]) in pred_pairs
+    )
+    assert srow["n_cont_pairs"] == len(cont_rows)
+    assert srow["sum_cont_ids"] == sum(
+        r["doc_a"] + r["doc_b"] for r in cont_rows
+    )
+    assert srow["sum_cont_permille"] == sum(
+        r["cont_a_permille"] + r["cont_b_permille"] for r in cont_rows
+    )
 
 
 def test_ann_index_roundtrip_matches_inline_fit(spark):
