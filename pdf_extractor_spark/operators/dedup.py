@@ -2352,35 +2352,18 @@ def shingle_pair_suite_parts(
     (the "never silent" contract — drops are the SUM across the Jaccard,
     LSH-band, and containment cuts); one (cut, pair)-keyed count shuffle
     replaces the three per-cut shuffles and only that small flat frame is
-    materialized for reuse.
+    materialized for reuse (persist + a metrics-firing count).
 
     Returns {"jaccard": ..., "jaccard_scored": ..., "pred": ...,
     "containment": ...} ("jaccard_scored" keeps the integer shared count
     alongside the score for checksumming); "jaccard"/"pred"/"containment"
     are pinned row-identical to their standalone queries by
     tests/test_round5_ops.py."""
-    # One pass does ALL the heavy work — cap (observed), in-bucket pair
-    # generation, and the (cut, pair) count shuffle. persist + a real SQL
-    # action (count), NOT localCheckpoint: observation metrics are
-    # delivered by the SQL execution listener, and checkpoint's internal
-    # RDD materialization bypasses it — the count fires the metrics AND
-    # fills the cache the three tag slices read.
-    pair_counts = (
-        _capped_buckets(_suite_tagged_buckets(docs), observation)
-        .select("cut", F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
-        .groupBy(
-            "cut",
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
-            F.col("p.a.n_sh").alias("na"),
-            F.col("p.b.n_sh").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .persist()
-    )
+    pair_counts = _suite_pair_counts(docs, observation).persist()
     pair_counts.count()
+    real = F.col("doc_a").isNotNull()
     scored = (
-        pair_counts.where(F.col("cut") == "jac")
+        pair_counts.where((F.col("cut") == "jac") & real)
         .drop("cut")
         .withColumn("jaccard", _jaccard_expr("shared", "na", "nb"))
         .where(F.col("jaccard") >= 0.2)
@@ -2388,9 +2371,11 @@ def shingle_pair_suite_parts(
     jac = scored.select("doc_a", "doc_b", "jaccard")
     # the (cut, pair) groupBy already collapsed same-pair multi-band hits,
     # so the lsh slice is distinct by construction
-    pred = pair_counts.where(F.col("cut") == "lsh").select("doc_a", "doc_b")
+    pred = pair_counts.where((F.col("cut") == "lsh") & real).select(
+        "doc_a", "doc_b"
+    )
     cont = _containment_select(
-        pair_counts.where(F.col("cut") == "cont").drop("cut")
+        pair_counts.where((F.col("cut") == "cont") & real).drop("cut")
     )
     return {
         "jaccard": jac,
@@ -2460,20 +2445,25 @@ def q_shingle_pair_suite(
     return shingle_pair_suite_summary(docs, observation)
 
 
-def shingle_pair_suite_summary(
-    docs: DataFrame, observation=None
-) -> DataFrame:
-    """The fused one-pass suite summary over an arbitrary (doc_id, text)
-    frame — see q_shingle_pair_suite for the plan shape and contract."""
+def _suite_pair_counts(docs: DataFrame, observation=None) -> DataFrame:
+    """One-pass (cut, doc_a, doc_b, na, nb, shared) pair counts over the
+    suite's tagged bucket union. Each cap-kept (2..MAX_BUCKET_DOCS)
+    bucket explodes to its in-bucket pairs; each over-cap bucket explodes
+    to ONE null-id marker row instead, so (a) the ``Observation`` —
+    attached to the exploded stream, the same single pass that generates
+    the pairs — reports the summed drops of all three cuts with whatever
+    action consumes the frame (nothing computed twice), and (b) dropped
+    buckets keep the stream non-empty: AQE's empty-relation propagation
+    prunes an observed subtree whose empty filter result feeds a further
+    shuffle, and the metrics are then never delivered (obs.get raises) —
+    found the hard way; markers flowing THROUGH the aggregations close
+    that hole. Size-1 buckets pair with nothing and are not drops
+    (identical to _capped_buckets' 2..cap keep + >cap count). Marker rows
+    survive the count as (cut, NULL ids) rows; consumers exclude them
+    with doc_a IS NOT NULL (or null-safe conditionals)."""
     b = _suite_tagged_buckets(docs).select(
         "cut", "ids", F.size("ids").alias("n")
     )
-    # single consumption of the bucket frame: each bucket explodes to
-    # either its in-bucket pairs (cap-kept) or ONE null-pair marker row
-    # (over-cap) — the Observation sits on the exploded stream, so drop
-    # metrics ride the same pass that generates the pairs and nothing is
-    # computed twice. Size-1 buckets pair with nothing and are not drops
-    # (identical to _capped_buckets' 2..cap keep + >cap count).
     null_member = F.struct(
         F.lit(None).cast("long").alias("doc_id"),
         F.lit(None).cast("int").alias("n_sh"),
@@ -2499,17 +2489,27 @@ def shingle_pair_suite_summary(
                 F.when(F.col("p.a.doc_id").isNull(), F.col("n")).otherwise(0)
             ).alias("n_ids_dropped"),
         )
+    return rows.groupBy(
+        "cut",
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.a.n_sh").alias("na"),
+        F.col("p.b.n_sh").alias("nb"),
+    ).agg(F.count(F.lit(1)).alias("shared"))
+
+
+def shingle_pair_suite_summary(
+    docs: DataFrame, observation=None
+) -> DataFrame:
+    """The fused one-pass suite summary over an arbitrary (doc_id, text)
+    frame — see q_shingle_pair_suite for the plan shape and contract.
+    Marker rows ride to the very end as a single null-id pivot group that
+    every output conditional excludes (null-safe thresholds; n_pred
+    guarded explicitly), so no stage between the Observation and the
+    final one-row aggregate can go empty while drops exist."""
     is_cut = lambda c: F.col("cut") == c  # noqa: E731
     per_pair = (
-        rows.where(F.col("p.a.doc_id").isNotNull())
-        .groupBy(
-            "cut",
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
-            F.col("p.a.n_sh").alias("na"),
-            F.col("p.b.n_sh").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
+        _suite_pair_counts(docs, observation)
         .groupBy("doc_a", "doc_b")
         .agg(
             F.max(F.when(is_cut("jac"), F.col("shared"))).alias("jshared"),
@@ -2547,7 +2547,14 @@ def shingle_pair_suite_summary(
         csum(F.when(jac_keep, F.col("jshared")).otherwise(0),
              "sum_jac_shared"),
         csum(F.when(is_true, 1).otherwise(0), "n_true"),
-        csum(F.col("is_pred"), "n_pred"),
+        # the marker pivot group (null ids) can carry is_pred=1 when an
+        # LSH bucket was dropped — every other conditional is null-safe
+        # (null thresholds are false), this one needs the explicit guard
+        csum(
+            F.when(F.col("doc_a").isNotNull(), F.col("is_pred"))
+            .otherwise(0),
+            "n_pred",
+        ),
         csum(F.when(is_true & (F.col("is_pred") == 1), 1).otherwise(0),
              "n_hits"),
         csum(F.when(cont_keep, 1).otherwise(0), "n_cont_pairs"),

@@ -135,6 +135,36 @@ def test_shingle_pair_suite_drops_all_cuts_observed(spark):
     )
 
 
+def test_shingle_pair_suite_drops_survive_all_dropped_corpus(spark):
+    """A corpus where EVERY bucket overflows the cap (60 identical docs,
+    nothing else) leaves zero pairs anywhere — the shape where AQE's
+    empty-relation propagation used to prune the observed subtree and
+    Observation.get raised. The marker rows keep the stream alive: both
+    the parts path and the fused summary must still deliver the drop
+    metrics, and the summary row is all zeros."""
+    from pyspark.sql.observation import Observation
+
+    from pdf_extractor_spark.operators import dedup as D
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta").alias("text"),
+    )
+    p_obs = Observation()
+    parts = D.shingle_pair_suite_parts(docs, p_obs)
+    p_got = p_obs.get
+    assert p_got["n_buckets_dropped"] > 0 and p_got["n_ids_dropped"] > 0
+    assert parts["jaccard"].count() == 0
+    assert parts["pred"].count() == 0
+    assert parts["containment"].count() == 0
+    s_obs = Observation()
+    srow = D.shingle_pair_suite_summary(docs, s_obs).collect()[0]
+    s_got = s_obs.get
+    for k in ("n_buckets_dropped", "n_ids_dropped"):
+        assert s_got[k] == p_got[k]
+    assert all(v == 0 for v in srow.asDict().values())
+
+
 def test_ann_index_roundtrip_matches_inline_fit(spark):
     ev = _quantized_vecs(_emb(spark, SF_DIR)).localCheckpoint(eager=True)
     root = tempfile.mkdtemp(prefix="ann_idx_test_")
