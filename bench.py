@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "ann_index_build",
     "ann_index_query",
     "cluster_holdout_split",
+    "dedup_components_incremental",
     # round 5: full-registry completion — the remaining (small, round-1 §2)
     # queries, so the bench artifact times EVERY registered query and
     # `n_queries` matches the oracle sweep's count exactly.
@@ -268,6 +269,7 @@ CAP_OBSERVED = {
     "simhash_hamming_pairs",
     "containment_pairs",
     "shingle_pair_suite",
+    "dedup_components_incremental",
 }
 
 # v3: cache key versioned with the generator (round 4 added markdown-image

@@ -122,12 +122,23 @@ def q_dedup_components(spark: SparkSession, sf_dir: str, observation=None) -> Da
     is computed exactly once (the lsh_score_pipeline wiring, in-memory
     form)."""
     from . import load
-    from .dedup import N_MINHASH, _lsh_pairs_from_sigs, _minhash_frame
+    from .dedup import _lsh_pairs_from_sigs, _minhash_frame
 
     sigs = _minhash_frame(load(spark, sf_dir, "documents")).localCheckpoint(
         eager=True
     )
     cand = _lsh_pairs_from_sigs(sigs, observation)
+    labels = connected_components(_verify_pairs(sigs, cand))
+    return _with_cluster_sizes(labels)
+
+
+def _verify_pairs(sigs: DataFrame, cand: DataFrame) -> DataFrame:
+    """Keep only candidate pairs whose MinHash Jaccard estimate clears
+    MIN_EDGE_JACCARD — the candidates -> verify step shared by the batch
+    and incremental components queries (both join sides read the same
+    materialized signature frame)."""
+    from .dedup import N_MINHASH
+
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],
@@ -140,19 +151,143 @@ def q_dedup_components(spark: SparkSession, sf_dir: str, observation=None) -> Da
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         for i in range(N_MINHASH)
     ) / float(N_MINHASH)
-    pairs = (
+    return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .where(est >= MIN_EDGE_JACCARD)
         .select("doc_a", "doc_b")
     )
-    labels = connected_components(pairs)
+
+
+def _with_cluster_sizes(labels: DataFrame) -> DataFrame:
+    """(node, rep) -> the components output contract
+    (doc_id, cluster_rep, cluster_size)."""
     sizes = labels.groupBy(F.col("rep").alias("cluster_rep")).agg(
         F.count("*").alias("cluster_size")
     )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("rep").alias("cluster_rep")
     ).join(sizes, "cluster_rep").select("doc_id", "cluster_rep", "cluster_size")
+
+
+def incremental_components(
+    stored_labels: DataFrame, new_edges: DataFrame
+) -> DataFrame:
+    """Fold a batch of NEW verified duplicate edges into a committed
+    (node, rep) labeling, touching only affected clusters — the O(new)
+    companion of connected_components for continuous ingestion (the
+    dedup_incremental pattern lifted from pairs to cluster labels).
+
+    Each new edge's endpoints CONTRACT to their committed representative
+    (endpoints without a label — new docs, or old docs first touched by
+    this batch — represent themselves); edges whose contracted endpoints
+    agree are no-ops inside an existing cluster; the surviving contracted
+    graph has O(batch edges) nodes and is clustered by the same
+    pointer-jumping loop. Because a committed rep is its cluster's
+    minimum id, the contracted component's minimum IS the merged
+    cluster's global minimum — the result matches a from-scratch
+    connected_components over the union edge set exactly.
+
+    Scale shape: the corpus-sized ``stored_labels`` is read by exactly
+    TWO map-only broadcast passes — a broadcast-semi probe that extracts
+    the O(batch) touched labels, and a broadcast-remap left join that
+    rewrites affected reps — never a labels shuffle, never an iteration
+    over stored state; all iterative work runs on the O(batch)
+    contracted graph. Returns (node, rep) for every stored node and
+    every node of ``new_edges``."""
+    lab = stored_labels.select("node", "rep")
+    e = (
+        new_edges.select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    endpoints = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    touched = lab.join(
+        F.broadcast(endpoints), "node", "left_semi"
+    ).localCheckpoint(eager=True)
+    ru = touched.select(F.col("node").alias("u"), F.col("rep").alias("ru"))
+    rv = touched.select(F.col("node").alias("v"), F.col("rep").alias("rv"))
+    contracted = (
+        e.join(ru, "u", "left")
+        .join(rv, "v", "left")
+        .select(
+            F.coalesce("ru", F.col("u")).alias("ca"),
+            F.coalesce("rv", F.col("v")).alias("cb"),
+        )
+        .where(F.col("ca") != F.col("cb"))
+    )
+    if contracted.isEmpty():
+        # every new edge lies inside an existing cluster (and no fresh
+        # node survives — a fresh endpoint always contracts to itself and
+        # cannot equal the other side's stored rep): nothing to fold
+        return lab
+    merged = connected_components(contracted, "ca", "cb")
+    remap = merged.select(
+        F.col("node").alias("old_rep"), F.col("rep").alias("new_rep")
+    )
+    updated = lab.join(
+        F.broadcast(remap), F.col("rep") == F.col("old_rep"), "left"
+    ).select("node", F.coalesce("new_rep", "rep").alias("rep"))
+    # fresh endpoints (no committed label) got their label inside the
+    # contracted clustering itself — small x small
+    fresh_nodes = endpoints.join(
+        touched.select("node"), "node", "left_anti"
+    )
+    fresh = merged.join(F.broadcast(fresh_nodes), "node")
+    return updated.unionByName(fresh.select("node", "rep"))
+
+
+def q_dedup_components_incremental(
+    spark: SparkSession, sf_dir: str, observation=None
+) -> DataFrame:
+    """Daily-batch cluster maintenance: fold the new batch's verified
+    duplicate edges into the previous run's committed labels instead of
+    re-clustering the corpus — closing the incremental loop that
+    ``dedup_incremental`` opens at the pair level (O(new) signatures +
+    union-bucket candidates involving a new doc) at the CLUSTER level
+    (contract -> cluster the O(batch) graph -> broadcast-remap, see
+    incremental_components).
+
+    The corpus splits 80/20 by doc_id (the dedup_incremental convention);
+    the stored state — old-corpus signatures AND committed labels — is
+    modeled as eagerly-materialized frames exactly as a store read would
+    be, so the registered query mutates no filesystem state. Output
+    contract identical to ``dedup_components`` over the FULL corpus, and
+    the oracle IS that query's oracle: the incremental fold must be
+    value-invisible versus the one-shot recompute. (Exact equality holds
+    while no banding bucket crosses MAX_BUCKET_DOCS between the old-only
+    and union corpora — cap drops are observable on ``observation``; with
+    drops, union-of-batch-edges is the honest production semantics — the
+    simhash-cap caveat family.)"""
+    from . import load
+    from .dedup import _incremental_pair_plan, _lsh_pairs_from_sigs, _minhash_frame
+
+    docs = load(spark, sf_dir, "documents")
+    split = docs.agg(
+        F.expr("(max(doc_id) * 4) div 5").alias("s")
+    ).first()["s"]
+    old = docs.where(F.col("doc_id") < split)
+    new = docs.where(F.col("doc_id") >= split)
+    stored_sigs = _minhash_frame(old).localCheckpoint(eager=True)
+    # committed state: the previous run's clustering of the old corpus
+    stored_labels = connected_components(
+        _verify_pairs(stored_sigs, _lsh_pairs_from_sigs(stored_sigs))
+    ).localCheckpoint(eager=True)
+    # ---- the incremental step: everything below is O(new + affected) ----
+    new_sigs, cand = _incremental_pair_plan(new, stored_sigs, observation)
+    all_sigs = stored_sigs.unionByName(new_sigs)
+    labels = incremental_components(
+        stored_labels, _verify_pairs(all_sigs, cand)
+    )
+    return _with_cluster_sizes(labels)
 
 
 def q_dedup_retention(
@@ -216,6 +351,7 @@ def q_cluster_holdout_split(
 
 QUERIES = {
     "dedup_components": q_dedup_components,
+    "dedup_components_incremental": q_dedup_components_incremental,
     "dedup_retention": q_dedup_retention,
     "cluster_holdout_split": q_cluster_holdout_split,
 }
@@ -270,6 +406,10 @@ ORACLES = {
         FROM rep
     """,
 }
+
+# The incremental fold must be value-invisible vs the one-shot recompute:
+# its oracle IS the batch components oracle over the full corpus.
+ORACLES["dedup_components_incremental"] = ORACLES["dedup_components"]
 
 # Retention wraps the components closure as a subquery: documents outside
 # any verified cluster are their own representative (keep = true).

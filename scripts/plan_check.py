@@ -365,6 +365,7 @@ _BROADCAST_OPS = [
 # keyed equi-join ops where a sort-merge join is the CORRECT scale shape
 # (both sides corpus-sized); pin only no-NLJ / no-Python
 _KEYED_EQUI = ["priority_merge", "rollup_incremental", "dedup_components",
+               "dedup_components_incremental",
                "dedup_retention", "cluster_holdout_split"]
 
 for _n in _PURE_EXPR_MAP:

@@ -224,6 +224,71 @@ def test_repetition_keep_filter_after_materialize(spark):
     assert lazy_kept == mat_kept and lazy_kept
 
 
+def test_incremental_components_merge_cases(spark):
+    """The O(new) cluster fold on crafted edges: a bridge doc merges two
+    committed clusters under the global-min rep; an intra-cluster edge is
+    a no-op; an empty committed state degenerates to plain
+    connected_components."""
+    from pdf_extractor_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    lab = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5)], "node long, rep long"
+    )
+
+    def edges(rows):
+        return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+    # bridge: new doc 7 touches both clusters -> one cluster, rep = 1
+    got = {
+        (r["node"], r["rep"])
+        for r in incremental_components(
+            lab, edges([(7, 2), (7, 6)])
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (5, 1), (6, 1), (7, 1)}
+    # intra-cluster edge: labels unchanged
+    got = {
+        (r["node"], r["rep"])
+        for r in incremental_components(lab, edges([(2, 1)])).collect()
+    }
+    assert got == {(1, 1), (2, 1), (5, 5), (6, 5)}
+    # old doc first touched by this batch (9 has no committed label)
+    got = {
+        (r["node"], r["rep"])
+        for r in incremental_components(lab, edges([(9, 5)])).collect()
+    }
+    assert got == {(1, 1), (2, 1), (5, 5), (6, 5), (9, 5)}
+    # empty committed state == plain connected_components
+    empty = lab.limit(0)
+    e = edges([(3, 8), (8, 4)])
+    got = {
+        (r["node"], r["rep"])
+        for r in incremental_components(empty, e).collect()
+    }
+    want = {
+        (r["node"], r["rep"]) for r in connected_components(e).collect()
+    }
+    assert got == want == {(3, 3), (4, 3), (8, 3)}
+
+
+def test_incremental_components_matches_batch(spark):
+    """The registered incremental query is value-identical to the batch
+    components query over the full corpus (the one-shot-recompute
+    guarantee its oracle enforces at sf0.01)."""
+    from pdf_extractor_spark.operators.graph import (
+        q_dedup_components,
+        q_dedup_components_incremental,
+    )
+
+    assert _same_rows(
+        q_dedup_components_incremental(spark, SF_DIR),
+        q_dedup_components(spark, SF_DIR),
+    )
+
+
 def test_cluster_holdout_split_leakage_free(spark):
     """Every verified near-dup edge has both endpoints in the SAME split
     (leakage-free by construction), and singleton docs get exactly the
