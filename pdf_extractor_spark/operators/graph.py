@@ -245,6 +245,50 @@ def incremental_components(
     return updated.unionByName(fresh.select("node", "rep"))
 
 
+CC_LAB_PREFIX = "lab_v"
+
+
+def components_store_load(spark: SparkSession, store_root: str) -> DataFrame:
+    """The highest COMMITTED label snapshot (node, rep). A store with no
+    committed version is a legitimate first batch and reads as empty —
+    crashed attempts (no ``_SUCCESS``) are invisible either way."""
+    from ..plans import fsio
+
+    have = fsio.committed_versions(spark, store_root, CC_LAB_PREFIX)
+    if not have:
+        return spark.createDataFrame([], "node long, rep long")
+    return spark.read.parquet(
+        f"{store_root}/{CC_LAB_PREFIX}{have[-1]}"
+    )
+
+
+def components_store_update(new_edges: DataFrame, store_root: str) -> int:
+    """Fold a batch's verified edges into the committed label store and
+    publish the successor snapshot — the production form of
+    ``incremental_components`` on the fsio commit protocol (the ann_index
+    layout: write ``lab_v<n>`` atomically with ``_SUCCESS`` as the commit
+    point; prune predecessors only AFTER the successor commits; a crashed
+    attempt's versioned debris is invisible to readers and overwritten by
+    the retry — both windows crash-injected by scripts/fault_drive.py
+    section F). Returns the committed version number."""
+    from ..plans import fsio
+
+    spark = new_edges.sparkSession
+    have = fsio.committed_versions(spark, store_root, CC_LAB_PREFIX)
+    v = (have[-1] + 1) if have else 0
+    labels = incremental_components(
+        components_store_load(spark, store_root), new_edges
+    )
+    # overwrite can only ever hit a crashed attempt's uncommitted debris
+    # at this version — never a committed snapshot
+    labels.write.mode("overwrite").parquet(
+        f"{store_root}/{CC_LAB_PREFIX}{v}"
+    )
+    if [x for x in have if x < v]:
+        fsio.prune_versions_below(spark, store_root, CC_LAB_PREFIX, v)
+    return v
+
+
 def q_dedup_components_incremental(
     spark: SparkSession, sf_dir: str, observation=None
 ) -> DataFrame:

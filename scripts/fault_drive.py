@@ -310,6 +310,76 @@ def main() -> None:
     print("  mid-prune crash left [0, 1]; reader took v1; serve identical "
           "to the no-fault run; next build pruned to [2]")
 
+    # ---------------- F. components label-store commit windows ----------------
+    print("F. components label-store commit windows")
+    from pdf_extractor_spark.operators.graph import (
+        CC_LAB_PREFIX,
+        components_store_load,
+        components_store_update,
+        connected_components,
+    )
+
+    lab_store = f"{ROOT}/cc_labels"
+    e1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    ).localCheckpoint(eager=True)
+    e2 = spark.createDataFrame(
+        [(30, 3), (30, 11), (40, 41)], "doc_a long, doc_b long"
+    ).localCheckpoint(eager=True)
+
+    # F1: crash AT the first snapshot write — store stays uncommitted,
+    # a reader sees the legitimate-first-batch EMPTY state (crashed
+    # debris invisible), and the retry reuses v0 and overwrites it
+    _arm["path"] = f"{lab_store}/{CC_LAB_PREFIX}0"
+    expect_crash(components_store_update, e1, lab_store)
+    os.makedirs(f"{lab_store}/{CC_LAB_PREFIX}0", exist_ok=True)
+    lab_debris = f"{lab_store}/{CC_LAB_PREFIX}0/part-debris.parquet"
+    with open(lab_debris, "w") as fh:
+        fh.write("torn")
+    assert fsio.committed_versions(spark, lab_store, CC_LAB_PREFIX) == []
+    assert components_store_load(spark, lab_store).count() == 0, \
+        "uncommitted store must read as the empty first-batch state"
+    v0 = components_store_update(e1, lab_store)
+    assert v0 == 0
+    assert not os.path.exists(lab_debris), \
+        "crashed-attempt debris must be gone after the committed rebuild"
+    assert rows_of(components_store_load(spark, lab_store)) == rows_of(
+        connected_components(e1)
+    )
+    print("  write-crash: empty-state read, retry committed v0, labels "
+          "== from-scratch clustering of batch 1")
+
+    # F2: batch 2 (bridge doc merges both clusters) with a crash
+    # mid-prune after v1 commits — both versions on disk, the
+    # max-committed read rule takes v1, the next update prunes
+    orig_lab_prune = fsio.prune_versions_below
+
+    def crash_lab_prune(*a, **kw):
+        fsio.prune_versions_below = orig_lab_prune
+        raise CRASH("injected crash mid-prune (v1 already committed)")
+
+    fsio.prune_versions_below = crash_lab_prune
+    expect_crash(components_store_update, e2, lab_store)
+    assert fsio.committed_versions(
+        spark, lab_store, CC_LAB_PREFIX
+    ) == [0, 1]
+    folded = rows_of(components_store_load(spark, lab_store))
+    clean = rows_of(
+        connected_components(e1.unionByName(e2))
+    )
+    assert folded == clean, \
+        "folded labels must equal the from-scratch union clustering"
+    v2 = components_store_update(
+        spark.createDataFrame([(50, 51)], "doc_a long, doc_b long"),
+        lab_store,
+    )
+    assert v2 == 2
+    assert fsio.committed_versions(
+        spark, lab_store, CC_LAB_PREFIX
+    ) == [2]
+    print("  mid-prune crash left [0, 1]; reader took v1 (== union "
+          "recompute); next update pruned to [2]")
+
     print("FAULT DRIVE PASSED: every injected crash window replayed "
           "to outputs identical to the no-fault run")
     spark.stop()

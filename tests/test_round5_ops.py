@@ -274,6 +274,45 @@ def test_incremental_components_merge_cases(spark):
     assert got == want == {(3, 3), (4, 3), (8, 3)}
 
 
+def test_components_store_chain(spark):
+    """The fsio-versioned label store: two batches fold through committed
+    snapshots and the final read equals a from-scratch clustering of the
+    union edge set; a torn successor attempt stays invisible."""
+    from pdf_extractor_spark.operators.graph import (
+        CC_LAB_PREFIX,
+        components_store_load,
+        components_store_update,
+        connected_components,
+    )
+
+    root = tempfile.mkdtemp(prefix="cc_lab_test_")
+    try:
+        e1 = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+        )
+        e2 = spark.createDataFrame(
+            [(30, 3), (30, 11)], "doc_a long, doc_b long"
+        )
+        assert components_store_load(spark, root).count() == 0
+        assert components_store_update(e1, root) == 0
+        # torn successor attempt (no _SUCCESS) must stay invisible
+        debris = f"{root}/{CC_LAB_PREFIX}1"
+        os.makedirs(debris, exist_ok=True)
+        with open(f"{debris}/part-0.parquet", "wb") as fh:
+            fh.write(b"torn")
+        assert _same_rows(
+            components_store_load(spark, root), connected_components(e1)
+        )
+        assert components_store_update(e2, root) == 1
+        assert _same_rows(
+            components_store_load(spark, root),
+            connected_components(e1.unionByName(e2)),
+        )
+        assert not os.path.exists(f"{root}/{CC_LAB_PREFIX}0")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_incremental_components_matches_batch(spark):
     """The registered incremental query is value-identical to the batch
     components query over the full corpus (the one-shot-recompute
